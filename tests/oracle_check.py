@@ -1,0 +1,156 @@
+"""Local re-implementation of the driver's oracle-differential check.
+
+For each registered query: run the PySpark version and the DuckDB oracle on
+the same sf dir, then compare row count, column-name sets, and
+order-insensitive values. The comparison is EXACT (cell == cell after
+sorting columns by name and rows by value) — the point is to predict the
+driver's value-hash match, so we hold ourselves to equality, and separately
+report near-miss float deviations to flag determinism hazards.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import os
+from dataclasses import dataclass, field
+
+import duckdb
+
+from wd2sql_spark.catalog import TABLES
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    row_count: tuple[int, int] | None = None
+    errors: list[str] = field(default_factory=list)
+    max_float_dev: float = 0.0
+
+
+def _duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _norm(v):
+    """Normalize a cell for comparison across engines."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except ImportError:
+        pass
+    return v
+
+
+def _sort_key(row):
+    return tuple((x is None, str(x)) for x in row)
+
+
+def compare(name: str, spark_df, oracle_sql: str, sf_dir: str) -> CompareResult:
+    res = CompareResult(name=name, ok=True)
+    spark_cols = list(spark_df.columns)
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+
+    con = _duckdb_con(sf_dir)
+    duck = con.execute(oracle_sql)
+    duck_cols = [d[0] for d in duck.description]
+    duck_rows = duck.fetchall()
+    con.close()
+
+    if sorted(spark_cols) != sorted(duck_cols):
+        res.ok = False
+        res.errors.append(f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        return res
+
+    res.row_count = (len(spark_rows), len(duck_rows))
+    if len(spark_rows) != len(duck_rows):
+        res.ok = False
+        res.errors.append(f"row counts differ: spark={len(spark_rows)} duck={len(duck_rows)}")
+        return res
+
+    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    dorder = [duck_cols.index(spark_cols[i]) for i in order]
+    s_rows = sorted(
+        (tuple(_norm(r[i]) for i in order) for r in spark_rows), key=_sort_key
+    )
+    d_rows = sorted(
+        (tuple(_norm(r[i]) for i in dorder) for r in duck_rows), key=_sort_key
+    )
+
+    for idx, (sr, dr) in enumerate(zip(s_rows, d_rows)):
+        if sr == dr:
+            continue
+        for ci, (sv, dv) in enumerate(zip(sr, dr)):
+            if sv == dv:
+                continue
+            if isinstance(sv, float) and isinstance(dv, float):
+                dev = abs(sv - dv)
+                res.max_float_dev = max(res.max_float_dev, dev)
+            res.ok = False
+            if len(res.errors) < 5:
+                res.errors.append(
+                    f"row {idx} col {sorted(spark_cols)[ci]}: spark={sv!r} duck={dv!r}"
+                )
+    return res
+
+
+def run_all(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
+    from wd2sql_spark.queries import load_all_modules
+    from wd2sql_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    registry = load_all_modules()
+    results = []
+    for name, q in registry.items():
+        if only and name not in only:
+            continue
+        if q.oracle is None:
+            df = q.fn(spark, sf_dir)
+            n = df.count()
+            results.append(CompareResult(name=name, ok=True, row_count=(n, n), errors=["rows-only"]))
+            continue
+        try:
+            results.append(compare(name, q.fn(spark, sf_dir), q.oracle, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            results.append(CompareResult(name=name, ok=False, errors=[f"EXCEPTION: {e}"]))
+    return results
+
+
+if __name__ == "__main__":
+    import sys
+
+    only = sys.argv[1:] or None
+    bad = 0
+    for r in run_all(only=only):
+        status = "OK " if r.ok else "FAIL"
+        extra = f" dev={r.max_float_dev:.2e}" if r.max_float_dev else ""
+        print(f"{status} {r.name} rows={r.row_count}{extra}")
+        for e in r.errors:
+            if not r.ok or e == "rows-only":
+                print(f"     {e}")
+        bad += not r.ok
+    sys.exit(1 if bad else 0)

@@ -1,0 +1,32 @@
+"""Driver-contract tests: entry() smoke, registry shape, oracle keys."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod
+
+
+def test_queries_and_oracles_align():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert qs, "no queries registered"
+    assert set(oracles) <= set(qs)
+    for name, sql in oracles.items():
+        assert isinstance(sql, str) and sql.strip().upper().startswith(("SELECT", "WITH")), name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["c_custkey", "c_name", "acctbal"]
+
+
+def test_every_query_runs_at_smoke_sf(spark, sf_dir):
+    qs = entry_mod.queries()
+    for name, fn in qs.items():
+        df = fn(spark, sf_dir)
+        assert df.count() >= 0, name

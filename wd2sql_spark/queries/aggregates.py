@@ -1,0 +1,190 @@
+"""Aggregation battery: hash aggregates, distinct, approx sketches,
+rollup/cube/grouping sets.
+
+Spark's groupBy().agg() automatically does partial (map-side) aggregation
+before the shuffle — at 100 TB the shuffle moves one row per group per
+partition, not the raw data. Nothing here needs a UDAF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wd2sql_spark.catalog import table
+from wd2sql_spark.queries.registry import query
+
+PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2)                                    AS sum_qty,
+       round(SUM(l_extendedprice), 2)                               AS sum_base_price,
+       round(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS sum_disc_price,
+       round(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS sum_charge,
+       round(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 / COUNT(*), 4)      AS avg_qty,
+       round(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_price,
+       round(SUM(CAST(round(l_discount * 100, 0) AS BIGINT)) / 100.0 / COUNT(*), 4)      AS avg_disc,
+       COUNT(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("agg_pricing_summary", oracle=PRICING_ORACLE, category="aggregates")
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the canonical wide hash-aggregate. One shuffle on the
+    2-column group key; partial aggregation collapses each map partition to
+    ≤6 rows before it. Product-money sums and means use the exact
+    integer-units pattern (see _determinism) so both engines agree to the
+    bit; plain 2-decimal sums are boundary-free at round-2 by rule 1."""
+    from wd2sql_spark.queries._determinism import exact_avg, exact_sum
+
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(exact_sum(disc_price, 6), 2).alias("sum_disc_price"),
+            F.round(exact_sum(disc_price * (1 + F.col("l_tax")), 6), 2).alias("sum_charge"),
+            F.round(exact_avg(F.col("l_quantity"), 2), 4).alias("avg_qty"),
+            F.round(exact_avg(F.col("l_extendedprice"), 2), 4).alias("avg_price"),
+            F.round(exact_avg(F.col("l_discount"), 2), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+DISTINCT_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*)                  AS n_orders,
+       round(MIN(o_totalprice), 2) AS min_price,
+       round(MAX(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("agg_count_distinct", oracle=DISTINCT_ORACLE, category="aggregates")
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) alongside plain aggregates — Spark plans this as a
+    two-phase expand + aggregate; min/max piggyback on the same shuffle."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("agg_approx_count_distinct", oracle=None, category="aggregates")
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). No oracle: DuckDB's HLL is a
+    different sketch so exact equality is impossible by construction — the
+    driver records rows-only. The scale story is the point: at 100 TB this
+    replaces an O(n) shuffle of distinct keys with fixed-size sketches."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"))
+        .orderBy("l_returnflag")
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT n_name, c_mktsegment,
+       COUNT(*) AS n_custs,
+       round(SUM(c_acctbal), 2) AS total_bal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST
+"""
+
+
+@query("agg_rollup", oracle=ROLLUP_ORACLE, category="aggregates")
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (nation → segment → grand total)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .rollup("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("n_custs"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .orderBy(F.col("n_name").asc_nulls_first(), F.col("c_mktsegment").asc_nulls_first())
+    )
+
+
+CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@query("agg_cube", oracle=CUBE_ORACLE, category="aggregates")
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dims: all 4 grouping combinations in
+    one pass (Expand operator, one shuffle)."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_lines"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+HAVING_ORACLE = """
+SELECT o_custkey, COUNT(*) AS n_orders, round(SUM(o_totalprice), 2) AS spend
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+ORDER BY spend DESC, o_custkey
+"""
+
+
+@query("agg_having", oracle=HAVING_ORACLE, category="aggregates")
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .filter(F.col("n_orders") >= 15)
+        .orderBy(F.col("spend").desc(), "o_custkey")
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@query("agg_grouping_sets", oracle=GROUPING_SETS_ORACLE, category="aggregates")
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (DataFrame API exposes only
+    rollup/cube; SQL covers arbitrary sets)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )

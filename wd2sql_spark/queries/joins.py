@@ -1,0 +1,197 @@
+"""Join battery: every join type, with the physical strategy each deserves.
+
+Scale doctrine (SURVEY §2-C "joins"): dims (region/nation/supplier/part at
+TPC-H-ish ratios) are broadcast — zero shuffle of the fact side; fact-fact
+joins (orders⋈lineitem) shuffle on the join key and should land as
+sort-merge with AQE free to pick shuffled-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wd2sql_spark.catalog import table
+from wd2sql_spark.queries._determinism import exact_sum
+from wd2sql_spark.queries.registry import query
+
+INNER_ORACLE = """
+SELECT n.n_name, c.c_custkey, c.c_name
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY c.c_custkey
+"""
+
+
+@query("join_inner_broadcast", oracle=INNER_ORACLE, category="joins")
+def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact→dim; dim is broadcast so the customer side never
+    shuffles (BroadcastHashJoin in .explain)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "inner")
+        .select("n_name", "c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+LEFT_ORACLE = """
+SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS totalprice
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'P'
+ORDER BY c.c_custkey, o.o_orderkey
+"""
+
+
+@query("join_left_outer", oracle=LEFT_ORACLE, category="joins")
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with a pre-join filter on the right side (pushed below the
+    join, not applied post-join — outer-join semantics preserved)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .select("c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+FULL_ORACLE = """
+WITH cust_nations AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal > 9000),
+     supp_nations AS (SELECT DISTINCT s_nationkey FROM supplier)
+SELECT c_nationkey, s_nationkey
+FROM cust_nations FULL OUTER JOIN supp_nations ON c_nationkey = s_nationkey
+ORDER BY c_nationkey NULLS FIRST, s_nationkey NULLS FIRST
+"""
+
+
+@query("join_full_outer", oracle=FULL_ORACLE, category="joins")
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two distinct key sets (nulls on both sides)."""
+    cn = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_nationkey")
+        .distinct()
+    )
+    sn = table(spark, sf_dir, "supplier").select("s_nationkey").distinct()
+    return (
+        cn.join(sn, cn["c_nationkey"] == sn["s_nationkey"], "full_outer")
+        .select("c_nationkey", "s_nationkey")
+        .orderBy(F.col("c_nationkey").asc_nulls_first(), F.col("s_nationkey").asc_nulls_first())
+    )
+
+
+ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@query("join_anti_customers_without_orders", oracle=ANTI_ORACLE, category="joins")
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders (NOT EXISTS rewrite)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+SEMI_ORACLE = """
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45.0)
+ORDER BY s_suppkey
+"""
+
+
+@query("join_semi_suppliers_with_bulk_lines", oracle=SEMI_ORACLE, category="joins")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: EXISTS over the fact table. The lineitem side is
+    filtered and projected to one column before the join, so the shuffle
+    (if any — supplier is small enough to broadcast the OTHER way) moves
+    minimal bytes."""
+    s = table(spark, sf_dir, "supplier")
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45.0).select("l_suppkey")
+    return (
+        s.join(l, s["s_suppkey"] == l["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+CROSS_ORACLE = """
+SELECT r.r_name, t.o_orderstatus
+FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) t
+ORDER BY r_name, o_orderstatus
+"""
+
+
+@query("join_cross_small", oracle=CROSS_ORACLE, category="joins")
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two tiny inputs (both < broadcast threshold →
+    BroadcastNestedLoopJoin; never do this between two facts)."""
+    r = table(spark, sf_dir, "region").select("r_name")
+    st = table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(st).orderBy("r_name", "o_orderstatus")
+
+
+MULTIWAY_ORACLE = """
+SELECT n.n_name,
+       round(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS revenue
+FROM customer c
+JOIN orders o    ON c.c_custkey = o.o_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n    ON s.s_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@query("join_multiway_local_supplier_volume", oracle=MULTIWAY_ORACLE, category="joins")
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join. region/nation/supplier broadcast;
+    orders⋈lineitem is the one genuine shuffle. The date filter on orders
+    is applied before the join so pushdown prunes the fact scan."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(s),
+            (l["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            # exact integer-units sum (see queries/_determinism.py): a plain
+            # double SUM is order-sensitive and flips round-2 boundaries
+            # between engines.
+            F.round(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )

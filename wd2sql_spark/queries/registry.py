@@ -1,0 +1,70 @@
+"""Query registry: name → (PySpark callable, DuckDB oracle SQL).
+
+The driver contract (``__spark_entry__.py``) wants two dicts; the decorator
+here keeps each query and its oracle next to each other in source so the
+column aliases can't drift apart (the driver's comparison sorts columns by
+name before hashing, so Spark and oracle column names MUST match).
+
+Determinism rules every registered query follows:
+
+- Any floating-point aggregate is wrapped in ``round(x, N)`` on BOTH sides,
+  because double addition is order-sensitive and Spark/DuckDB will sum
+  partitions in different orders.
+- Any ``LIMIT``/top-k has a total order (tiebreak on a key column) so the
+  selected rows are the same set in both engines.
+- No reliance on engine-specific hash functions in oracled queries (md5 is
+  the one hash both engines share bit-for-bit).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, "Query"] = {}
+
+# Battery modules, imported lazily so a bug in one module doesn't take down
+# the whole registry at import time of the package.
+_MODULES = (
+    "wd2sql_spark.queries.relational",
+    "wd2sql_spark.queries.joins",
+    "wd2sql_spark.queries.aggregates",
+    "wd2sql_spark.queries.windows",
+    "wd2sql_spark.queries.setops",
+    "wd2sql_spark.queries.scalar_fns",
+    "wd2sql_spark.queries.wikidata",
+    "wd2sql_spark.queries.llm_dedup",
+    "wd2sql_spark.queries.llm_similarity",
+    "wd2sql_spark.queries.llm_text",
+    "wd2sql_spark.queries.streaming_q",
+)
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None → driver records a weaker rows-only check
+    category: str
+    doc: str = ""
+
+
+def query(name: str, oracle: str | None = None, category: str = "misc") -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, category=category, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_all_modules() -> dict[str, Query]:
+    for mod in _MODULES:
+        importlib.import_module(mod)
+    return REGISTRY

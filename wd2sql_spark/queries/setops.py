@@ -1,0 +1,104 @@
+"""Set-operation battery: union (all/distinct), intersect, except, distinct.
+
+The reference's conjunctive-ID-set intersection (README.md:129-131) is the
+moral ancestor of INTERSECT here. Spark plans INTERSECT/EXCEPT as left-semi /
+left-anti joins over distinct inputs — same shape we use for the flagship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wd2sql_spark.catalog import table
+from wd2sql_spark.queries.registry import query
+
+UNION_ALL_ORACLE = """
+SELECT k, src FROM (
+  SELECT o_custkey AS k, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT o_custkey AS k, 'high'   AS src FROM orders WHERE o_orderpriority = '2-HIGH'
+) t
+ORDER BY k, src
+"""
+
+
+@query("setop_union_all", oracle=UNION_ALL_ORACLE, category="setops")
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics, no shuffle — pure concatenation of
+    partitions)."""
+    o = table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k"), F.lit("urgent").alias("src")
+    )
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("k"), F.lit("high").alias("src")
+    )
+    return urgent.unionAll(high).orderBy("k", "src")
+
+
+UNION_DISTINCT_ORACLE = """
+SELECT k FROM (
+  SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION
+  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000.0
+) t
+ORDER BY k
+"""
+
+
+@query("setop_union_distinct", oracle=UNION_DISTINCT_ORACLE, category="setops")
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (set semantics): concatenation + distinct (one hash shuffle;
+    partial distinct runs map-side first)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_totalprice") > 400000.0).select(F.col("o_custkey").alias("k"))
+    return a.union(b).distinct().orderBy("k")
+
+
+INTERSECT_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+ORDER BY o_custkey
+"""
+
+
+@query("setop_intersect", oracle=INTERSECT_ORACLE, category="setops")
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers who placed both an urgent and a low-priority
+    order (planned as distinct + left-semi join)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return a.intersect(b).orderBy("o_custkey")
+
+
+EXCEPT_ORACLE = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+ORDER BY c_custkey
+"""
+
+
+@query("setop_except", oracle=EXCEPT_ORACLE, category="setops")
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customer keys never seen in orders (distinct + left-anti)."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct().orderBy("c_custkey")
+
+
+DISTINCT_ORACLE = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("setop_distinct", oracle=DISTINCT_ORACLE, category="setops")
+def setop_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT on a projection (hash-aggregate, map-side partial)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.select("l_returnflag", "l_linestatus").distinct().orderBy("l_returnflag", "l_linestatus")

@@ -1,0 +1,167 @@
+"""Window-function battery: ranking, offsets, frames, per-group top-k.
+
+Window functions shuffle once on partitionBy and sort within partitions.
+Per-group top-k via row_number + filter is the scalable idiom (vs. a global
+sort): each group's heap is bounded, skew aside.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wd2sql_spark.catalog import table
+from wd2sql_spark.queries.registry import query
+
+RANK_ORACLE = """
+SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal,
+       ROW_NUMBER()  OVER w AS rn,
+       RANK()        OVER w AS rnk,
+       DENSE_RANK()  OVER w AS drnk
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_nationkey, rn
+"""
+
+
+@query("window_rank_family", oracle=RANK_ORACLE, category="windows")
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank over one shared window spec (single
+    shuffle + sort serves all three)."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            "c_nationkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        )
+        .orderBy("c_nationkey", "rn")
+    )
+
+
+LAG_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       LAG(o_orderkey)  OVER w AS prev_order,
+       LEAD(o_orderkey) OVER w AS next_order,
+       date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+@query("window_lag_lead", oracle=LAG_ORACLE, category="windows")
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offsets + inter-row date arithmetic (days since previous
+    order per customer)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.lag("o_orderkey").over(w).alias("prev_order"),
+            F.lead("o_orderkey").over(w).alias("next_order"),
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("bigint").alias(
+                "days_since_prev"
+            ),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+FRAME_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       round(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+       round(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@query("window_frames_running", oracle=FRAME_ORACLE, category="windows")
+def window_frames_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frames: running total + 3-row moving average per customer."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2
+            ).alias("running_spend"),
+            # round-6, not round-2: a 2-or-3-row average of 2-decimal money
+            # values can land exactly on a .xx5 boundary where Spark
+            # (BigDecimal HALF_UP) and DuckDB (binary-double) disagree;
+            # at 6 decimals halves/thirds can never sit on a boundary.
+            F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, Window.currentRow)), 6).alias(
+                "moving_avg3"
+            ),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+TOPK_GROUP_ORACLE = """
+SELECT * FROM (
+  SELECT n_name, c_custkey, round(c_acctbal, 2) AS acctbal,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+) t
+WHERE rn <= 3
+ORDER BY n_name, rn
+"""
+
+
+@query("window_topk_per_group", oracle=TOPK_GROUP_ORACLE, category="windows")
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per nation — the scalable per-group top-k
+    idiom (Spark pushes a per-partition rank limit below the shuffle via
+    WindowGroupLimit)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select("n_name", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), F.row_number().over(w).cast("bigint").alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("n_name", "rn")
+    )
+
+
+NTILE_ORACLE = """
+SELECT o_orderkey, round(o_totalprice, 2) AS totalprice,
+       NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+       round(CUME_DIST() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS cume,
+       round(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@query("window_ntile_distribution", oracle=NTILE_ORACLE, category="windows")
+def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/cume_dist/percent_rank over a global order. Note: a global
+    (unpartitioned) window forces a single partition — fine here, an
+    anti-pattern at 100 TB; the partitioned variants above are the scale
+    path."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        )
+        .orderBy("o_orderkey")
+    )
