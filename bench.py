@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect-to-count). A
+warm-up pass on a tiny query amortizes JVM/session startup out of the
+per-query numbers, mirroring how the reference's numbers exclude process
+startup (its 12h figure is steady-state streaming, README.md:17-19).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one representative per operator family, weighted toward the
+# shapes that stress shuffle/join/window machinery at scale.
+HEADLINE = (
+    "flagship_semi_join_enrich",
+    "agg_pricing_summary",
+    "join_multiway_local_supplier_volume",
+    "window_topk_per_group",
+    "window_frames_running",
+    "setop_union_distinct",
+    "scalar_explode_wordcount",
+    "scalar_json_fns",
+    "filter_predicates",
+    "sort_limit_topk",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+
+    from wd2sql_spark.queries import load_all_modules
+    from wd2sql_spark.session import get_spark
+
+    spark = get_spark("wd2sql_spark-bench")
+    registry = load_all_modules()
+
+    # Warm up the JVM + parquet footer caches so q1 doesn't pay session cost.
+    registry["sort_limit_topk"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        # count() forces full execution of every operator in the plan
+        # without driver-side materialization of the result set.
+        q.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -56,13 +56,11 @@ def _norm(v):
         return tuple(_norm(x) for x in v)
     if isinstance(v, dict):
         return tuple(sorted((k, _norm(x)) for k, x in v.items()))
-    try:
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return float(v)
-    except ImportError:
-        pass
+    # Deliberately NOT normalizing decimal.Decimal → float: DuckDB types
+    # bare literals and some list aggregates as DECIMAL, whose string form
+    # differs from a double's. The real driver may hash raw value strings,
+    # so a Decimal reaching this comparator means the ORACLE needs an
+    # explicit CAST(... AS DOUBLE) — fail loudly here instead of masking.
     return v
 
 

@@ -1,0 +1,98 @@
+"""ETL golden tests (SURVEY §5.2): exact 8-table contents for the fixture
+dump, plus end-to-end write with the errorifexists guard and the SQL-body
+codec function."""
+
+from __future__ import annotations
+
+import datetime as dt
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from wd2sql_spark.etl.pipeline import parse_entities, read_dump, transform, wd2spark
+from wd2sql_spark.functions.ids import register_sql_function
+
+FIXTURE = "/root/repo/tests/fixtures/wd_dump.ndjson"
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return transform(parse_entities(read_dump(spark, FIXTURE)))
+
+
+def rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_meta_golden(tables):
+    assert rows(tables["meta"]) == {
+            (1, "universe", "totality of everything"),
+            (2, None, None),
+            (5, "strings", None),
+            (6, "texts", None),
+            (7, "places", None),
+            (8, "bare quantity", None),
+            (9, "times", None),
+            (10, "unknowns", None),
+            (11, "ranked", None),
+            (1000000031, "instance of", None),
+            (2000000099, "run", None),
+    }
+
+
+def test_string_golden_and_deprecated_drop(tables):
+    got = rows(tables["string"])
+    assert (5, 1000000018, "you should not see me") not in got  # deprecated
+    assert (6, 1000001476, "Don Quixote") in got  # language discarded
+    assert (6, 1000000020, "Hello") in got  # multilingual en-pick
+    assert len(got) == 12
+
+
+def test_entity_golden_form_sense_math(tables):
+    assert rows(tables["entity"]) == {
+            (1, 1000000031, 42),
+            (2000000099, 1000005972, 202000000099),
+            (2000000099, 1000005973, 112000000099),
+    }
+
+
+def test_time_overflow_keeps_raw(tables):
+    got = rows(tables["time"])
+    assert (9, 1000000585, None, 3, "-13798000000-00-00T00:00:00Z") in got
+    assert (1, 1000000580, dt.datetime(1995, 1, 1), 11, "+1995-01-01T00:00:00Z") in got
+
+
+def test_presence_tables_and_deprecated_novalue(tables):
+    none_rows = rows(tables["none"])
+    assert (6, 1000000021) in none_rows  # multilingual without English
+    assert (1000000031, 1000000031) in none_rows  # novalue
+    assert (10, 1000000041) not in none_rows  # deprecated novalue dropped
+    assert rows(tables["unknown"]) == {(10, 1000000040)}
+
+
+def test_quarantine_never_aborts(tables):
+    q = list(rows(tables["quarantine"]))
+    assert len(q) == 1 and q[0][1] == "corrupt_json"
+
+
+def test_wd2spark_end_to_end_and_guard(spark, tmp_path):
+    out = str(tmp_path / "wd_out")
+    paths = wd2spark(spark, FIXTURE, out)
+    assert set(paths) == {
+        "meta", "quarantine", "string", "entity", "coordinates", "quantity", "time", "none", "unknown",
+    }
+    meta = spark.read.parquet(paths["meta"])
+    assert meta.count() == 11
+    # errorifexists guard (main.rs:98-104)
+    with pytest.raises(Exception, match="already exists|LOCATION_ALREADY_EXISTS"):
+        wd2spark(spark, FIXTURE, out)
+
+
+def test_sql_codec_function(spark):
+    register_sql_function(spark)
+    got = spark.sql(
+        "SELECT encode_wid('Q42') a, encode_wid('P31') b, encode_wid('L99-F2') c, encode_wid('L99-S1') d"
+    ).collect()[0]
+    assert tuple(got) == (42, 1000000031, 202000000099, 112000000099)
