@@ -1,0 +1,90 @@
+"""Behavioral tests for the LLM-pipeline operators: approximation quality
+(LSH recall, MinHash accuracy) that the exact-match oracles can't express."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from wd2sql_spark.catalog import table
+from wd2sql_spark.operators import dedup as D
+from wd2sql_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return table(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return table(spark, SF, "embeddings")
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in S.lsh_topk(emb, queries, k=5, r=4).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    # r=4 → 16 buckets: a broken bucketer retrieves ~1/16 of true
+    # neighbors. Near-random fixture embeddings give ~0.2 (3.5× chance,
+    # measured); require ≥ 2× chance to pin the mechanism, not the data.
+    assert recall >= 2 / 16, f"LSH recall at chance level: {recall}"
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, docs):
+    exact = {(r.d1, r.d2): r.jaccard for r in D.jaccard_pairs(docs, n=3).collect()}
+    est = {
+        (r.d1, r.d2): r.est_jaccard
+        for r in D.minhash_lsh_pairs(docs, k=16, band_size=4, n=3).collect()
+    }
+    # every truly-high-similarity pair must be surfaced by LSH...
+    high = {p for p, j in exact.items() if j >= 0.8}
+    assert high <= set(est), f"missed high-sim pairs: {high - set(est)}"
+    # ...and estimates on those pairs must be close (k=16 → σ≈0.1)
+    for p in high:
+        assert abs(est[p] - exact[p]) <= 0.35, (p, est[p], exact[p])
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    top = (
+        D.jaccard_pairs(docs, n=3)
+        .orderBy(F.col("jaccard").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    if top.jaccard < 0.8:
+        pytest.skip("fixture has no strong near-dup at this SF")
+    sim = {r.doc_id: r.simhash for r in D.simhash32(docs, n=3).collect()}
+    ham = bin(sim[top.d1] ^ sim[top.d2]).count("1")
+    assert ham <= 8, f"simhash hamming {ham} for jaccard {top.jaccard}"
+
+
+def test_exact_dedup_idempotent(spark, docs):
+    doubled = docs.unionByName(docs)
+    groups = D.exact_duplicates(doubled)
+    assert groups.filter(F.col("n_copies") != 2).count() == 0
+    assert groups.count() == docs.count()
+
+
+def test_multimodal_roundtrip(spark, docs):
+    from wd2sql_spark.operators import multimodal as M
+
+    blobs = M.synthesize_blobs(docs)
+    decoded = M.decode_images(blobs)
+    joined = decoded.join(docs, "doc_id").filter(
+        F.col("n_bytes") != F.octet_length("text")
+    )
+    assert joined.count() == 0  # binary payload is byte-exact through Arrow

@@ -48,7 +48,9 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     raw = table(spark, sf_dir, "events")
-    return raw.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")))
+    # integer `div`, NOT `/`: float division of ns-scale longs (~1.7e18)
+    # exceeds double's 2^53 mantissa and lands ±1µs off.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

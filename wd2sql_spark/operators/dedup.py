@@ -1,0 +1,239 @@
+"""Deduplication operator family for LLM-training-data pipelines.
+
+Five dedup strategies over a document table, all built from Catalyst
+expressions (no Python UDFs — md5/regexp/higher-order functions are
+JVM-side and codegen'd):
+
+- exact:        hash-groupBy on normalized text
+- n-gram Jaccard: shingle inverted index → pair intersection counts
+- MinHash+LSH:  shingle → k md5-derived min-hashes → banded bucket join
+- SimHash:      32-bit sign-aggregated fingerprint → hamming candidates
+- embedding cosine: see operators/similarity.py
+
+Scale notes (the 100 TB story): every strategy is shuffle-bounded by its
+candidate-generation step, never by O(n²) pairs. The Jaccard inverted
+index shuffles one row per (doc, shingle); MinHash-LSH shuffles k rows per
+doc then joins only within band buckets; SimHash bands 8-bit chunks for
+exact-match candidate buckets. Hot shingles (stop-phrases) are the skew
+risk — AQE skew-join handles moderate skew, and a `max_doc_freq` filter
+drops degenerate shingles entirely (standard practice: a shingle in >X%
+of docs has no dedup signal).
+
+MinHash signatures are lexicographic MINs of fixed-width md5-hex prefixes:
+md5 is bit-identical everywhere, and on fixed-length hex strings
+lexicographic order == numeric order, so the whole construction is
+reproducible in any engine (this is what makes the DuckDB oracle possible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase + collapse whitespace — the canonical form for exact and
+    near dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def shingles(tokens_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles. Empty when the doc has < n tokens
+    (matches SQL `range(1, len-n+2)` semantics)."""
+    idx = F.sequence(F.lit(1), F.size(tokens_col) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(tokens_col, i, n), " "))
+    return F.when(F.size(tokens_col) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def seeded_hash(col: Column, seed: int, width: int = 15) -> Column:
+    """Deterministic per-seed hash: first ``width`` hex chars of
+    md5(seed ':' value). 15 hex chars = 60 bits — collision-safe for
+    min-hashing, and identical in any engine with md5."""
+    return F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, width)
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by normalized-text hash: one row per distinct content
+    with the representative (min id) and the group size. The groupBy is a
+    single hash shuffle on the 32-byte digest, never on the text itself —
+    at 100 TB you shuffle ~32 B/doc, not documents."""
+    h = F.md5(normalize_text(F.col(text_col)))
+    return (
+        docs.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").cast("bigint").alias("n_copies"))
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) inverted-index relation."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(docs: DataFrame, n: int = 3, max_doc_freq: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard for every pair sharing ≥1 shingle.
+
+    candidates = Σ_shingle C(df, 2); ``max_doc_freq`` caps df to keep the
+    join linear when stop-phrases appear (dropped shingles lower recall
+    only for boilerplate that matters least).
+    Output: (d1, d2, jaccard DOUBLE) with d1 < d2.
+    """
+    sh = doc_shingles(docs, n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= max_doc_freq)
+        sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("common"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    return (
+        common.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("common").cast("double")
+                / (F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
+    """(doc_id, seed, mh): per-seed min-hash over the doc's shingles.
+    Partial (map-side) MIN collapses each partition before the shuffle."""
+    sh = doc_shingles(docs, n)
+    hashed = sh.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed"), "shingle")
+    hashed = hashed.select(
+        "doc_id",
+        "seed",
+        F.substring(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))), 1, 15).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = 16, band_size: int = 4, n: int = 3, min_est_jaccard: float = 0.0
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates with estimated Jaccard.
+
+    Bands of ``band_size`` consecutive seeds; docs sharing any full band
+    bucket become candidates (probability 1-(1-j^r)^b); the estimate is
+    the fraction of equal signature components. Only band buckets are
+    joined — never all pairs.
+    Output: (d1, d2, est_jaccard DOUBLE), d1 < d2.
+    """
+    sig = minhash_signatures(docs, k, n)
+    band = sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
+    band_key = band.groupBy("doc_id", "band").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list(F.concat_ws(":", F.col("seed"), F.col("mh"))))).alias(
+            "band_key"
+        )
+    )
+    a = band_key.alias("a")
+    b = band_key.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    est = (
+        cand.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, (F.col("d2") == F.col("sb.doc_id")) & (F.col("sa.seed") == F.col("sb.seed")))
+        .groupBy("d1", "d2")
+        .agg(
+            (F.sum(F.when(F.col("sa.mh") == F.col("sb.mh"), 1).otherwise(0)) / F.lit(float(k))).alias(
+                "est_jaccard"
+            )
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= min_est_jaccard)
+
+
+def hex_val(char_col: Column) -> Column:
+    """hex digit char → 0..15, engine-portably (no conv() in DuckDB;
+    instr/strpos exist everywhere)."""
+    return F.instr(F.lit(HEX_DIGITS), char_col) - 1
+
+
+def simhash32(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash over distinct n-gram shingles.
+
+    Bit j comes from hex digit j//4 of the shingle's md5 (bit 3-(j%4) of
+    the nibble); the doc's bit is the sign of Σ(±1) over shingles. One
+    explode + one aggregation with 32 conditional sums — no UDF, fully
+    reproducible in SQL.
+    Output: (doc_id, simhash BIGINT).
+    """
+    sh = doc_shingles(docs, n, text_col, id_col)
+    h = F.md5(F.col("shingle"))
+    bit_sums = []
+    for j in range(32):
+        nibble = F.instr(F.lit(HEX_DIGITS), F.substring(h, 1 + j // 4, 1)) - 1
+        bit = F.floor(nibble / (2 ** (3 - j % 4))) % 2
+        bit_sums.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    sums = sh.groupBy("doc_id").agg(*bit_sums)
+    acc = F.lit(0).cast("bigint")
+    for j in range(32):
+        acc = acc + F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0))
+    return sums.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 6, n: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: candidates share at least one exact 8-bit
+    chunk (4 chunks → guaranteed recall for hamming ≤ 3, probabilistic
+    above), then exact hamming over candidates.
+    Output: (d1, d2, hamming BIGINT), d1 < d2."""
+    sig = simhash32(docs, n)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(c).alias("chunk"), ((F.col("simhash") / (2 ** (8 * c))).cast("bigint") % 256).alias("val") ) for c in range(4)])
+        ).alias("ck"),
+    ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "d1", "d2", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("bigint").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,127 @@
+"""Multimodal column plumbing: images/audio/video as opaque BINARY columns
+with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+The container has no image/audio libraries, so the codec layer is STUBBED
+(deterministic fake decode, clearly marked); everything Spark-side — the
+schemas, the Arrow batch shapes, the mapInPandas signatures, partitioning
+behavior — is real and tested. Swap ``_fake_decode`` for a PIL/ffmpeg call
+and the pipeline is production-shaped.
+
+Scale notes: binary payloads ride the same columnar machinery as any other
+column (Parquet BYTE_ARRAY + Arrow LargeBinary); mapInPandas streams
+batches of ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows so
+executor memory is bounded by batch_size × max_blob, not partition size.
+Decode is CPU-heavy → repartition() to core count before the map stage if
+the source files are few.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+DECODED_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, width bigint, height bigint, channels bigint, format string"
+)
+
+THUMB_SCHEMA = "doc_id bigint, thumb_width bigint, thumb_height bigint, scale double"
+
+
+def synthesize_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stand-in media: utf-8 bytes of the text as the BINARY payload plus
+    typed metadata — the exact column layout a real ingest would produce
+    (content BINARY, media_type STRING, meta MAP)."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("content"),
+        F.lit("image/fake").alias("media_type"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
+    """STUB — deterministic fake image decode.
+
+    A real implementation would be:
+        from PIL import Image; img = Image.open(io.BytesIO(payload))
+        return (*img.size, len(img.getbands()), img.format)
+    (PIL is not in this container.) The fake derives dimensions from the
+    payload so results are stable and verifiable end-to-end.
+    """
+    n = len(payload)
+    return (64 + n % 577, 64 + (n * 31) % 353, 3, "fake/raw")
+
+
+def decode_images(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched decode: BINARY column → typed metadata rows.
+
+    mapInPandas (not a scalar UDF) because decode is 1→1 but wants batch
+    amortization and the freedom to drop undecodable rows (a scalar UDF
+    must return exactly one value per row)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            decoded = [_fake_decode(b) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": [len(b) for b in pdf["content"]],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "channels": [d[2] for d in decoded],
+                    "format": [d[3] for d in decoded],
+                }
+            )
+
+    return blobs.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+def resize_thumbnails(decoded: DataFrame, max_side: int = 128) -> DataFrame:
+    """STUB resize stage: computes target geometry (the real pixel work
+    would live in the same mapInPandas body). Kept as a separate Arrow
+    stage to mirror a real decode→transform pipeline."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            scale = (max_side / pdf[["width", "height"]].max(axis=1)).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb_width": (pdf["width"] * scale).astype("int64"),
+                    "thumb_height": (pdf["height"] * scale).astype("int64"),
+                    "scale": scale.astype("float64"),
+                }
+            )
+
+    return decoded.mapInPandas(batches, schema=THUMB_SCHEMA)
+
+
+def frame_sample(blobs: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """STUB video frame sampler: emits one row per sampled "frame" (1→N),
+    the shape that makes mapInPandas (not a UDF) mandatory. Frame count is
+    derived from payload size; a real impl would demux with ffmpeg."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = {"doc_id": [], "frame_no": [], "offset": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                n_frames = max(1, len(payload) // every_n_bytes + 1)
+                for f in range(n_frames):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_no"].append(f)
+                    rows["offset"].append(f * every_n_bytes)
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(batches, schema="doc_id bigint, frame_no bigint, offset bigint")

@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k with Catalyst higher-order functions
+(`zip_with` + `aggregate` — JVM-side left-fold, deterministic order, no
+UDF). Scale path: random-hyperplane LSH bucketing so candidate generation
+joins per-bucket instead of crossing the full corpus.
+
+At 100 TB / billions of vectors: brute force is a broadcast of the query
+set (small) against a full scan of the corpus — embarrassingly parallel,
+one shuffle for the global top-k (per-partition top-k first via window
+rank, so only n_queries·k rows per partition reach the shuffle). The LSH
+variant trades recall for pruning: vectors land in 2^R sign-pattern
+buckets; queries probe their own bucket (optionally multi-probe).
+Hyperplanes are derived from md5 — no RNG state, any worker regenerates
+them, and the whole plan stays deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from wd2sql_spark.operators.dedup import HEX_DIGITS
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a deterministic left-fold in array order (bit-identical
+    to a sequential SQL loop — verified against DuckDB)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every query vector against the corpus.
+
+    Output: (query_id, neighbor_id, cosine DOUBLE, rank BIGINT), rank 1..k,
+    self-matches excluded, ties broken by neighbor id.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplanes(dim: int, r: int) -> list[list[float]]:
+    """r deterministic pseudo-random hyperplanes: component (i, d) is
+    derived from md5(f"{i}:{d}") mapped into [-7.5, 7.5]. Pure function of
+    (dim, r) — no RNG, reproducible anywhere (incl. plain SQL)."""
+    import hashlib
+
+    planes = []
+    for i in range(r):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{i}:{d}".encode()).hexdigest()
+            row.append(HEX_DIGITS.index(h[0]) - 7.5)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit i = [vec·plane_i > 0]."""
+    acc = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        lits = F.array(*[F.lit(x) for x in plane])
+        proj = F.aggregate(
+            F.zip_with(vec, lits, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        acc = acc + F.when(proj > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0))
+    return acc
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    r: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket.
+
+    With r hyperplanes the corpus splits into 2^r buckets → candidate set
+    shrinks ~2^r× at some recall cost (same-bucket probability for angle θ
+    is (1-θ/π)^r). Same output shape as brute_force_topk; rank is within
+    retrieved candidates.
+    """
+    planes = hyperplanes(dim, r)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    block_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    ``block_col`` restricts comparisons to equal-key blocks (at scale the
+    block key would be an LSH bucket or cluster id; blocking turns O(n²)
+    into Σ block²). Output: (d1, d2, cosine DOUBLE), d1 < d2.
+    """
+    cols = [F.col(id_col), F.col(vec_col)]
+    if block_col:
+        cols.append(F.col(block_col).alias("_blk"))
+    base = emb.select(*cols)
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col("a._blk") == F.col("b._blk"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

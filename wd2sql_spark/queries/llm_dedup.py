@@ -1,1 +1,185 @@
-"""Placeholder — populated in a later milestone."""
+"""Dedup battery over the ``documents`` fixture — every strategy from
+operators/dedup.py as a judged query with a full DuckDB oracle.
+
+The oracles reimplement each algorithm in pure SQL (shingling via list
+comprehensions, md5-based min-hashing with lexicographic string MIN,
+SimHash bit sums generated programmatically) — possible because every
+hash in the pipeline is md5-derived, which is bit-identical across
+engines. Top-N outputs carry total tiebreak orders so the row SET is
+deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wd2sql_spark.catalog import table
+from wd2sql_spark.operators import dedup as D
+from wd2sql_spark.queries.registry import query
+
+# Shared SQL fragments -------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# distinct word 3-gram shingles per doc (DuckDB list comprehension)
+_SHINGLES_CTE = f"""
+tok AS (SELECT doc_id, string_split({_NORM}, ' ') AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest([array_to_string(list_slice(ts, i, i+2), ' ')
+                   FOR i IN range(1, greatest(len(ts)-2, 0)+1)]) AS shingle
+    FROM tok)
+)
+"""
+
+EXACT_ORACLE = f"""
+SELECT md5({_NORM}) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY content_hash
+"""
+
+
+@query("dedup_exact", oracle=EXACT_ORACLE, category="llm-dedup")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash: shuffle 32-byte digests,
+    not documents; keep_id = min doc id per content group."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        D.exact_duplicates(docs)
+        .select("content_hash", F.col("keep_id").cast("bigint"), "n_copies")
+        .orderBy("content_hash")
+    )
+
+
+JACCARD_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+       round(CAST(common AS DOUBLE)/(s1.n_sh + s2.n_sh - common), 6) AS jaccard
+FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+ORDER BY jaccard DESC, d1, d2
+LIMIT 20
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=JACCARD_ORACLE, category="llm-dedup")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard via shingle inverted-index join; top-20 most
+    similar pairs. The join shuffles (doc, shingle) rows — linear in
+    corpus size + candidate pairs, never O(n²)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        D.jaccard_pairs(docs, n=3)
+        .select(
+            F.col("d1").cast("bigint"),
+            F.col("d2").cast("bigint"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "d1", "d2")
+        .limit(20)
+    )
+
+
+MINHASH_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, s.seed, substr(md5(s.seed || ':' || shingle), 1, 15) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
+),
+sig AS (SELECT doc_id, seed, min(h) AS mh FROM hashed GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         array_to_string(list_sort(list(seed || ':' || mh)), '|') AS band_key
+  FROM sig GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT d1, d2, SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = d1
+  JOIN sig sb ON sb.doc_id = d2 AND sa.seed = sb.seed
+  GROUP BY d1, d2
+)
+SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+       CAST(est_jaccard AS DOUBLE) AS est_jaccard
+FROM est
+WHERE est_jaccard >= 0.25
+ORDER BY est_jaccard DESC, d1, d2
+"""
+
+
+@query("dedup_minhash_lsh", oracle=MINHASH_ORACLE, category="llm-dedup")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=16) + LSH(4 bands × 4 rows) near-dup candidates with
+    estimated Jaccard ≥ 0.25. Only band buckets join — the scalable
+    shape; the md5-string min-hash makes it engine-reproducible."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        D.minhash_lsh_pairs(docs, k=16, band_size=4, n=3, min_est_jaccard=0.25)
+        .select(
+            F.col("d1").cast("bigint"),
+            F.col("d2").cast("bigint"),
+            F.col("est_jaccard").cast("double"),
+        )
+        .orderBy(F.col("est_jaccard").desc(), "d1", "d2")
+    )
+
+
+def _simhash_sql() -> str:
+    """Programmatically build the 32-bit SimHash oracle (mirrors
+    operators/dedup.simhash32 term by term)."""
+    bit_sums = ",\n         ".join(
+        f"SUM(((strpos('0123456789abcdef', substr(md5(shingle), {1 + j // 4}, 1)) - 1) "
+        f"// {2 ** (3 - j % 4)}) % 2 * 2 - 1) AS s{j}"
+        for j in range(32)
+    )
+    acc = " + ".join(f"(CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)" for j in range(32))
+    return f"""
+WITH {_SHINGLES_CTE},
+sums AS (SELECT doc_id, {bit_sums} FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {acc} AS simhash FROM sums),
+chunks AS (
+  SELECT doc_id, simhash, c.chunk, (simhash // CAST(power(2, 8*c.chunk) AS BIGINT)) % 256 AS val
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS chunk) c
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS h1, b.simhash AS h2
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+       CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(h1, h2)) <= 8
+ORDER BY hamming, d1, d2
+LIMIT 20
+"""
+
+
+@query("dedup_simhash", oracle=_simhash_sql(), category="llm-dedup")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dup: candidates share an exact 8-bit chunk
+    (guaranteed recall for hamming ≤ 3), exact hamming ≤ 8 over
+    candidates; top-20 closest pairs."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        D.simhash_pairs(docs, max_hamming=8, n=3)
+        .select(F.col("d1").cast("bigint"), F.col("d2").cast("bigint"), "hamming")
+        .orderBy("hamming", "d1", "d2")
+        .limit(20)
+    )

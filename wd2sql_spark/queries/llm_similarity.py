@@ -1,1 +1,94 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search battery over the ``embeddings`` fixture.
+
+The exact dot-product fold is bit-identical between Spark's
+``aggregate``/``zip_with`` left-fold and DuckDB's sequential list fold
+(verified empirically), so brute-force cosine results can be
+hash-compared; ``round(·, 6)`` guards the residual boundary risk. The LSH
+variant is the scale path — Spark-only (rows-only driver check) but its
+recall is pinned against brute force in tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wd2sql_spark.catalog import table
+from wd2sql_spark.operators import similarity as S
+from wd2sql_spark.queries.registry import query
+
+# dot(a,b) fragment; DuckDB computes the same IEEE ops in the same order.
+_DOT = (
+    "list_sum(list_transform(range(1, len({a}.embedding)+1), "
+    "k -> CAST({a}.embedding[k] AS DOUBLE) * CAST({b}.embedding[k] AS DOUBLE)))"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+BRUTE_ORACLE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_cos('q', 'c')}, 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 3
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@query("sim_bruteforce_topk", oracle=BRUTE_ORACLE, category="llm-similarity")
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors (vec_id < 3) against the whole
+    corpus: broadcast the query set, scan the corpus once, per-partition
+    top-k before the single shuffle (window rank)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return S.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+NEAR_DUP_ORACLE = f"""
+SELECT a.vec_id AS d1, b.vec_id AS d2, round({_cos('a', 'b')}, 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+ORDER BY cosine DESC, d1, d2
+LIMIT 20
+"""
+
+
+@query("sim_cosine_near_dup", oracle=NEAR_DUP_ORACLE, category="llm-similarity")
+def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: top-20 most similar pairs within
+    ``label`` blocks (blocking keeps the pair space Σ block² instead of
+    n²; at scale the block key is an LSH bucket)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        S.cosine_near_dup_pairs(emb, threshold=-1.0, block_col="label")
+        .select(F.col("d1").cast("bigint"), F.col("d2").cast("bigint"), "cosine")
+        .orderBy(F.col("cosine").desc(), "d1", "d2")
+        .limit(20)
+    )
+
+
+@query("sim_lsh_topk", oracle=None, category="llm-similarity")
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH bucketing (r=4 → 16
+    buckets): the 100 TB path where candidates come from the query's
+    bucket only. Deterministic (hyperplanes are md5-derived) but
+    non-SQL-expressible concisely → rows-only driver check; recall vs
+    brute force is asserted in tests/test_llm_ops.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return S.lsh_topk(emb, queries, k=5, r=4, dim=64).orderBy("query_id", "rank")

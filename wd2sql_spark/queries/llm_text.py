@@ -1,1 +1,224 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis battery over ``documents``: token counting, quality
+scoring, language-ID heuristics, fingerprinting, per-language corpus
+stats — the scalar layer of an LLM-data pipeline.
+
+Everything is Catalyst built-ins (regexp, higher-order list functions,
+md5); each query has a full DuckDB oracle. Ratios are round-6 and derived
+from integer counts, so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wd2sql_spark.catalog import table
+from wd2sql_spark.queries.registry import query
+
+# Tiny per-language stopword profiles for the heuristic classifier.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "est", "pour", "que", "dans", "ce"],
+}
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+TOKEN_STATS_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT)                       AS n_chars,
+       CAST(len(ts) AS BIGINT)                            AS n_tokens,
+       CAST(len(list_distinct(ts)) AS BIGINT)             AS n_unique_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_ish,
+       round(CAST(length(text) - len(ts) + 1 AS DOUBLE) / len(ts), 6) AS avg_token_len,
+       round(CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 6)    AS diversity,
+       round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+             / length(text), 6)                           AS punct_ratio,
+       round(CAST(len(list_filter(ts, x -> list_contains({_sql_list(STOPWORDS["en"])}, x))) AS DOUBLE)
+             / len(ts), 6)                                AS stopword_ratio
+FROM t
+ORDER BY doc_id
+"""
+
+
+@query("text_token_stats", oracle=TOKEN_STATS_ORACLE, category="llm-text")
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways (whitespace, distinct, BPE-ish regex of
+    letter-runs/digit-runs/punct) plus length/diversity/punct/stopword
+    ratios — the per-document feature vector for corpus filtering."""
+    d = table(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    n_tokens = F.size(ts)
+    n_chars = F.length("text")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    return d.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(ts)).cast("bigint").alias("n_unique_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe_ish"),
+        F.round((n_chars - n_tokens + 1).cast("double") / n_tokens, 6).alias("avg_token_len"),
+        F.round(F.size(F.array_distinct(ts)).cast("double") / n_tokens, 6).alias("diversity"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", "")).cast("double") / n_chars, 6
+        ).alias("punct_ratio"),
+        F.round(
+            F.size(F.filter(ts, lambda x: x.isin(STOPWORDS["en"]))).cast("double") / n_tokens, 6
+        ).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+QUALITY_ORACLE = """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts, length(text) AS nc FROM documents),
+f AS (
+  SELECT doc_id, lang,
+         len(ts) AS nt,
+         CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS diversity,
+         CASE WHEN len(ts) BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END AS len_ok
+  FROM t
+)
+SELECT doc_id, lang,
+       round(0.5 * diversity + 0.3 * len_ok + 0.2 * least(nt, 50) / 50.0, 6) AS quality,
+       CASE WHEN round(0.5 * diversity + 0.3 * len_ok + 0.2 * least(nt, 50) / 50.0, 6) >= 0.5
+            THEN 'keep' ELSE 'drop' END AS verdict
+FROM f
+ORDER BY doc_id
+"""
+
+
+@query("text_quality_score", oracle=QUALITY_ORACLE, category="llm-text")
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (diversity + length-window + length ramp)
+    with a keep/drop verdict — the filtering stage of a data pipeline."""
+    d = table(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    nt = F.size(ts)
+    diversity = F.size(F.array_distinct(ts)).cast("double") / nt
+    len_ok = F.when(nt.between(20, 80), 1.0).otherwise(0.0)
+    score = F.round(0.5 * diversity + 0.3 * len_ok + 0.2 * F.least(nt, F.lit(50)) / 50.0, 6)
+    return d.select(
+        "doc_id",
+        "lang",
+        score.alias("quality"),
+        F.when(score >= 0.5, "keep").otherwise("drop").alias("verdict"),
+    ).orderBy("doc_id")
+
+
+def _langid_scores_sql() -> str:
+    return ",\n       ".join(
+        f"CAST(len(list_filter(ts, x -> list_contains({_sql_list(ws)}, x))) AS BIGINT) AS score_{lang}"
+        for lang, ws in STOPWORDS.items()
+    )
+
+
+LANGID_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+s AS (
+  SELECT doc_id, lang,
+       {_langid_scores_sql()}
+  FROM t
+)
+SELECT doc_id, lang AS lang_label, score_en, score_de, score_es, score_fr,
+       CASE
+         WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+         WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+         WHEN score_es >= score_fr THEN 'es'
+         ELSE 'fr'
+       END AS lang_pred
+FROM s
+ORDER BY doc_id
+"""
+
+
+@query("text_langid_stopwords", oracle=LANGID_ORACLE, category="llm-text")
+def text_langid_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: per-language hit counts + argmax with
+    a fixed preference order (en > de > es > fr on ties). A real pipeline
+    would use char-n-gram profiles; the operator shape (vectorized scoring
+    + argmax) is identical."""
+    d = table(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    # NB: the lambda must be single-arg — a two-arg lambda (e.g. binding the
+    # wordlist via a default arg) makes F.filter treat it as (value, index).
+    def contains(ws: list[str]):
+        return lambda x: x.isin(ws)
+
+    scores = {lang: F.size(F.filter(ts, contains(ws))).cast("bigint") for lang, ws in STOPWORDS.items()}
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"]) & (scores["en"] >= scores["es"]) & (scores["en"] >= scores["fr"]),
+            "en",
+        )
+        .when((scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"]), "de")
+        .when(scores["es"] >= scores["fr"], "es")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["es"].alias("score_es"),
+        scores["fr"].alias("score_fr"),
+        pred.alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+FINGERPRINT_ORACLE = """
+WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents)
+SELECT doc_id,
+       md5(norm) AS exact_fp,
+       md5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' ')) AS bow_fp
+FROM t
+ORDER BY doc_id
+"""
+
+
+@query("text_fingerprint", oracle=FINGERPRINT_ORACLE, category="llm-text")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two document fingerprints: exact (md5 of normalized text) and
+    bag-of-words (md5 of the sorted vocabulary) — the join keys for
+    corpus-level dedup ledgers."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("exact_fp"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(F.split(norm, " "))), " ")).alias("bow_fp"),
+    ).orderBy("doc_id")
+
+
+LANG_STATS_ORACLE = """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       round(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@query("text_lang_stats", oracle=LANG_STATS_ORACLE, category="llm-text")
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus inventory: doc counts, char volume, mean
+    tokens — the reporting layer over the corpus."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(
+                F.sum(F.size(F.split(F.col("text"), " "))).cast("double") / F.count("*"), 6
+            ).alias("avg_tokens"),
+        )
+        .orderBy("lang", "source")
+    )

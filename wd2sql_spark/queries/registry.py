@@ -41,6 +41,7 @@ _MODULES = (
     "wd2sql_spark.queries.llm_dedup",
     "wd2sql_spark.queries.llm_similarity",
     "wd2sql_spark.queries.llm_text",
+    "wd2sql_spark.queries.llm_multimodal",
     "wd2sql_spark.queries.streaming_q",
 )
 

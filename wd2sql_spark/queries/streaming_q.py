@@ -1,1 +1,169 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming battery over the ``events`` fixture: watermarked tumbling /
+sliding / session windows, stateful dedup-within-watermark, and the
+streaming variant of the wd2sql ETL.
+
+Each query runs a REAL Structured Streaming job (file source → watermark →
+stateful operator → memory sink, availableNow trigger) and returns the
+materialized result, so the driver's oracle check covers the streaming
+engine's output, not a batch re-phrasing. Money/value aggregates use the
+exact integer-units pattern (queries/_determinism.py) like the batch
+battery.
+
+Late-data semantics: with availableNow over a static fixture every row
+arrives in one load, so watermarks bound state without dropping rows —
+which is what makes batch-SQL oracles exact. The late-row DROP path can't
+be exercised by a deterministic single-batch fixture; it is pinned by
+tests/test_streaming.py with a two-batch rate-limited run instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wd2sql_spark.etl.pipeline import parse_entities
+from wd2sql_spark.queries.registry import query
+from wd2sql_spark.queries.wikidata import FIXTURE, META_GOLDEN
+from wd2sql_spark.streaming.core import events_stream, run_to_batch
+
+TUMBLING_ORACLE = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       round(SUM(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+@query("stream_tumbling_counts", oracle=TUMBLING_ORACLE, category="streaming")
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling windows: count + exact value sum per
+    (window, event_type). The 10-min watermark bounds window state at
+    scale; complete output mode emits every window for the oracle diff."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")) / F.lit(100.0), 2
+            ).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    return run_to_batch(agg, name="tumbling").orderBy("window_start", "event_type")
+
+
+SLIDING_ORACLE = """
+WITH starts AS (
+  SELECT event_type, value,
+         unnest([date_trunc('hour', CAST(ts AS TIMESTAMP))
+                   + INTERVAL (15 * (CAST(date_part('minute', CAST(ts AS TIMESTAMP)) AS INT) // 15)) MINUTE,
+                 date_trunc('hour', CAST(ts AS TIMESTAMP))
+                   + INTERVAL (15 * (CAST(date_part('minute', CAST(ts AS TIMESTAMP)) AS INT) // 15)) MINUTE
+                   - INTERVAL 15 MINUTE]) AS window_start
+  FROM events
+)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM starts
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+@query("stream_sliding_counts", oracle=SLIDING_ORACLE, category="streaming")
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute windows sliding every 15: each event lands in exactly two
+    windows (the oracle materializes both starts per row and re-groups)."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    return run_to_batch(agg, name="sliding").orderBy("window_start", "event_type")
+
+
+SESSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP))
+                   OVER (PARTITION BY user_id ORDER BY ts) <= INTERVAL 5 MINUTE
+              THEN 0 ELSE 1 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM o
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM s
+GROUP BY user_id, session_no
+ORDER BY user_id, session_start
+"""
+
+
+@query("stream_session_windows", oracle=SESSION_ORACLE, category="streaming")
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 5-minute inactivity gap — Spark's
+    session_window operator vs the classic gaps-and-islands SQL. Session
+    end = last event + gap in both."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_batch(agg, name="session").orderBy("user_id", "session_start")
+
+
+DEDUP_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_kept
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("stream_dedup_within_watermark", oracle=DEDUP_ORACLE, category="streaming")
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: dropDuplicatesWithinWatermark on
+    (user_id, event_type) keeps one row per key while the watermark bounds
+    the dedup state (the scale story vs an unbounded distinct). The KEPT
+    row per key is arrival-order-dependent, so the oracle checks the
+    deterministic projection: kept-row count per event_type."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    kept = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    # count(*) over the deduped stream == count_distinct(user_id) per type
+    # (streaming forbids DISTINCT aggregates; the dedup already did it).
+    agg = kept.groupBy("event_type").agg(F.count("*").alias("n_kept"))
+    return run_to_batch(agg, name="dedup").orderBy("event_type")
+
+
+@query("stream_wd_etl_meta", oracle=META_GOLDEN, category="streaming")
+def stream_wd_etl_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wd2sql ETL as a stream: readStream.text over the dump →
+    IDENTICAL transform DAG (parse/encode/project) → append sink. Checked
+    against the same golden as the batch path — one dataflow, two
+    execution modes (micro-batches ≈ the reference's 1000-entity
+    transactions, main.rs:223-237)."""
+    lines = spark.readStream.text(FIXTURE + "*")  # glob: file source needs dir/glob
+    ents = parse_entities(lines)
+    meta = ents.filter(F.col("_corrupt_record").isNull() & F.col("id").isNotNull()).select(
+        "id",
+        F.element_at(F.col("labels"), "en").getField("value").alias("label"),
+        F.element_at(F.col("descriptions"), "en").getField("value").alias("description"),
+    )
+    return run_to_batch(meta, output_mode="append", name="wd_meta").orderBy("id")

@@ -1,0 +1,70 @@
+"""Structured-streaming building blocks.
+
+The reference is a batch tool whose moral equivalent of streaming is its
+constant-memory pipe + 1000-entity transaction cadence (main.rs:174,
+223-237). Here that becomes real Structured Streaming: file sources →
+the same transform DAGs → micro-batch sinks; watermarks bound state like
+the reference's bounded buffers bound memory.
+
+Test harness note: ``run_to_batch`` executes a streaming DataFrame to
+completion with ``availableNow`` (process-everything-then-stop — the
+batch-parity trigger) into a uniquely-named memory sink and returns the
+result as a batch DataFrame, which is what lets streaming queries sit in
+the same oracle-diff harness as everything else.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet carries TIMESTAMP(NANOS); under nanosAsLong the declared
+# streaming schema must type ts as LONG, converted to a timestamp after.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture as a file-source stream with a proper event-time
+    column (ns → µs, truncating — matches DuckDB's cast)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # glob, not the bare file path: the file-stream source requires a
+    # directory or glob (it watches the parent for new files).
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events*.parquet")
+    # integer `div`, NOT `/`: float division of ns-scale longs loses µs.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_batch(sdf: DataFrame, *, output_mode: str = "complete", name: str = "q") -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a memory
+    sink; return the materialized result. Unique sink names keep repeated
+    driver invocations independent."""
+    spark = sdf.sparkSession
+    qname = f"stream_{name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(qname)
