@@ -33,6 +33,7 @@ REGISTRY: dict[str, "Query"] = {}
 _MODULES = (
     "wd2sql_spark.queries.relational",
     "wd2sql_spark.queries.joins",
+    "wd2sql_spark.queries.temporal_joins",
     "wd2sql_spark.queries.aggregates",
     "wd2sql_spark.queries.windows",
     "wd2sql_spark.queries.setops",
