@@ -1,0 +1,85 @@
+"""Physical-plan regression tests: the plan itself is under test.
+
+Budgets here encode the 100-TB design review (SURVEY §4): filters must
+reach the parquet scan, scans must read only needed columns, shuffle
+counts must not creep, and no row-at-a-time Python may enter any hot
+path. A change that keeps results correct but breaks the plan fails here.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from wd2sql_spark.plans.audit import plan_report
+from wd2sql_spark.queries import load_all_modules
+
+REGISTRY = load_all_modules()
+
+# Streaming queries execute on construction (run_to_batch); auditing their
+# final batch plan would just re-audit the memory sink. Everything else is
+# auditable lazily.
+BATCH = [n for n in sorted(REGISTRY) if not n.startswith("stream_")]
+
+
+@pytest.fixture(scope="module")
+def reports(spark, sf_dir):
+    return {n: plan_report(REGISTRY[n].fn(spark, sf_dir)) for n in BATCH}
+
+
+def test_no_row_at_a_time_python_anywhere(reports):
+    """UDFs are the slow path; row-at-a-time Python is never acceptable.
+    The Python that IS allowed (multimodal decode, LSH bucketing) must go
+    through Arrow-batched eval."""
+    offenders = [n for n, r in reports.items() if r.python_eval]
+    assert offenders == []
+
+
+def test_multiway_join_plan(reports):
+    r = reports["join_multiway_local_supplier_volume"]
+    assert any("EqualTo(r_name,EUROPE)" in f for f in r.pushed_filters)
+    assert any("o_orderdate" in f and "GreaterThanOrEqual" in f for f in r.pushed_filters)
+    # lineitem scan must be pruned to exactly the join keys + measures.
+    li = next(s for s in r.scans if "l_extendedprice" in s["columns"])
+    assert set(li["columns"]) == {"l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"}
+
+
+def test_flagship_pushdown_and_broadcast(reports):
+    r = reports["flagship_semi_join_enrich"]
+    assert any("EqualTo(r_name,ASIA)" in f for f in r.pushed_filters)
+    assert r.broadcasts >= 2  # dims ship to the fact, fact never shuffles
+    assert r.shuffles <= 1  # only the final global sort may exchange
+
+
+def test_point_lookup_is_pure_scan(reports):
+    r = reports["point_lookup_by_label"]
+    # scan + (at most) one range exchange for the output sort — no joins.
+    assert r.shuffles <= 1 and r.broadcasts == 0
+    assert any("EqualTo" in f for f in r.pushed_filters)
+
+
+def test_agg_single_shuffle(reports):
+    # Partial (map-side) aggregation means ONE exchange on the group key;
+    # the trailing sort of the tiny result may add one more.
+    r = reports["agg_pricing_summary"]
+    assert r.shuffles <= 2
+
+
+def test_pandas_eval_only_where_declared(reports):
+    """Arrow-batched Python appears exactly in the operators that genuinely
+    need Python (multimodal decode stubs); everything else stays JVM-side."""
+    allowed_prefixes = ("multimodal_",)
+    for n, r in reports.items():
+        if r.pandas_eval:
+            assert n.startswith(allowed_prefixes), n
+
+
+def test_every_scan_prunes_columns(reports):
+    """No scan may read every column of a wide table when the query uses a
+    few: documents has 8+ columns; text queries should read < all."""
+    r = reports["text_token_stats"]
+    for s in r.scans:
+        assert len(s["columns"]) <= 6, s
