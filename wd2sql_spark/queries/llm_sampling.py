@@ -1,0 +1,148 @@
+"""Reproducible sampling + distribution operators for training-data
+pipelines (north-star extensions; nothing like this exists in the
+reference, whose only sampling is "drop deprecated claims", main.rs:87).
+
+Why hash-sampling and not ``df.sample()``: a training-data pipeline needs
+samples that are (a) reproducible across engines, runs, and cluster sizes,
+(b) stable under re-partitioning, and (c) joinable — the same document
+falls in the same split everywhere. ``sample(seed)`` guarantees none of
+these (it is partition-RNG based). Bucketing the md5 of the key gives all
+three, costs one scan with no shuffle, and md5 is bit-identical between
+Spark and DuckDB so the oracle can check it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wd2sql_spark.catalog import table
+from wd2sql_spark.queries.registry import query
+
+
+def md5_bucket(key, buckets: int = 100):
+    """Deterministic bucket in [0, buckets): first 8 md5 hex digits of the
+    key as an integer, mod buckets. SQL twin:
+    ``CAST(('0x' || substring(md5(CAST(k AS VARCHAR)),1,8)) AS BIGINT) % buckets``.
+    """
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    return h % buckets
+
+
+SAMPLE_ORACLE = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+ORDER BY doc_id
+"""
+
+
+@query("sample_hash_reproducible", oracle=SAMPLE_ORACLE, category="llm_sampling")
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% document sample by key-hash bucket — the
+    reproducible train/eval-split primitive. Narrow (no shuffle), scales
+    with the scan."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.filter(md5_bucket(F.col("doc_id")) < 10)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+STRATIFIED_ORACLE = """
+WITH b AS (
+  SELECT lang,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       count(*) AS total,
+       count(*) FILTER (WHERE bucket < 20) AS sampled
+FROM b GROUP BY lang ORDER BY lang
+"""
+
+
+@query("sample_stratified_by_lang", oracle=STRATIFIED_ORACLE, category="llm_sampling")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language ~20% sample with per-stratum accounting — hash
+    bucketing makes the rate hold within every stratum independent of
+    stratum skew (vs ``sampleBy``'s seeded RNG, which is neither
+    cross-engine nor cross-partitioning stable)."""
+    d = table(spark, sf_dir, "documents").withColumn(
+        "bucket", md5_bucket(F.col("doc_id"))
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("total"),
+            F.count(F.when(F.col("bucket") < 20, 1)).alias("sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+PERCENTILE_ORACLE = """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.5), 2)  AS p50,
+       round(quantile_cont(n_chars, 0.9), 2)  AS p90,
+       round(quantile_cont(n_chars, 0.99), 2) AS p99
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+@query("agg_percentiles_doc_length", oracle=PERCENTILE_ORACLE, category="aggregates")
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of document length per language
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``). At 100 TB the
+    approx twin (``approx_percentile``, t-digest, mergeable map-side)
+    replaces this; the exact form is the correctness anchor."""
+    d = table(spark, sf_dir, "documents")
+    p = F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))")
+    return (
+        d.groupBy("lang")
+        .agg(p.alias("ps"))
+        .select(
+            "lang",
+            F.round(F.col("ps")[0], 2).alias("p50"),
+            F.round(F.col("ps")[1], 2).alias("p90"),
+            F.round(F.col("ps")[2], 2).alias("p99"),
+        )
+        .orderBy("lang")
+    )
+
+
+CANONICAL_ORACLE = """
+WITH ranked AS (
+  SELECT md5(substring(lower(text), 1, 40)) AS fp, doc_id, n_chars,
+         row_number() OVER (PARTITION BY md5(substring(lower(text), 1, 40))
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY md5(substring(lower(text), 1, 40))) AS cluster_size
+  FROM documents
+)
+SELECT fp, doc_id AS canonical_id, cluster_size
+FROM ranked WHERE rn = 1 AND cluster_size > 1
+ORDER BY fp
+"""
+
+
+@query("dedup_canonical_pick", oracle=CANONICAL_ORACLE, category="llm_dedup")
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: within each duplicate cluster
+    (md5 of the normalized 40-char head — the boilerplate-dedup fingerprint;
+    the fixture corpus has no byte-exact duplicates), keep the longest document, tie-broken by doc_id —
+    the "which copy survives dedup" policy step. One shuffle on the
+    fingerprint; row_number is the top-1-per-group pattern that never
+    materializes whole clusters."""
+    d = table(spark, sf_dir, "documents").withColumn(
+        "fp", F.md5(F.substring(F.lower("text"), 1, 40))
+    )
+    w = Window.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
+    cw = Window.partitionBy("fp")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count("*").over(cw))
+        .filter((F.col("rn") == 1) & (F.col("cluster_size") > 1))
+        .select("fp", F.col("doc_id").alias("canonical_id"), "cluster_size")
+        .orderBy("fp")
+    )

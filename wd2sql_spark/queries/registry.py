@@ -43,6 +43,7 @@ _MODULES = (
     "wd2sql_spark.queries.llm_similarity",
     "wd2sql_spark.queries.llm_text",
     "wd2sql_spark.queries.llm_multimodal",
+    "wd2sql_spark.queries.llm_sampling",
     "wd2sql_spark.queries.streaming_q",
 )
 
