@@ -44,6 +44,30 @@ def test_lsh_topk_recall_vs_brute_force(spark, emb):
     assert recall >= 2 / 16, f"LSH recall at chance level: {recall}"
 
 
+def test_ivf_topk_recall_vs_brute_force(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    # nprobe/n_centroids = 1/4 of the corpus searched → random probing
+    # retrieves ~25% of true neighbors; require clearly above that.
+    assert recall >= 0.4, f"IVF recall at chance level: {recall}"
+
+
+def test_ivf_assignment_is_total_and_valid(spark, emb):
+    cents = S.collect_centroids(emb, 16)
+    assigned = emb.select(S.ivf_assign(F.col("embedding"), cents).alias("cid"))
+    n_bad = assigned.filter(~F.col("cid").between(0, 15)).count()
+    assert n_bad == 0
+    assert assigned.count() == emb.count()
+
+
 def test_minhash_estimates_track_exact_jaccard(spark, docs):
     exact = {(r.d1, r.d2): r.jaccard for r in D.jaccard_pairs(docs, n=3).collect()}
     est = {

@@ -148,6 +148,118 @@ def lsh_topk(
     )
 
 
+def collect_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF codebook: the ``n_centroids`` lowest-id corpus
+    vectors, fetched to the driver. The codebook is tiny (k·dim floats) —
+    inlining it as plan literals is the IVF analog of broadcasting, but
+    cheaper: assignment becomes a narrow map with NO join and NO shuffle.
+    (A production build would k-means these; the inverted-file mechanics —
+    assign, probe, per-list search — are identical and that is what this
+    operator exercises.)"""
+    rows = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def _centroid_struct_array(centroids: list[tuple[int, list[float]]]) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("bigint").alias("cid"),
+                F.array(*[F.lit(x) for x in vec]).alias("cv"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+
+
+def ivf_assign(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid id by cosine, as a single JVM-side fold over the
+    inlined codebook (strict ``>`` keeps the lowest cid on ties, matching
+    SQL ``ORDER BY score DESC, cid LIMIT 1``)."""
+    init = F.struct(
+        F.lit(-1).cast("bigint").alias("cid"),
+        F.lit(float("-inf")).alias("score"),
+    )
+    folded = F.aggregate(
+        _centroid_struct_array(centroids),
+        init,
+        lambda acc, c: F.when(
+            cosine(vec, c["cv"]) > acc["score"],
+            F.struct(c["cid"].alias("cid"), cosine(vec, c["cv"]).alias("score")),
+        ).otherwise(acc),
+    )
+    return folded["cid"]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an inverted-file index (IVF): corpus vectors
+    are binned by nearest codebook centroid (narrow map, zero shuffle);
+    each query probes its ``nprobe`` closest centroids and searches only
+    those lists. At 100 TB, write the corpus partitioned by ``cid`` once
+    and every later query prunes (n_centroids/nprobe)× of the data at the
+    scan. Output shape matches :func:`brute_force_topk`; self-matches
+    excluded.
+    """
+    centroids = collect_centroids(corpus, n_centroids, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        ivf_assign(F.col(vec_col), centroids).alias("cid"),
+    )
+    # Probe lists: explode the codebook per query (n_queries × n_centroids
+    # rows — trivially small), rank by the same cosine, keep nprobe.
+    q_scored = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .select("query_id", "qv", F.explode(_centroid_struct_array(centroids)).alias("c"))
+        .select(
+            "query_id",
+            "qv",
+            F.col("c.cid").alias("cid"),
+            cosine(F.col("qv"), F.col("c.cv")).alias("cscore"),
+        )
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(), F.col("cid"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(c, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

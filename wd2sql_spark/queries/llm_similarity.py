@@ -82,6 +82,61 @@ def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dot/cos over two arbitrary list-typed SQL expressions (the _DOT macro
+# above is fixed to an `.embedding` field; these are the general form).
+def _dot_expr(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a})+1), "
+        f"k -> CAST({a}[k] AS DOUBLE) * CAST({b}[k] AS DOUBLE)))"
+    )
+
+
+def _cos_expr(a: str, b: str) -> str:
+    return f"{_dot_expr(a, b)} / (sqrt({_dot_expr(a, a)}) * sqrt({_dot_expr(b, b)}))"
+
+
+IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding, c.cid, {_cos_expr('e.embedding', 'c.cv')} AS score
+  FROM embeddings e CROSS JOIN cent c),
+assign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT vec_id, embedding, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+    FROM assign_scored) t WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+    SELECT vec_id, embedding, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+    FROM assign_scored WHERE vec_id < 3) t WHERE rn <= 4),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round({_cos_expr('p.qv', 'a.embedding')}, 6) AS cosine
+  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cand)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@query("sim_ivf_topk", oracle=IVF_ORACLE, category="llm-similarity")
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an inverted-file index (IVF, nprobe=4 of 16
+    deterministic centroids): centroid assignment is a zero-shuffle map
+    over an inlined codebook; queries search only their probed lists. The
+    scale path writes the corpus partitioned by list id once, then every
+    query scan prunes 4× here (n_centroids/nprobe) and more with a larger
+    codebook. Fully SQL-expressible → exact oracle twin."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return S.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).orderBy("query_id", "rank")
+
+
 @query("sim_lsh_topk", oracle=None, category="llm-similarity")
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH bucketing (r=4 → 16

@@ -34,6 +34,8 @@ _MODULES = (
     "wd2sql_spark.queries.relational",
     "wd2sql_spark.queries.joins",
     "wd2sql_spark.queries.temporal_joins",
+    "wd2sql_spark.queries.subqueries",
+    "wd2sql_spark.queries.pivots",
     "wd2sql_spark.queries.aggregates",
     "wd2sql_spark.queries.windows",
     "wd2sql_spark.queries.setops",

@@ -1,0 +1,213 @@
+"""Subquery battery: the TPC-H shapes SQLite answers via IN/EXISTS/scalar
+subqueries (the reference's documented query surface is IN-subquery driven,
+README.md:129-143 in /root/reference — SURVEY §2-B Q2 generalized).
+
+Catalyst rewrites every correlated form here into a join
+(`RewritePredicateSubquery`), so the Spark side declares the join directly
+— the physical plan we'd want at 100 TB is explicit:
+
+- IN / EXISTS          → left-semi join (dim side broadcast when small)
+- scalar agg subquery  → aggregate-then-broadcast-join (one row)
+- correlated per-group → pre-aggregate on the correlation key, equi-join
+
+Determinism: money sums via ``exact_sum`` (see _determinism.py);
+``l_quantity`` is integer-valued in the fixtures so its double SUM/AVG is
+exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wd2sql_spark.catalog import table
+from wd2sql_spark.queries._determinism import exact_sum
+from wd2sql_spark.queries.registry import query
+
+IN_AGG_ORACLE = """
+SELECT c.c_name, o.o_orderkey, round(o.o_totalprice, 2) AS totalprice, SUM(l.l_quantity) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+ORDER BY totalprice DESC, o_orderkey
+"""
+
+
+@query("subq_in_agg_large_orders", oracle=IN_AGG_ORACLE, category="subqueries")
+def subq_in_agg_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery. The subquery is
+    an aggregate on the fact's own key — at scale this is a shuffle on
+    l_orderkey that AQE can reuse for the orders⋈lineitem join; the
+    surviving key set is tiny and broadcast into the semi-join."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(l, F.col("o_orderkey") == l["l_orderkey"])
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+    )
+
+
+EXISTS_ORACLE = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query("subq_exists_late_ship", oracle=EXISTS_ORACLE, category="subqueries")
+def subq_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with an inequality across both
+    sides → left-semi join with a compound condition. lineitem is projected
+    to 2 columns before the join so the shuffle moves minimal bytes."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o["o_orderkey"] == l["l_orderkey"]) & (
+        l["l_shipdate"] >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SCALAR_AVG_ORACLE = """
+SELECT round(SUM(CAST(round(l.l_extendedprice * 1000000, 0) AS BIGINT)) / 1000000.0 / 7.0, 2)
+       AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#11'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@query("subq_scalar_avg_part", oracle=SCALAR_AVG_ORACLE, category="subqueries")
+def subq_scalar_avg_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar AVG per part. Decorrelated into a
+    per-partkey pre-aggregate joined back to the fact — the aggregate input
+    is the filtered fact itself, so at scale the partkey shuffle is shared
+    by agg and join. AVG(l_quantity) is exact (integer-valued doubles)."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11").select("p_partkey")
+    per_part = l.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(per_part, l["l_partkey"] == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(exact_sum(F.col("l_extendedprice"), 6) / F.lit(7.0), 2).alias("avg_yearly"))
+    )
+
+
+GLOBAL_AVG_ORACLE = """
+WITH cut AS (
+  SELECT SUM(CAST(round(c_acctbal * 1000000, 0) AS BIGINT)) / 1000000.0 / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT c.c_mktsegment, count(*) AS numcust,
+       round(SUM(CAST(round(c.c_acctbal * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS totacctbal
+FROM customer c, cut
+WHERE c.c_acctbal > cut.avg_bal
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@query("subq_scalar_global_avg", oracle=GLOBAL_AVG_ORACLE, category="subqueries")
+def subq_scalar_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 flavor: uncorrelated scalar subquery (global average) used
+    as a filter threshold. The 1-row aggregate is cross-joined (broadcast
+    nested loop of a single row — free) against the scan. The threshold is
+    computed in exact integer units so both engines derive the identical
+    double (a plain AVG of doubles is order-sensitive)."""
+    c = table(spark, sf_dir, "customer")
+    cut = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * 1000000, 0).cast("long")) / F.lit(1000000.0)
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(cut))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(exact_sum(F.col("c_acctbal"), 6), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+MAX_REV_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000, 0) AS BIGINT)) AS rev_units
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, round(r.rev_units / 1000000.0, 2) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.rev_units = (SELECT MAX(rev_units) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@query("subq_max_revenue_supplier", oracle=MAX_REV_ORACLE, category="subqueries")
+def subq_max_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: scalar MAX over a derived aggregate, reused twice.
+    The revenue aggregate is computed once; its global MAX is a 1-row
+    aggregate broadcast back over it (no single-partition window — at scale
+    the per-supplier aggregate is still millions of rows). Equality against
+    MAX keeps ties, exactly like the SQL form, and compares exact integer
+    units so the tie set matches the oracle bit-for-bit."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000, 0).cast("long")
+        ).alias("rev_units")
+    )
+    max_units = revenue.agg(F.max("rev_units").alias("max_units"))
+    top = revenue.crossJoin(F.broadcast(max_units)).filter(
+        F.col("rev_units") == F.col("max_units")
+    )
+    return (
+        s.join(F.broadcast(top), s["s_suppkey"] == top["supplier_no"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_units") / F.lit(1000000.0), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
