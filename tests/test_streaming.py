@@ -82,6 +82,63 @@ def test_late_data_dropped_across_microbatches(spark, tmp_path):
     assert dropped == 1, f"expected exactly the late row dropped, got {dropped}"
 
 
+def test_stateful_streak_carries_across_microbatches(spark, tmp_path):
+    """The applyInPandasWithState streak tracker must carry the trailing
+    run through group state: a streak of 4 'A's split 2|2 across two
+    micro-batches reads as 4, where a per-batch fold would report 2."""
+    from pyspark.sql.types import LongType
+
+    from wd2sql_spark.streaming.stateful import track_streaks
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    src = tmp_path / "streaks"
+    src.mkdir()
+    batches = [
+        [(1, "2024-01-01T10:00:00", 1, "A"), (1, "2024-01-01T10:01:00", 2, "A")],
+        [
+            (1, "2024-01-01T10:02:00", 3, "A"),
+            (1, "2024-01-01T10:03:00", 4, "A"),
+            (1, "2024-01-01T10:04:00", 5, "B"),
+        ],
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = str(src / f"b{i}.json")
+        with open(p, "w") as f:
+            for uid, ts, eid, et in rows:
+                f.write(
+                    json.dumps({"user_id": uid, "ts": ts, "event_id": eid, "event_type": et})
+                    + "\n"
+                )
+        os.utime(p, (now - 100 + i * 10, now - 100 + i * 10))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    qname = f"streaks_{uuid.uuid4().hex[:8]}"
+    q = (
+        track_streaks(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    rows = spark.table(qname).collect()
+    # update mode emits once per batch; the final state is the row with the
+    # highest n_events.
+    final = max(rows, key=lambda r: r.n_events)
+    assert final.n_events == 5
+    assert final.max_streak == 4, f"carry lost across batches: {rows}"
+
+
 def test_foreach_batch_microbatch_cadence(spark, tmp_path):
     """foreachBatch sees one call per micro-batch with the full batch as a
     regular DataFrame — the streaming analog of txn batching (2-A#13)."""

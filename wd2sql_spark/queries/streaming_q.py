@@ -152,6 +152,37 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_to_batch(agg, name="dedup").orderBy("event_type")
 
 
+STREAK_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rt
+  FROM events),
+runs AS (
+  SELECT user_id, COUNT(*) AS run_len
+  FROM o GROUP BY user_id, event_type, rn - rt)
+SELECT r.user_id, e.n_events, MAX(r.run_len) AS max_streak
+FROM runs r JOIN (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) e
+  ON e.user_id = r.user_id
+GROUP BY r.user_id, e.n_events
+ORDER BY r.user_id
+"""
+
+
+@query("stream_stateful_streaks", oracle=STREAK_ORACLE, category="streaming")
+def stream_stateful_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user longest
+    consecutive same-event-type streak, with the run carry held in explicit
+    group state so streaks span micro-batches — not expressible as a
+    windowed aggregate. Oracle is the batch gaps-and-islands SQL."""
+    from wd2sql_spark.streaming.stateful import track_streaks
+
+    ev = events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    return run_to_batch(track_streaks(ev), output_mode="update", name="streaks").orderBy(
+        "user_id"
+    )
+
+
 @query("stream_wd_etl_meta", oracle=META_GOLDEN, category="streaming")
 def stream_wd_etl_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The wd2sql ETL as a stream: readStream.text over the dump →

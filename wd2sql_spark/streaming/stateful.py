@@ -1,0 +1,82 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The built-in stateful operators (windowed aggs, session windows, streaming
+dedup — queries/streaming_q.py) cover the reference's needs; this module is
+the extension point for state machines they can't express. The example
+operator tracks, per user, the longest run of consecutive same-type events
+— a run can span micro-batches, so the carry (last type seen + current run
+length) must live in explicit group state. A windowed aggregate cannot
+express this; it is the canonical "custom operator" shape from SURVEY §2-C
+(UDF/stateful row).
+
+Scale notes: state is O(1) per user (4 scalars), Arrow-batched transfer,
+and the only shuffle is the groupBy(user_id) that any per-user operator
+pays. At 100 TB the state store is RocksDB-backed and bounded by the user
+cardinality, not the event volume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# (last_type, cur_run) is the cross-batch carry; (best, n) the running answer.
+STATE_SCHEMA = "last_type STRING, cur_run LONG, best LONG, n LONG"
+OUTPUT_SCHEMA = "user_id LONG, n_events LONG, max_streak LONG"
+
+
+def _fold_batch(
+    types: pd.Series, last_type: str | None, cur_run: int, best: int
+) -> tuple[str | None, int, int]:
+    """Vectorized run-length fold with cross-batch carry-in."""
+    if types.empty:
+        return last_type, cur_run, best
+    # Run ids restart where the type changes; carry the previous batch's
+    # trailing run into the first run when the type continues.
+    run_id = (types != types.shift()).cumsum()
+    lens = types.groupby(run_id).size()
+    first_carry = cur_run if types.iloc[0] == last_type else 0
+    lens.iloc[0] += first_carry
+    best = max(best, int(lens.max()))
+    cur_run = int(lens.iloc[-1])
+    return str(types.iloc[-1]), cur_run, best
+
+
+def track_streaks(events: DataFrame) -> DataFrame:
+    """Per-user longest same-event-type streak (ordered by ts, event_id),
+    maintained across micro-batches in explicit group state.
+
+    Emits one (user_id, n_events, max_streak) row per user per batch the
+    user appears in; with an availableNow single-batch run that is exactly
+    the final answer per user.
+    """
+
+    def fn(
+        key: tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_type, cur_run, best, n = state.get
+        else:
+            last_type, cur_run, best, n = None, 0, 0, 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            last_type, cur_run, best = _fold_batch(pdf["event_type"], last_type, cur_run, best)
+            n += len(pdf)
+        state.update((last_type, cur_run, best, n))
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "max_streak": [best]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
