@@ -77,6 +77,52 @@ def test_pandas_eval_only_where_declared(reports):
             assert n.startswith(allowed_prefixes), n
 
 
+def test_subq_exists_prunes_lineitem(reports):
+    """The EXISTS semi-join must move only (l_orderkey, l_shipdate) —
+    shipping full lineitem rows into a semi-join is the classic 100-TB
+    regression."""
+    r = reports["subq_exists_late_ship"]
+    li = next(s for s in r.scans if "l_shipdate" in s["columns"])
+    assert set(li["columns"]) == {"l_orderkey", "l_shipdate"}
+
+
+def test_subq_in_agg_broadcasts_key_set(reports):
+    """Q18 shape: the surviving HAVING key set is tiny and must ship as a
+    broadcast into the semi-join, never shuffle the orders side for it."""
+    r = reports["subq_in_agg_large_orders"]
+    assert r.broadcasts >= 1
+    li = next(s for s in r.scans if "l_quantity" in s["columns"])
+    assert set(li["columns"]) == {"l_orderkey", "l_quantity"}
+
+
+def test_pivot_shuffle_budget(reports):
+    """df.pivot compiles to pre-agg on (key, pivot-col) → pivot-agg on key:
+    the FIRST exchange collapses the fact, the second moves only
+    |keys|×|pivot values| rows — both fine at scale. Budget: those two
+    plus the output sort, and dims must broadcast (no fact-side join
+    shuffle)."""
+    r = reports["pivot_status_by_nation"]
+    assert r.shuffles <= 3, r.shuffles
+    assert r.broadcasts >= 1
+
+
+def test_unpivot_is_narrow(reports):
+    """Wide→long expand is per-row: no join, no aggregate — only the
+    presentation sort may exchange."""
+    r = reports["unpivot_part_measures"]
+    assert r.shuffles <= 1 and r.broadcasts == 0
+
+
+def test_ivf_assignment_stays_jvm_and_pruned(reports):
+    """IVF: codebook is inlined (no join/shuffle for assignment), corpus
+    scan reads only (vec_id, embedding), probe set broadcasts."""
+    r = reports["sim_ivf_topk"]
+    assert not r.pandas_eval and not r.python_eval
+    assert r.broadcasts >= 1
+    for s in r.scans:
+        assert set(s["columns"]) <= {"vec_id", "embedding", "label"}, s
+
+
 def test_every_scan_prunes_columns(reports):
     """No scan may read every column of a wide table when the query uses a
     few: documents has 8+ columns; text queries should read < all."""
