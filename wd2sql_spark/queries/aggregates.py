@@ -188,3 +188,42 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
         """
     )
+
+
+MINMAX_BY_ORACLE = """
+WITH ranked AS (
+  SELECT c_nationkey, c_name, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+  FROM customer)
+SELECT c_nationkey,
+       MAX(CASE WHEN rmax = 1 THEN c_name END) AS richest,
+       MAX(CASE WHEN rmin = 1 THEN c_name END) AS poorest,
+       round(MAX(c_acctbal), 2) AS max_bal,
+       round(MIN(c_acctbal), 2) AS min_bal
+FROM ranked
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@query("agg_min_max_by", oracle=MINMAX_BY_ORACLE, category="aggregates")
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin) aggregates: the per-group row lookup
+    that otherwise costs a self-join or window — here one hash aggregate.
+    The ordering value is (acctbal, custkey) so ties are deterministic in
+    both engines (bare max_by on a tied column is engine-arbitrary)."""
+    c = table(spark, sf_dir, "customer")
+    ordv = F.struct(F.col("c_acctbal"), F.col("c_custkey").cast("double"))
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.max_by(F.col("c_name"), ordv).alias("richest"),
+            F.min_by(F.col("c_name"), ordv).alias("poorest"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        )
+        .orderBy("c_nationkey")
+    )

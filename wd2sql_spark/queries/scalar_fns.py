@@ -264,3 +264,40 @@ def scalar_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "lang", F.element_at(lang_map, F.col("lang")).alias("lang_name")
     ).orderBy("doc_id")
+
+
+COND_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 200000 THEN 'jumbo'
+            WHEN o_totalprice >= 100000 THEN 'large'
+            ELSE 'standard' END AS size_class,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+       round(LEAST(o_totalprice, 250000.0), 2) AS capped,
+       GREATEST(CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '1995-01-01') AS date_floor,
+       (o_orderpriority = '1-URGENT') AS is_urgent
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@query("scalar_conditional_fns", oracle=COND_ORACLE, category="scalar")
+def scalar_conditional_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-expression battery: CASE/when chains, COALESCE, NULLIF,
+    LEAST/GREATEST, boolean projection — all whole-stage-codegen'd JVM
+    expressions (zero-shuffle narrow plan; the sort is presentation)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 200000, "jumbo")
+        .when(F.col("o_totalprice") >= 100000, "large")
+        .otherwise("standard")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_norm"
+        ),
+        F.round(F.least(F.col("o_totalprice"), F.lit(250000.0)), 2).alias("capped"),
+        F.greatest(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
+            "date_floor"
+        ),
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_urgent"),
+    ).orderBy("o_orderkey")
