@@ -16,10 +16,14 @@ like the reference's hand-fused loop.
 
 Two write strategies (``wd2spark``):
 
-- ``staged=True`` (default, the 100-TB path): ONE pass over the dump
-  writes a claims store partitioned by ``value_type``; the 7 typed tables
-  are then partition-pruned projections of that store — each rewrite reads
-  only its own partition. Total I/O: 1× dump read + ~2× claims write.
+- ``staged=True`` (default, the 100-TB path): a TRUE single pass. One scan
+  + one ``from_json`` parse of the dump emits every output row (meta rows,
+  typed claim rows, quarantine rows) through one per-entity explode, and
+  ONE write lands them partitioned by target ``table``. The 9 final tables
+  are then partition-pruned, column-pruned projections of that store —
+  each rewrite reads only its own partition's columns. JSON parse cost
+  (the dominant cost at scale, like the reference's simd_json) is paid
+  exactly once, matching the reference's single-pass loop.
 - ``staged=False``: each table's write re-derives from the dump (8 narrow
   scans, no intermediate storage — fine when the dump is small or already
   in RAM/page cache).
@@ -31,6 +35,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 from wd2sql_spark.etl import schema as S
 from wd2sql_spark.functions.ids import encode_entity_url, encode_wid
@@ -102,29 +107,16 @@ def meta_table(entities: DataFrame) -> DataFrame:
     )
 
 
-def claims_flat(entities: DataFrame) -> DataFrame:
-    """Two-level explode of the claims map (2-A#9) + deprecated-rank drop
-    (2-A#8, main.rs:87 — BEFORE dispatch, so deprecated novalue claims
-    never reach the none table) + 20→7 type dispatch (value.rs:201-261) in
-    one wide projection.
-
-    Output: one row per kept claim with ``value_type`` ∈ 7 tables plus the
-    per-type payload columns (unused ones NULL). All expressions are
-    Catalyst built-ins — the whole function is a narrow, codegen-fused map.
-    """
-    e = good_entities(entities)
-    per_prop = e.select(
-        "id", F.explode("claims").alias("pid_str", "statements")
-    ).select(
-        "id", encode_wid(F.col("pid_str")).alias("property_id"), F.explode("statements").alias("c")
-    )
-    kept = per_prop.filter(
-        F.col("property_id").isNotNull() & (F.coalesce(F.col("c.rank"), F.lit("normal")) != DEPRECATED)
-    )
-
-    snaktype = F.col("c.mainsnak.snaktype")
-    dv_type = F.col("c.mainsnak.datavalue.type")
-    dv_raw = F.col("c.mainsnak.datavalue.value")
+def _claim_value_cols(c) -> dict:
+    """The 20→7 type dispatch (value.rs:201-261) as a dict of named column
+    expressions over one claim struct ``c`` (shape ``S.CLAIM``). Shared by
+    the per-claim path (``claims_flat``) and the single-pass unified path
+    (``unified_rows``). All expressions are Catalyst built-ins — a narrow,
+    codegen-fused map; repeated ``from_json`` subtrees are collapsed by
+    Catalyst's subexpression elimination."""
+    snaktype = c.getField("mainsnak").getField("snaktype")
+    dv_type = c.getField("mainsnak").getField("datavalue").getField("type")
+    dv_raw = c.getField("mainsnak").getField("datavalue").getField("value")
 
     mono = F.from_json(dv_raw, S.MONOTEXT_VALUE)
     multi = F.from_json(dv_raw, S.MULTITEXT_VALUE)
@@ -169,30 +161,47 @@ def claims_flat(entities: DataFrame) -> DataFrame:
     t_norm = F.regexp_replace(t_norm, r"^\+", "")
     parsed_ts = F.try_to_timestamp(t_norm, F.lit("yyyy-MM-dd'T'HH:mm:ssX"))
 
-    return kept.select(
-        "id",
-        "property_id",
-        value_type.alias("value_type"),
-        string_val.alias("string"),
-        F.when(dv_type == "wikibase-entityid", encode_wid(entity_v.getField("id"))).alias(
-            "entity_id"
-        ),
-        coord.getField("latitude").alias("latitude"),
-        coord.getField("longitude").alias("longitude"),
-        coord.getField("precision").alias("precision"),
-        F.when(dv_type == "globecoordinate", encode_entity_url(coord.getField("globe"))).alias(
-            "globe_id"
+    return {
+        "value_type": value_type,
+        "string": string_val,
+        "entity_id": F.when(dv_type == "wikibase-entityid", encode_wid(entity_v.getField("id"))),
+        "latitude": coord.getField("latitude"),
+        "longitude": coord.getField("longitude"),
+        "precision": coord.getField("precision"),
+        "globe_id": F.when(
+            dv_type == "globecoordinate", encode_entity_url(coord.getField("globe"))
         ),
         # try_cast: malformed amounts must quarantine-to-NULL, not abort
         # (ANSI mode would throw on CAST) — per-record tolerance, 2-A#14.
-        qty.getField("amount").try_cast("double").alias("amount"),
-        qty.getField("lowerBound").try_cast("double").alias("lower_bound"),
-        qty.getField("upperBound").try_cast("double").alias("upper_bound"),
-        F.when(dv_type == "quantity", encode_entity_url(qty.getField("unit"))).alias("unit_id"),
-        F.when(dv_type == "time", parsed_ts).alias("time"),
-        time_v.getField("precision").alias("time_precision"),
-        F.when(dv_type == "time", t_raw).alias("time_raw"),
+        "amount": qty.getField("amount").try_cast("double"),
+        "lower_bound": qty.getField("lowerBound").try_cast("double"),
+        "upper_bound": qty.getField("upperBound").try_cast("double"),
+        "unit_id": F.when(dv_type == "quantity", encode_entity_url(qty.getField("unit"))),
+        "time": F.when(dv_type == "time", parsed_ts),
+        "time_precision": time_v.getField("precision"),
+        "time_raw": F.when(dv_type == "time", t_raw),
+    }
+
+
+def claims_flat(entities: DataFrame) -> DataFrame:
+    """Two-level explode of the claims map (2-A#9) + deprecated-rank drop
+    (2-A#8, main.rs:87 — BEFORE dispatch, so deprecated novalue claims
+    never reach the none table) + 20→7 type dispatch (value.rs:201-261) in
+    one wide projection.
+
+    Output: one row per kept claim with ``value_type`` ∈ 7 tables plus the
+    per-type payload columns (unused ones NULL)."""
+    e = good_entities(entities)
+    per_prop = e.select(
+        "id", F.explode("claims").alias("pid_str", "statements")
+    ).select(
+        "id", encode_wid(F.col("pid_str")).alias("property_id"), F.explode("statements").alias("c")
     )
+    kept = per_prop.filter(
+        F.col("property_id").isNotNull() & (F.coalesce(F.col("c.rank"), F.lit("normal")) != DEPRECATED)
+    )
+    cols = _claim_value_cols(F.col("c"))
+    return kept.select("id", "property_id", *[v.alias(k) for k, v in cols.items()])
 
 
 # Per-table projections from the flat claims relation.
@@ -225,6 +234,94 @@ def transform(entities: DataFrame) -> dict[str, DataFrame]:
     return out
 
 
+_ITEM = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("pid", StringType()),
+        StructField("c", S.CLAIM),
+    ]
+)
+
+# Final per-table projections out of the unified staged store.
+_FINAL_COLS = {
+    "meta": ["id", "label", "description"],
+    "quarantine": ["line", "reason"],
+    **_TABLE_COLS,
+}
+
+
+def unified_rows(entities: DataFrame) -> DataFrame:
+    """Every output row of the whole ETL — meta rows, the 7 kinds of typed
+    claim rows, and quarantine rows — from ONE pass over the parsed
+    entities, tagged with a ``table`` column.
+
+    This is the Spark restatement of the reference's per-entity loop body
+    (main.rs:69-93: one meta insert + one typed insert per kept claim,
+    errors skipped): each entity expands, via a single ``explode`` over a
+    per-entity item array built with native collection lambdas, into
+    exactly its output rows. One scan, one ``from_json``, zero shuffles.
+    The deprecated-rank drop happens inside the array ``filter`` — before
+    type dispatch, exactly like main.rs:87.
+    """
+    bad = F.col(S.CORRUPT_COL).isNotNull() | F.col("id").isNull()
+    null_claim = F.lit(None).cast(S.CLAIM)
+    null_pid = F.lit(None).cast("string")
+    meta_item = F.struct(
+        F.lit("meta").alias("kind"), null_pid.alias("pid"), null_claim.alias("c")
+    )
+    quar_item = F.struct(
+        F.lit("quarantine").alias("kind"), null_pid.alias("pid"), null_claim.alias("c")
+    )
+    empty_claims = F.array().cast(ArrayType(S.CLAIM))
+    claim_items = F.flatten(
+        F.transform(
+            F.map_entries(F.col("claims")),
+            lambda kv: F.transform(
+                F.filter(
+                    F.coalesce(kv.getField("value"), empty_claims),
+                    lambda cl: F.coalesce(cl.getField("rank"), F.lit("normal")) != DEPRECATED,
+                ),
+                lambda cl: F.struct(
+                    F.lit("claim").alias("kind"), kv.getField("key").alias("pid"), cl.alias("c")
+                ),
+            ),
+        )
+    )
+    items = F.when(bad, F.array(quar_item)).otherwise(
+        F.concat(F.array(meta_item), F.coalesce(claim_items, F.array().cast(ArrayType(_ITEM))))
+    )
+
+    ex = entities.select(
+        "line", "id", "labels", "descriptions", S.CORRUPT_COL, F.explode(items).alias("it")
+    )
+    k = F.col("it.kind")
+    # Claims whose property id doesn't encode are skipped, matching
+    # claims_flat / the reference's per-record tolerance.
+    ex = ex.filter((k != "claim") | encode_wid(F.col("it.pid")).isNotNull())
+
+    d = _claim_value_cols(F.col("it.c"))
+    table = (
+        F.when(k == "meta", "meta")
+        .when(k == "quarantine", "quarantine")
+        .otherwise(d.pop("value_type"))
+    )
+    return ex.select(
+        F.col("id"),
+        F.when(k == "claim", encode_wid(F.col("it.pid"))).alias("property_id"),
+        F.when(k == "meta", F.element_at(F.col("labels"), "en").getField("value")).alias("label"),
+        F.when(k == "meta", F.element_at(F.col("descriptions"), "en").getField("value")).alias(
+            "description"
+        ),
+        *[v.alias(key) for key, v in d.items()],
+        F.when(k == "quarantine", F.col("line")).alias("line"),
+        F.when(
+            k == "quarantine",
+            F.when(F.col(S.CORRUPT_COL).isNotNull(), "corrupt_json").otherwise("bad_id"),
+        ).alias("reason"),
+        table.alias("table"),
+    )
+
+
 def wd2spark(
     spark: SparkSession,
     dump_path: str,
@@ -238,31 +335,41 @@ def wd2spark(
     ``mode="errorifexists"`` mirrors the reference's refuse-existing-output
     guard (main.rs:98-104). Returns table→path.
 
-    The staged plan writes the flat claims relation ONCE, partitioned by
-    ``value_type`` (the Spark analog of the reference's per-table prepared
-    statements — and of index-after-load: data lands clustered by its
-    access path), then derives each typed table by partition-pruned read.
+    The staged plan pays the JSON parse exactly once: one scan of the dump
+    emits ALL output rows (``unified_rows``) into one parquet store
+    partitioned by target ``table`` (the Spark analog of the reference's
+    per-table prepared statements — and of index-after-load: data lands
+    clustered by its access path). The 9 final tables are then
+    partition-pruned + column-pruned projections of that store; parquet
+    being columnar, each rewrite reads only its own partition's live
+    columns, never the superset.
     """
     entities = parse_entities(read_dump(spark, dump_path))
     paths: dict[str, str] = {}
 
-    meta_p = os.path.join(out_path, "meta")
-    meta_table(entities).write.mode(mode).parquet(meta_p)
-    paths["meta"] = meta_p
-
-    quar_p = os.path.join(out_path, "quarantine")
-    quarantine(entities).write.mode(mode).parquet(quar_p)
-    paths["quarantine"] = quar_p
-
     if staged:
-        stage_p = os.path.join(out_path, "_claims_staged")
-        claims_flat(entities).write.mode(mode).partitionBy("value_type").parquet(stage_p)
-        staged_claims = spark.read.parquet(stage_p)
-        for name in VALUE_TABLES:
+        stage_p = os.path.join(out_path, "_staged")
+        uf = unified_rows(entities)
+        uf.write.mode(mode).partitionBy("table").parquet(stage_p)
+        # Explicit schema: robust to an all-empty store and skips footer
+        # inference; `table` resolves as the partition column.
+        store = spark.read.schema(uf.schema).parquet(stage_p)
+        for name, cols in _FINAL_COLS.items():
             p = os.path.join(out_path, name)
-            value_table(staged_claims, name).write.mode(mode).parquet(p)
+            df = store.filter(F.col("table") == name).select(*cols)
+            if name == "time":
+                df = df.withColumnRenamed("time_precision", "precision")
+            df.write.mode(mode).parquet(p)
             paths[name] = p
     else:
+        meta_p = os.path.join(out_path, "meta")
+        meta_table(entities).write.mode(mode).parquet(meta_p)
+        paths["meta"] = meta_p
+
+        quar_p = os.path.join(out_path, "quarantine")
+        quarantine(entities).write.mode(mode).parquet(quar_p)
+        paths["quarantine"] = quar_p
+
         claims = claims_flat(entities)
         for name in VALUE_TABLES:
             p = os.path.join(out_path, name)
