@@ -204,16 +204,34 @@ ORDER BY revenue DESC, n_name
 def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table join. region/nation/supplier broadcast;
     orders⋈lineitem is the one genuine shuffle. The date filter on orders
-    is applied before the join so pushdown prunes the fact scan."""
-    c = table(spark, sf_dir, "customer")
+    is applied before the join so pushdown prunes the fact scan.
+
+    The ``c_nationkey = s_nationkey`` condition implies customers outside
+    EUROPE nations can never survive — but Catalyst can't derive that
+    transitively, so we pre-filter customer with a broadcast semi-join
+    against EUROPE nations. At scale this shrinks the customer⋈orders
+    shuffle by ~the regional selectivity (1/5 here) for free (no extra
+    shuffle: the semi-join side is a broadcast)."""
+    # Separate scans for the pre-filter (vs the main join's nation/region)
+    # to sidestep self-join column ambiguity; both are tiny dims.
+    pre_n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("eu_nationkey"), F.col("n_regionkey").alias("eu_regionkey")
+    )
+    pre_r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_keys = pre_n.join(
+        F.broadcast(pre_r), pre_n["eu_regionkey"] == pre_r["r_regionkey"], "left_semi"
+    ).select("eu_nationkey")
+    c = table(spark, sf_dir, "customer").join(
+        F.broadcast(eu_keys), F.col("c_nationkey") == F.col("eu_nationkey"), "left_semi"
+    )
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     l = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
-    n = table(spark, sf_dir, "nation")
-    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"])
         .join(l, l["l_orderkey"] == o["o_orderkey"])
