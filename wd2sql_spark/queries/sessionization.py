@@ -1,0 +1,127 @@
+"""Batch sessionization and time-bucket rollup over the events stream table.
+
+The reference has no time-series operators (SURVEY §2-C: its query surface
+is point lookup + semi-joins, README.md:103-157 in /root/reference); these
+are the event-pipeline additions a log/training-data workload needs, kept
+fully native (no UDFs) so they stay inside whole-stage codegen.
+
+Scale notes:
+
+- **Gap sessionization** is the lag→flag→cumulative-sum formulation: ONE
+  shuffle on ``user_id`` for the window, and the follow-up per-session
+  aggregate reuses that partitioning (HashPartitioning(user_id) satisfies
+  the clustered distribution of groupBy(user_id, session_seq)), so the
+  whole operator is a single exchange regardless of data size. The naive
+  alternative — self-join events to events within a time range — is
+  quadratic per user and unusable at 100 TB.
+- **Time-bucket rollup** is a plain partial+final hash aggregate on
+  (bucket, event_type): map-side combine reduces each executor's output to
+  ~|buckets × types| rows before the only shuffle. This is the
+  "hypertable downsample" shape — at 100 TB the pre-aggregated shuffle is
+  tiny relative to input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wd2sql_spark.catalog import events
+from wd2sql_spark.queries._determinism import exact_sum
+from wd2sql_spark.queries.registry import query
+
+GAP_MIN = 30  # session gap threshold, minutes
+
+SESSIONIZE_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+       round(SUM(CAST(round(value * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS total_value
+FROM sessioned
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+@query("sessionize_gap30m", oracle=SESSIONIZE_ORACLE, category="sessionization")
+def sessionize_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    longer than 30 minutes; emit per-session start/end/counts/value.
+
+    lag → boundary flag → running sum = session id; then aggregate per
+    (user_id, session_seq). Single shuffle (see module docstring)."""
+    order = ["ts", "event_id"]  # event_id tiebreak → total order per user
+    w = Window.partitionBy("user_id").orderBy(*order)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = events(spark, sf_dir)
+    prev_ts = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = e.withColumn(
+        "is_start",
+        F.when(
+            prev_ts.isNull()
+            | (F.unix_micros(F.col("ts")) - prev_ts > GAP_MIN * 60 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessioned = flagged.withColumn("session_seq", F.sum("is_start").over(wsum))
+    return (
+        sessioned.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_clicks"),
+            F.round(exact_sum(F.col("value"), 6), 2).alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+DOWNSAMPLE_ORACLE = """
+SELECT date_trunc('hour', ts) AS bucket,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(SUM(CAST(round(value * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS total_value,
+       round(SUM(CAST(round(value * 1000000, 0) AS BIGINT)) / 1000000.0 / COUNT(*), 4) AS avg_value
+FROM events
+GROUP BY bucket, event_type
+ORDER BY bucket, event_type
+"""
+
+
+@query("ts_downsample_hourly", oracle=DOWNSAMPLE_ORACLE, category="sessionization")
+def ts_downsample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-bucket rollup per event type: the downsampling shape of
+    a time-series store, as one partial+final hash aggregate. avg is
+    derived from the exact integer-units sum so both engines divide the
+    same integers (order-insensitive)."""
+    e = events(spark, sf_dir)
+    s = exact_sum(F.col("value"), 6)
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.round(s, 2).alias("total_value"),
+            F.round(s / F.count(F.lit(1)), 4).alias("avg_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )
