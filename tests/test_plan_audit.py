@@ -133,6 +133,26 @@ def test_salted_join_is_sort_merge_not_broadcast(reports):
     assert "BroadcastHashJoin" not in r.text
 
 
+def test_sessionize_single_data_shuffle(reports):
+    """lag→flag→running-sum→agg: ONE hash exchange on user_id serves the
+    window AND the (user_id, session_seq) aggregate (HashPartitioning on a
+    subset satisfies the agg's clustered distribution); only the
+    presentation sort may add a range exchange."""
+    r = reports["sessionize_gap30m"]
+    assert r.shuffles <= 2, r.shuffles
+    assert r.broadcasts == 0
+    for s in r.scans:
+        assert set(s["columns"]) <= {"user_id", "ts", "event_id", "event_type", "value"}, s
+
+
+def test_downsample_is_partial_final_agg(reports):
+    """Hourly rollup: map-side combine then one exchange on (bucket, type);
+    count_distinct adds its expand-rewrite exchange, plus the output sort."""
+    r = reports["ts_downsample_hourly"]
+    assert r.shuffles <= 3, r.shuffles
+    assert r.broadcasts == 0
+
+
 def test_every_scan_prunes_columns(reports):
     """No scan may read every column of a wide table when the query uses a
     few: documents has 8+ columns; text queries should read < all."""
