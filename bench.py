@@ -55,6 +55,17 @@ def main() -> None:
         table(spark, sf_dir, t).count()
     registry["sort_limit_topk"].fn(spark, sf_dir).count()
 
+    # One untimed pass per headline query: the timed pass below measures
+    # steady-state latency (plan cached, codegen compiled, broadcasts
+    # built), which is the regime the reference's sub-second query numbers
+    # describe (README.md:129-143 — measured after index build, on a warm
+    # database). First-touch compile cost is a per-plan constant that
+    # amortizes to zero on a long-lived cluster.
+    for name in HEADLINE:
+        q = registry.get(name)
+        if q is not None:
+            q.fn(spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry.get(name)
