@@ -145,6 +145,18 @@ def test_sessionize_single_data_shuffle(reports):
         assert set(s["columns"]) <= {"user_id", "ts", "event_id", "event_type", "value"}, s
 
 
+def test_funnel_single_data_shuffle(reports):
+    """Both nested window passes and the per-user aggregate share
+    HashPartitioning(user_id); the trailing single-row global agg moves
+    ~one row per partition. Budget: the user_id exchange plus the
+    single-partition exchange for the final agg."""
+    r = reports["funnel_view_click_purchase"]
+    assert r.shuffles <= 2, r.shuffles
+    assert r.broadcasts == 0
+    for s in r.scans:
+        assert set(s["columns"]) <= {"user_id", "ts", "event_id", "event_type"}, s
+
+
 def test_downsample_is_partial_final_agg(reports):
     """Hourly rollup: map-side combine then one exchange on (bucket, type);
     count_distinct adds its expand-rewrite exchange, plus the output sort."""

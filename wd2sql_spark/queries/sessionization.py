@@ -92,6 +92,98 @@ def sessionize_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONVERT_H = 24  # per-stage conversion window, hours
+
+FUNNEL_ORACLE = f"""
+WITH staged AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id) AS first_view_us
+  FROM events
+),
+staged2 AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'click'
+                   AND us >= first_view_us
+                   AND us <= first_view_us + {CONVERT_H * 3600 * 1000000}
+                  THEN us END)
+           OVER (PARTITION BY user_id) AS first_click_us
+  FROM staged
+),
+per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN first_view_us IS NOT NULL THEN 1 ELSE 0 END) AS reached_view,
+         MAX(CASE WHEN first_click_us IS NOT NULL THEN 1 ELSE 0 END) AS reached_click,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND us >= first_click_us
+                   AND us <= first_click_us + {CONVERT_H * 3600 * 1000000}
+                  THEN 1 ELSE 0 END) AS reached_purchase
+  FROM staged2
+  GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(reached_view) AS BIGINT) AS n_view,
+       CAST(SUM(reached_click) AS BIGINT) AS n_view_click,
+       CAST(SUM(reached_purchase) AS BIGINT) AS n_view_click_purchase
+FROM per_user
+"""
+
+
+@query("funnel_view_click_purchase", oracle=FUNNEL_ORACLE, category="funnel")
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded ordered conversion funnel: users who view, then click
+    within 24h of their FIRST view, then purchase within 24h of that first
+    qualifying click.
+
+    Formulation: two nested full-frame window MINs over one
+    Window.partitionBy(user_id) — both window passes and the per-user
+    aggregate share HashPartitioning(user_id), so the whole funnel is ONE
+    data shuffle, then a single-row global aggregate. The naive per-stage
+    self-join (events ⋈ events ⋈ events on user + time range) shuffles the
+    fact three times and explodes on heavy users; this stays linear at
+    100 TB. Micros arithmetic on both sides so the engines compare the
+    same integers."""
+    bound_us = CONVERT_H * 3600 * 1_000_000
+    w_all = Window.partitionBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    e = events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    staged = e.withColumn(
+        "first_view_us",
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w_all),
+    ).withColumn(
+        "first_click_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("us") >= F.col("first_view_us"))
+                & (F.col("us") <= F.col("first_view_us") + bound_us),
+                F.col("us"),
+            )
+        ).over(w_all),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.when(F.col("first_view_us").isNotNull(), 1).otherwise(0)).alias("reached_view"),
+        F.max(F.when(F.col("first_click_us").isNotNull(), 1).otherwise(0)).alias("reached_click"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") >= F.col("first_click_us"))
+                & (F.col("us") <= F.col("first_click_us") + bound_us),
+                1,
+            ).otherwise(0)
+        ).alias("reached_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("reached_view").cast("long").alias("n_view"),
+        F.sum("reached_click").cast("long").alias("n_view_click"),
+        F.sum("reached_purchase").cast("long").alias("n_view_click_purchase"),
+    )
+
+
 DOWNSAMPLE_ORACLE = """
 SELECT date_trunc('hour', ts) AS bucket,
        event_type,
