@@ -157,6 +157,17 @@ def test_funnel_single_data_shuffle(reports):
         assert set(s["columns"]) <= {"user_id", "ts", "event_id", "event_type"}, s
 
 
+def test_retention_single_fact_shuffle(reports):
+    """Cohort assignment rides ONE user_id exchange; the distinct-count
+    agg on the tiny (cohort, offset) space adds its expand exchange, plus
+    the output sort."""
+    r = reports["retention_daily_cohorts"]
+    assert r.shuffles <= 3, r.shuffles
+    assert r.broadcasts == 0
+    for s in r.scans:
+        assert set(s["columns"]) <= {"user_id", "ts"}, s
+
+
 def test_downsample_is_partial_final_agg(reports):
     """Hourly rollup: map-side combine then one exchange on (bucket, type);
     count_distinct adds its expand-rewrite exchange, plus the output sort."""

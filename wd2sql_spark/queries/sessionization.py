@@ -92,6 +92,47 @@ def sessionize_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RETENTION_ORACLE = """
+WITH firsted AS (
+  SELECT user_id, ts,
+         MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day
+  FROM events
+)
+SELECT cohort_day,
+       date_diff('day', cohort_day, CAST(ts AS DATE)) AS day_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+FROM firsted
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""
+
+
+@query("retention_daily_cohorts", oracle=RETENTION_ORACLE, category="retention")
+def retention_daily_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by the day of their first
+    event; for each (cohort_day, day_offset) count distinct users active
+    that day.
+
+    One full-frame window MIN on Window.partitionBy(user_id) assigns the
+    cohort (single shuffle over the fact), then a distinct-count aggregate
+    on the tiny (cohort, offset) key space. Versus the groupBy-then-join
+    alternative this saves the second fact-wide shuffle of joining the
+    cohort table back; at 100 TB the (cohort, offset) agg input is already
+    pre-shrunk map-side by partial aggregation."""
+    w_all = Window.partitionBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    e = events(spark, sf_dir).select("user_id", F.to_date(F.col("ts")).alias("day"))
+    firsted = e.withColumn("cohort_day", F.min("day").over(w_all))
+    return (
+        firsted.groupBy(
+            "cohort_day", F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 CONVERT_H = 24  # per-stage conversion window, hours
 
 FUNNEL_ORACLE = f"""
