@@ -31,6 +31,8 @@ HEADLINE = (
     "scalar_json_fns",
     "filter_predicates",
     "sort_limit_topk",
+    "sessionize_gap30m",
+    "funnel_view_click_purchase",
 )
 
 
