@@ -133,6 +133,19 @@ def test_salted_join_is_sort_merge_not_broadcast(reports):
     assert "BroadcastHashJoin" not in r.text
 
 
+def test_shipping_priority_is_take_ordered(reports):
+    """Q3 shape: global top-10 must compile to TakeOrderedAndProject
+    (per-partition top-k + 10-row driver merge), never a full sort; all
+    three filters reach the scans; lineitem reads only keys + measures +
+    the filter column."""
+    r = reports["join_shipping_priority_topk"]
+    assert "TakeOrderedAndProject" in r.text
+    assert any("c_mktsegment" in f and "BUILDING" in f for f in r.pushed_filters)
+    assert any("l_shipdate" in f and "GreaterThan" in f for f in r.pushed_filters)
+    li = next(s for s in r.scans if "l_extendedprice" in s["columns"])
+    assert set(li["columns"]) == {"l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
 def test_sessionize_single_data_shuffle(reports):
     """lag→flag→running-sum→agg: ONE hash exchange on user_id serves the
     window AND the (user_id, session_seq) aggregate (HashPartitioning on a

@@ -252,3 +252,49 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+SHIP_PRIORITY_ORACLE = """
+SELECT l.l_orderkey,
+       round(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS revenue,
+       o.o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("join_shipping_priority_topk", oracle=SHIP_PRIORITY_ORACLE, category="joins")
+def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue ranking. Both date filters
+    and the segment filter are applied on the base scans so they push into
+    parquet; the orderkey-grouped aggregate reuses the orders⋈lineitem
+    shuffle partitioning (l_orderkey ⊆ group keys after the equi-join),
+    and the global top-10 is TakeOrderedAndProject — per-partition top-10
+    then a 10-row merge at the driver, never a full sort, the only sane
+    shape at 100 TB. Tiebreak on l_orderkey makes the selected 10 rows a
+    deterministic set for the oracle hash."""
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
