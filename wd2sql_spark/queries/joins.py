@@ -345,3 +345,57 @@ def join_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+DISJUNCTIVE_ORACLE = """
+SELECT round(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1  AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("join_disjunctive_predicate", oracle=DISJUNCTIVE_ORACLE, category="joins")
+def join_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+
+    The disjunction itself can only be evaluated after the join, but each
+    side's HULL of the disjunction (the union of that side's ranges) is a
+    conjunctive filter we apply on the base scans: part shrinks to 3
+    brands × size≤15 (making its broadcast scale-safe — the filtered dim
+    is a tiny fraction of part regardless of SF), and lineitem prunes to
+    quantity≤30 before any join. Catalyst won't always derive these hulls
+    from the OR, so we state them; the residual OR runs post-join on the
+    surviving rows only."""
+    branches = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+        .filter(F.col("p_size").between(1, 15))
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .filter(branches)
+        .agg(
+            F.round(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
