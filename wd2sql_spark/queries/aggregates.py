@@ -227,3 +227,69 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+STATS_MOMENTS_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS sx,
+         SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)
+             * CAST(round(l_quantity * 100, 0) AS BIGINT)) AS sxx,
+         SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sy,
+         SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS syy,
+         SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)
+             * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))) / 100.0, 4)
+         AS stddev_qty,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+         AS corr_qty_price
+FROM m
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_stats_moments", oracle=STATS_MOMENTS_ORACLE, category="aggregates")
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev and Pearson correlation, computed DETERMINISTICALLY:
+    the built-in stddev/corr merge partial double states in partition
+    order, so two engines (or two runs at different parallelism) disagree
+    in the last bits — un-oracle-able. Instead: exact integer moment sums
+    (values scaled to 10^-2 units, accumulated in decimal(38,0) — at
+    100 TB the squared sums pass int64, ~10^30 ≪ 10^38) and the closed
+    forms  var = (nΣx²−(Σx)²)/(n(n−1)),  corr = (nΣxy−ΣxΣy)/√(…·…).
+    The moments are a single partial+final hash agg (one shuffle); the
+    final double ops run on identical integers in both engines, hence
+    identical IEEE results."""
+    qty = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    price = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(qty)).alias("sx"),
+            F.sum(dec(qty * qty)).alias("sxx"),
+            F.sum(dec(price)).alias("sy"),
+            F.sum(dec(price * price)).alias("syy"),
+            F.sum(dec(qty * price)).alias("sxy"),
+        )
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    varnum_x = (n * sxx - sx * sx).cast("double")
+    varnum_y = (n * syy - sy * sy).cast("double")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(F.sqrt(varnum_x / (n.cast("double") * (n - 1))) / 100.0, 4).alias("stddev_qty"),
+        F.round((n * sxy - sx * sy).cast("double") / F.sqrt(varnum_x * varnum_y), 6).alias(
+            "corr_qty_price"
+        ),
+    ).orderBy("l_returnflag")
