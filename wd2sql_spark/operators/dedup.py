@@ -237,3 +237,53 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6, n: int = 3) -> DataFram
     return cand.select(
         "d1", "d2", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("bigint").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Returns (node, cluster_id) where cluster_id = the component's minimum
+    node id. Each iteration is one distributed join + aggregate: every
+    node adopts min(own label, neighbors' labels); convergence when no
+    label changes (checked with a cheap limit(1) probe).
+
+    Scale notes: iterations = O(component diameter) with plain
+    propagation — near-dup graphs are shallow (dups cluster tightly), so
+    this converges in a handful of rounds; for adversarially long chains
+    swap in the large-star/small-star contraction of Kiveris et al., same
+    join shape. ``localCheckpoint`` truncates the per-iteration lineage so
+    plan size stays constant (the classic iterative-algorithm failure on
+    Spark is an exponentially growing logical plan, not the data).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .groupBy(F.col("b").alias("nb"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["nb"], "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("new_lbl"),
+            )
+        )
+        progress = (
+            new_labels.join(labels, "node")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.withColumnRenamed("new_lbl", "lbl").localCheckpoint(eager=True)
+        if progress == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("cluster_id"))

@@ -48,6 +48,7 @@ _MODULES = (
     "wd2sql_spark.queries.llm_sampling",
     "wd2sql_spark.queries.streaming_q",
     "wd2sql_spark.queries.sessionization",
+    "wd2sql_spark.queries.graph",
 )
 
 
