@@ -165,3 +165,44 @@ def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+VALUE_FNS_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       LAST_VALUE(o_orderkey)  OVER w AS latest_order,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_order,
+       round(o_totalprice - FIRST_VALUE(o_totalprice) OVER w, 2) AS delta_vs_first
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@query("window_value_fns", oracle=VALUE_FNS_ORACLE, category="windows")
+def window_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit FULL frame.
+    The frame matters: with the default RANGE ... CURRENT ROW frame,
+    last_value degenerates to the current row — the classic window
+    footgun — so both engines pin UNBOUNDED PRECEDING..UNBOUNDED
+    FOLLOWING and a total order (date + key tiebreak)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("latest_order"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+            F.round(
+                F.col("o_totalprice") - F.first("o_totalprice").over(w), 2
+            ).alias("delta_vs_first"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
