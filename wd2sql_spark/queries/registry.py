@@ -49,6 +49,7 @@ _MODULES = (
     "wd2sql_spark.queries.streaming_q",
     "wd2sql_spark.queries.sessionization",
     "wd2sql_spark.queries.graph",
+    "wd2sql_spark.queries.curation",
 )
 
 
