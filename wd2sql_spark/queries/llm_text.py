@@ -9,7 +9,7 @@ from integer counts, so both engines agree bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wd2sql_spark.catalog import table
@@ -221,4 +221,59 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_tokens"),
         )
         .orderBy("lang", "source")
+    )
+
+
+KEYWORDS_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM tok WHERE length(token) >= 3
+  GROUP BY doc_id, token
+),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) / df.df AS score
+  FROM tf JOIN df ON tf.token = df.token
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token) AS rn
+  FROM scored
+)
+SELECT doc_id, token, tf, CAST(df AS BIGINT) AS df, round(score, 6) AS score, rn
+FROM ranked WHERE rn <= 3
+ORDER BY doc_id, rn
+"""
+
+
+@query("text_keywords_tfidf", oracle=KEYWORDS_ORACLE, category="llm-text")
+def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic keywords per document by a TF-IDF-style score.
+
+    Shape: term-frequency aggregate on (doc, token) — the corpus-sized
+    shuffle — then document-frequency on token (vocabulary-sized, tiny in
+    comparison) joined back broadcast-style, then per-doc top-k via
+    row_number. Score is tf/df rather than tf·log(N/df): same ranking
+    intent, but division of identical integers is bit-identical across
+    engines while libm log differs in the last ulp — an oracle-able
+    metric by construction. Token tiebreak makes the top-3 set exact."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.length("token") >= 3)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "token").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", F.col("df").cast("bigint"), F.round("score", 6).alias("score"), "rn")
+        .orderBy("doc_id", "rn")
     )
