@@ -399,3 +399,39 @@ def join_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+COOCCURRENCE_ORACLE = """
+WITH pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY p1, p2
+)
+SELECT p1, p2, n_orders
+FROM pairs
+ORDER BY n_orders DESC, p1, p2
+LIMIT 20
+"""
+
+
+@query("join_basket_cooccurrence", oracle=COOCCURRENCE_ORACLE, category="joins")
+def join_basket_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order, top-20 by support — the recommendation/co-view shape.
+
+    The self-join shuffles lineitem ONCE on l_orderkey (both sides share
+    the exchange) and emits C(k,2) pairs per order — bounded because
+    basket size k is bounded (TPC-H ≤ 7 lines/order; at 100 TB a real
+    pipeline caps k with a per-order limit before pairing, same plan).
+    Pair counting is partial+final agg; top-20 is TakeOrderedAndProject
+    with (p1, p2) tiebreaks for a deterministic set."""
+    a = table(spark, sf_dir, "lineitem").select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = table(spark, sf_dir, "lineitem").select("l_orderkey", F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, (a["l_orderkey"] == b["l_orderkey"]) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "p1", "p2")
+        .limit(20)
+    )
