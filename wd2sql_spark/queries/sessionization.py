@@ -258,3 +258,80 @@ def ts_downsample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "event_type")
     )
+
+
+ANOMALY_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(round(value * 1000000, 0) AS BIGINT)) AS sx,
+         SUM(CAST(round(value * 1000000, 0) AS BIGINT)
+             * CAST(round(value * 1000000, 0) AS BIGINT)) AS sxx
+  FROM events GROUP BY event_type
+),
+stats AS (
+  SELECT event_type, n,
+         CAST(sx AS DOUBLE) / n / 1000000.0 AS mean,
+         sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))) / 1000000.0 AS sd
+  FROM m
+)
+SELECT e.event_type,
+       s.n,
+       round(s.mean, 4) AS mean_value,
+       round(s.sd, 4) AS stddev_value,
+       CAST(SUM(CASE WHEN abs(e.value - s.mean) > 3 * s.sd THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies
+FROM events e JOIN stats s ON e.event_type = s.event_type
+GROUP BY e.event_type, s.n, s.mean, s.sd
+ORDER BY e.event_type
+"""
+
+
+@query("anomaly_zscore_by_type", oracle=ANOMALY_ORACLE, category="sessionization")
+def anomaly_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 3-sigma outlier count: the monitoring/data-quality
+    shape. Mean/stddev come from exact integer moment sums (see
+    agg_stats_moments — the built-in double aggregates are
+    order-sensitive and can't hash-match), the tiny per-type stats table
+    broadcasts back onto the fact, and the outlier test + count is a
+    second single-shuffle aggregate. Two passes over events, zero
+    fact-sized shuffles beyond the aggregates themselves."""
+    x = F.round(F.col("value") * 1_000_000, 0).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    e = events(spark, sf_dir)
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(x)).alias("sx"),
+        F.sum(dec(x * x)).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    stats = m.select(
+        "event_type",
+        "n",
+        (sx.cast("double") / n / 1_000_000.0).alias("mean"),
+        (
+            F.sqrt((n * sxx - sx * sx).cast("double") / (n.cast("double") * (n - 1)))
+            / 1_000_000.0
+        ).alias("sd"),
+    )
+    s = F.broadcast(stats).alias("s")
+    return (
+        e.alias("e")
+        .join(s, "event_type")
+        .groupBy("event_type", "n", "mean", "sd")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("mean")) > 3 * F.col("sd"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies")
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("mean", 4).alias("mean_value"),
+            F.round("sd", 4).alias("stddev_value"),
+            "n_anomalies",
+        )
+        .orderBy("event_type")
+    )
