@@ -335,3 +335,48 @@ def anomaly_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+GAPFILL_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY day
+)
+SELECT s.day, COALESCE(d.n, 0) AS n_purchases
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+ORDER BY s.day
+"""
+
+
+@query("gapfill_daily_purchases", oracle=GAPFILL_ORACLE, category="sessionization")
+def gapfill_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily purchase counts with zero-filled gaps: a generated
+    date spine (sequence + explode over the observed min/max — a 1-row
+    driver-side-free subplan) left-joined to the per-day aggregate.
+    The aggregate side is tiny (one row per day), so the spine join
+    broadcasts; the only fact-sized work is the day-keyed partial+final
+    count. Time-series charts and training-cadence dashboards need this
+    shape because missing days must read as 0, not NULL/absent."""
+    e = events(spark, sf_dir)
+    bounds = e.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date(F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.join(F.broadcast(daily), "day", "left")
+        .select("day", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_purchases"))
+        .orderBy("day")
+    )
