@@ -293,3 +293,49 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr_qty_price"
         ),
     ).orderBy("l_returnflag")
+
+
+HISTOGRAM_ORACLE = """
+WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+bucketed AS (
+  SELECT least(CAST(floor((o_totalprice - b.lo) / ((b.hi - b.lo) / 10.0)) AS BIGINT), 9)
+           AS bucket,
+         o_totalprice
+  FROM orders, b
+)
+SELECT bucket,
+       COUNT(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo_price,
+       round(max(o_totalprice), 2) AS hi_price
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query("agg_histogram_totalprice", oracle=HISTOGRAM_ORACLE, category="aggregates")
+def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bucket equi-width histogram of order totals. The [min, max]
+    bounds are a 1-row aggregate broadcast-crossed onto the fact, the
+    bucket id is explicit floor arithmetic (identical IEEE ops in both
+    engines — width_bucket's edge conventions differ between engines, so
+    we don't use it), and the histogram itself is a partial+final count
+    on an 10-key space — the shuffle moves ~10 rows per partition at any
+    scale."""
+    o = table(spark, sf_dir, "orders")
+    b = F.broadcast(o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")))
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10.0)),
+        F.lit(9),
+    ).cast("bigint")
+    return (
+        o.crossJoin(b)
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo_price"),
+            F.round(F.max("o_totalprice"), 2).alias("hi_price"),
+        )
+        .orderBy("bucket")
+    )
