@@ -183,3 +183,51 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "d1", "d2")
         .limit(20)
     )
+
+
+EDIT_DISTANCE_ORACLE = """
+WITH blocked AS (
+  SELECT doc_id, lower(text) AS t, substring(lower(text), 1, 16) AS blk
+  FROM documents
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(levenshtein(substring(a.t, 1, 64), substring(b.t, 1, 64)) AS BIGINT)
+         AS edit_dist
+FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(substring(a.t, 1, 64), substring(b.t, 1, 64)) <= 10
+ORDER BY d1, d2
+"""
+
+
+@query("dedup_edit_distance_blocked", oracle=EDIT_DISTANCE_ORACLE, category="llm-dedup")
+def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by Levenshtein distance ≤ 10 on 64-char prefixes,
+    candidate-generated by exact 16-char-prefix blocking.
+
+    Edit distance is O(m·n) per pair, so it can NEVER run all-pairs at
+    scale; the blocking join makes candidates ~linear (each block is an
+    equi-join bucket, shuffled once on the block key), and the quadratic
+    metric runs only inside blocks. Both engines' levenshtein is an exact
+    integer — no float tolerance needed. The prefix caps (16 block / 64
+    compare) bound worst-case cell count per pair regardless of document
+    length."""
+    d = table(spark, sf_dir, "documents")
+    blocked = d.select(
+        "doc_id",
+        F.lower(F.col("text")).alias("t"),
+        F.substring(F.lower(F.col("text")), 1, 16).alias("blk"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    dist = F.levenshtein(
+        F.substring(F.col("a.t"), 1, 64), F.substring(F.col("b.t"), 1, 64)
+    )
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 10)
+        .orderBy("d1", "d2")
+    )
