@@ -147,3 +147,90 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
     return S.lsh_topk(emb, queries, k=5, r=4, dim=64).orderBy("query_id", "rank")
+
+
+CENTROID_ORACLE = """
+WITH dims AS (
+  SELECT vec_id, label,
+         unnest(range(1, len(embedding) + 1)) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS iv
+  FROM embeddings
+),
+per_dim AS (
+  SELECT label, dim, COUNT(*) AS n, SUM(iv) AS sxd
+  FROM dims GROUP BY label, dim
+),
+per_vec AS (
+  SELECT d.vec_id, d.label, p.n,
+         SUM((d.iv * p.n - p.sxd) * (d.iv * p.n - p.sxd)) AS ssd
+  FROM dims d JOIN per_dim p ON d.label = p.label AND d.dim = p.dim
+  GROUP BY d.vec_id, d.label, p.n
+)
+SELECT label,
+       CAST(n AS BIGINT) AS n_vecs,
+       round(CAST(SUM(ssd) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * n * n * 1000000000000.0), 8) AS avg_sq_dist,
+       round(CAST(MAX(ssd) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * n * 1000000000000.0), 8) AS max_sq_dist
+FROM per_vec
+GROUP BY label, n
+ORDER BY label
+"""
+
+
+@query("sim_centroid_dispersion", oracle=CENTROID_ORACLE, category="llm-similarity")
+def sim_centroid_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cluster quality: average and max squared L2 distance of
+    member vectors to their label centroid.
+
+    Everything runs in exact integer arithmetic until the final division:
+    values scale to 10^-6 units, and instead of the rational centroid
+    sx/n we multiply through by n — dist² · n² = Σ_dim (iv·n − Σiv)², an
+    integer in both engines, so the result hash-matches bit-for-bit (a
+    naive double centroid would diverge in the last ulp). Plan: posexplode
+    to (vec, dim) rows, per-(label, dim) sums (tiny — |labels|×64 rows)
+    broadcast back onto the exploded fact, one per-vector aggregate, one
+    per-label aggregate. At 100 TB the only fact-sized shuffle is the
+    per-vector groupBy; the centroid table stays broadcastable at any
+    corpus size since it scales with |labels|, not rows. Magnitudes: iv·n
+    ≈ 10^5·n — decimal(38,0) accumulation keeps the squared sums exact
+    past int64 around n ≈ 10^6 members per label."""
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("val").cast("double") * 1_000_000, 0).cast("long").alias("iv"),
+    )
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("iv").alias("sxd")
+    )
+    diff = F.col("iv") * F.col("n") - F.col("sxd")
+    per_vec = (
+        dims.join(F.broadcast(per_dim), ["label", "dim"])
+        .groupBy("vec_id", "label", "n")
+        .agg(F.sum((diff * diff).cast("decimal(38,0)")).alias("ssd"))
+    )
+    n = F.col("n")
+    return (
+        per_vec.groupBy("label", "n")
+        .agg(F.sum("ssd").alias("sum_ssd"), F.max("ssd").alias("max_ssd"))
+        .select(
+            "label",
+            n.cast("bigint").alias("n_vecs"),
+            F.round(
+                F.col("sum_ssd").cast("double")
+                / (n.cast("double") * n * n * 1_000_000_000_000.0),
+                8,
+            ).alias("avg_sq_dist"),
+            F.round(
+                F.col("max_ssd").cast("double") / (n.cast("double") * n * 1_000_000_000_000.0),
+                8,
+            ).alias("max_sq_dist"),
+        )
+        .orderBy("label")
+    )
