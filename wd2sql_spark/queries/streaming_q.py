@@ -198,3 +198,57 @@ def stream_wd_etl_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("descriptions"), "en").getField("value").alias("description"),
     )
     return run_to_batch(meta, output_mode="append", name="wd_meta").orderBy("id")
+
+
+INTERVAL_JOIN_ORACLE = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       CAST(v.ts AS TIMESTAMP) AS view_ts,
+       CAST(c.ts AS TIMESTAMP) AS click_ts
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+ AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+ORDER BY v.user_id, view_id, click_id
+"""
+
+
+@query("stream_interval_join", oracle=INTERVAL_JOIN_ORACLE, category="streaming")
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each view matched to the same user's
+    clicks arriving within the next 30 minutes.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on BOTH ends, so the state store retains only ~watermark+interval of
+    each side — the requirement for an unbounded stream-stream join to
+    run forever. Append mode (the only mode stream-stream joins support);
+    availableNow over the fixture makes the result exact for the batch
+    oracle."""
+    v = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    c = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    j = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("user_id", "view_id", "click_id", "view_ts", "click_ts")
+    return run_to_batch(j, output_mode="append", name="ijoin").orderBy(
+        "user_id", "view_id", "click_id"
+    )
