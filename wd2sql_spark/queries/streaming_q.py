@@ -252,3 +252,33 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(j, output_mode="append", name="ijoin").orderBy(
         "user_id", "view_id", "click_id"
     )
+
+
+STATIC_ENRICH_ORACLE = """
+SELECT e.event_id, e.user_id, c.c_name, e.event_type,
+       CAST(e.ts AS TIMESTAMP) AS ts
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type IN ('purchase', 'signup')
+ORDER BY e.event_id
+"""
+
+
+@query("stream_static_enrich", oracle=STATIC_ENRICH_ORACLE, category="streaming")
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming events feed enriched with the
+    static customer dimension (user_id = c_custkey). The static side is
+    re-read per micro-batch and broadcast — no state store involved, the
+    canonical dimension-lookup pattern; the stream stays append-only so
+    no watermark is needed."""
+    ev = events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    c = (
+        ev.sparkSession.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey"), "c_name")
+    )
+    j = ev.join(F.broadcast(c), ev["user_id"] == c["c_custkey"]).select(
+        "event_id", "user_id", "c_name", "event_type", "ts"
+    )
+    return run_to_batch(j, output_mode="append", name="senrich").orderBy("event_id")
