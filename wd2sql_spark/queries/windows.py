@@ -206,3 +206,40 @@ def window_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+ROLLING_RANGE_ORACLE = """
+SELECT user_id, event_id, ts,
+       round(SUM(CAST(round(value * 1000000, 0) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+             / 1000000.0, 2) AS value_7d
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
+@query("window_rolling_7d_range", oracle=ROLLING_RANGE_ORACLE, category="windows")
+def window_rolling_7d_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 7-day value sum via a time-based RANGE frame —
+    the moving-aggregate shape ROWS frames can't express (the lookback is
+    an event-time span, not a row count). Ordering on epoch micros makes
+    rangeBetween numeric in both engines, and RANGE's include-all-peers
+    semantics on tied timestamps is identical in both, so no tiebreak
+    column is needed for determinism. One shuffle on user_id; the exact
+    integer-units sum keeps the double reduction order-insensitive."""
+    from wd2sql_spark.catalog import events
+
+    e = events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    rolling = F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(rolling / 1_000_000.0, 2).alias("value_7d"),
+    ).orderBy("user_id", "event_id")
