@@ -146,3 +146,34 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fp", F.col("doc_id").alias("canonical_id"), "cluster_size")
         .orderBy("fp")
     )
+
+
+WEIGHTED_ORACLE = """
+WITH mx AS (SELECT max(n_chars) AS max_chars FROM documents)
+SELECT doc_id, lang, n_chars
+FROM documents, mx
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+      < CAST(round(500000.0 * n_chars / max_chars, 0) AS BIGINT)
+ORDER BY doc_id
+"""
+
+
+@query("sample_weighted_by_length", oracle=WEIGHTED_ORACLE, category="llm_sampling")
+def sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: inclusion probability
+    proportional to document length (p = 0.5 · n_chars / max_chars),
+    decided by the doc's md5 bucket against an integer threshold — so the
+    sample is reproducible across runs, engines, and partitionings, unlike
+    rand()-based sampling. The global max is a 1-row aggregate broadcast
+    onto the scan; the filter itself is narrow (no shuffle). Length-biased
+    sampling is the standard curriculum/token-budget trick: long docs
+    carry more tokens, so uniform doc sampling under-weights them."""
+    d = table(spark, sf_dir, "documents")
+    mx = F.broadcast(d.agg(F.max("n_chars").alias("max_chars")))
+    threshold = F.round(500000.0 * F.col("n_chars") / F.col("max_chars"), 0).cast("long")
+    return (
+        d.crossJoin(mx)
+        .filter(md5_bucket(F.col("doc_id"), 1_000_000) < threshold)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
