@@ -102,3 +102,56 @@ def setop_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT on a projection (hash-aggregate, map-side partial)."""
     l = table(spark, sf_dir, "lineitem")
     return l.select("l_returnflag", "l_linestatus").distinct().orderBy("l_returnflag", "l_linestatus")
+
+
+INTEGRITY_ORACLE = """
+SELECT 'customer_without_nation' AS check_name,
+       (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+         AS n_orphans
+UNION ALL
+SELECT 'lineitem_without_order',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem_without_part',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'order_without_customer',
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+ORDER BY check_name
+"""
+
+
+@query("setop_integrity_audit", oracle=INTEGRITY_ORACLE, category="setops")
+def setop_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every FK edge of
+    the schema, one anti-join per edge, unioned into a single report.
+
+    Each anti-join ships only the key column of both sides (column
+    pruning), and the dimension key sets (nation, customer, part keys)
+    broadcast, so at 100 TB the fact tables are scanned once each with no
+    fact-sized shuffle. The per-check counts then union as 1-row frames —
+    the audit-dashboard shape run before every pipeline promotion."""
+
+    def orphans(name: str, fact: DataFrame, fk: str, dim: DataFrame, pk: str) -> DataFrame:
+        return (
+            fact.select(F.col(fk))
+            .join(F.broadcast(dim.select(F.col(pk))), fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("check_name"), "n_orphans")
+        )
+
+    t = lambda n: table(spark, sf_dir, n)  # noqa: E731
+    checks = [
+        orphans("customer_without_nation", t("customer"), "c_nationkey", t("nation"), "n_nationkey"),
+        orphans("lineitem_without_order", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"),
+        orphans("lineitem_without_part", t("lineitem"), "l_partkey", t("part"), "p_partkey"),
+        orphans("order_without_customer", t("orders"), "o_custkey", t("customer"), "c_custkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
