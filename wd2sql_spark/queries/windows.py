@@ -243,3 +243,53 @@ def window_rolling_7d_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.round(rolling / 1_000_000.0, 2).alias("value_7d"),
     ).orderBy("user_id", "event_id")
+
+
+SHARE_ORACLE = """
+WITH rev AS (
+  SELECT n.n_name,
+         SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) AS rev_units
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name,
+       round(rev_units / 1000000.0, 2) AS revenue,
+       round(CAST(rev_units AS DOUBLE) / SUM(rev_units) OVER (), 6) AS revenue_share
+FROM rev
+ORDER BY revenue_share DESC, n_name
+"""
+
+
+@query("window_revenue_share", oracle=SHARE_ORACLE, category="windows")
+def window_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of total revenue, as an
+    unpartitioned window SUM over the ALREADY-AGGREGATED per-nation rows
+    — the window input is |nations| rows, so the single-partition
+    exchange it needs is trivial at any scale (the naive alternative, a
+    scalar-subquery total recomputed from the fact, scans the fact
+    twice). The share divides the same integer unit sums in both engines."""
+    l, o, c, n = (table(spark, sf_dir, t) for t in ("lineitem", "orders", "customer", "nation"))
+    rev = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1_000_000, 0).cast(
+                    "long"
+                )
+            ).alias("rev_units")
+        )
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.round(F.col("rev_units") / 1_000_000.0, 2).alias("revenue"),
+        F.round(F.col("rev_units").cast("double") / F.sum("rev_units").over(w), 6).alias(
+            "revenue_share"
+        ),
+    ).orderBy(F.col("revenue_share").desc(), "n_name")
