@@ -380,3 +380,43 @@ def gapfill_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_purchases"))
         .orderBy("day")
     )
+
+
+ADJACENCY_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_error_then_purchase,
+       MIN(ts) AS first_occurrence
+FROM seq
+WHERE prev_type = 'error' AND event_type = 'purchase'
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("seq_error_then_purchase", oracle=ADJACENCY_ORACLE, category="sessionization")
+def seq_error_then_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair sequence detection: users who purchased IMMEDIATELY
+    after an error (no intervening event), with occurrence count and
+    first time — the MATCH_RECOGNIZE-lite shape done portably with lag.
+    Unlike the funnel (eventual order), adjacency needs the exact
+    predecessor, which is one lag over the same single user_id exchange
+    the other event-pipeline operators ride; the (ts, event_id) tiebreak
+    makes the predecessor well-defined under timestamp ties in both
+    engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = events(spark, sf_dir)
+    seq = e.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.filter((F.col("prev_type") == "error") & (F.col("event_type") == "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_error_then_purchase"),
+            F.min("ts").alias("first_occurrence"),
+        )
+        .orderBy("user_id")
+    )
