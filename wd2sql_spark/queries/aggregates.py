@@ -8,7 +8,7 @@ partition, not the raw data. Nothing here needs a UDAF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wd2sql_spark.catalog import table
@@ -338,4 +338,38 @@ def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi_price"),
         )
         .orderBy("bucket")
+    )
+
+
+ARRAY_AGG_ORACLE = """
+SELECT c_nationkey,
+       (list(c_name ORDER BY c_acctbal DESC, c_custkey))[1:3] AS top_names
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@query("agg_ordered_array_topn", oracle=ARRAY_AGG_ORACLE, category="aggregates")
+def agg_ordered_array_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-result construction: per nation, the ORDERED list of its
+    top-3 customer names by balance. Spark's collect_list is
+    order-nondeterministic under parallelism, so the portable idiom is
+    pre-rank with row_number (fixing membership AND order), collect
+    (rank, name) structs, array_sort on the rank, then project the names
+    — every step deterministic. The window and the aggregate share the
+    nationkey exchange; collect_list only ever sees ≤3 rows per group, so
+    the nested payload stays bounded at any scale."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    c = table(spark, sf_dir, "customer")
+    top = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    return (
+        top.groupBy("c_nationkey")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "c_name"))),
+                lambda x: x["c_name"],
+            ).alias("top_names")
+        )
+        .orderBy("c_nationkey")
     )
