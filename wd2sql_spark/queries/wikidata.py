@@ -188,3 +188,41 @@ def wd_etl_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     none_t = t["none"].select("id", "property_id", F.lit("none").alias("tbl"))
     unk_t = t["unknown"].select("id", "property_id", F.lit("unknown").alias("tbl"))
     return none_t.unionByName(unk_t).orderBy("tbl", "id")
+
+
+# The reference's signature query shape (README.md:129-157): resolve by
+# constraint-intersection over `entity`, enrich from `meta`. On the fixture,
+# L99 is the only id with both P5972 (= its F2 form) and P5973 (= its S1
+# sense) claims — the "red fruits" pattern with lexeme constraints.
+CONJUNCTIVE_GOLDEN = """
+SELECT * FROM (VALUES (CAST(2000000099 AS BIGINT), 'run')) AS t(id, label)
+ORDER BY id
+"""
+
+
+@query("wd_query_conjunctive", oracle=CONJUNCTIVE_GOLDEN, category="wikidata")
+def wd_query_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's documented query pattern (Q1+Q2+Q3,
+    README.md:129-157) over OUR ETL's actual output tables: two semi-join
+    constraints on `entity` (property 5972 → form L99-F2, property 5973 →
+    sense L99-S1) intersected, then label-enriched from `meta`. In SQLite
+    this is two indexed IN-subqueries; here each constraint is a
+    broadcast left-semi join (the filtered constraint sets are tiny by
+    construction — selective property+value predicates), so the meta scan
+    never shuffles."""
+    t = _etl_tables(spark)
+    ent, meta = t["entity"], t["meta"]
+
+    def constraint(pid: int, eid: int) -> DataFrame:
+        return ent.filter(
+            (F.col("property_id") == pid) & (F.col("entity_id") == eid)
+        ).select("id")
+
+    c1 = constraint(1000005972, 202000000099)
+    c2 = constraint(1000005973, 112000000099)
+    return (
+        meta.join(F.broadcast(c1), "id", "left_semi")
+        .join(F.broadcast(c2), "id", "left_semi")
+        .select("id", "label")
+        .orderBy("id")
+    )
