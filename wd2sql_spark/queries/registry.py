@@ -30,17 +30,18 @@ REGISTRY: dict[str, "Query"] = {}
 
 # Battery modules, imported lazily so a bug in one module doesn't take down
 # the whole registry at import time of the package.
+#
+# ORDER MATTERS: the driver's correctness run is capped (round 1 stopped at
+# registry entry 50), so families that have no driver-green row yet are
+# front-loaded — wikidata ETL goldens, scalar functions, the LLM-pipeline
+# battery, streaming, sessionization, graph, curation, and setops (whose
+# last member was orphaned at position 51 in round 1). The families that
+# were fully driver-verified in round 1 (relational, joins, subqueries,
+# pivots, aggregates, windows) come last; they stay green on the local twin
+# harness (tests/test_oracle_diff.py) regardless.
 _MODULES = (
-    "wd2sql_spark.queries.relational",
-    "wd2sql_spark.queries.joins",
-    "wd2sql_spark.queries.temporal_joins",
-    "wd2sql_spark.queries.subqueries",
-    "wd2sql_spark.queries.pivots",
-    "wd2sql_spark.queries.aggregates",
-    "wd2sql_spark.queries.windows",
-    "wd2sql_spark.queries.setops",
-    "wd2sql_spark.queries.scalar_fns",
     "wd2sql_spark.queries.wikidata",
+    "wd2sql_spark.queries.scalar_fns",
     "wd2sql_spark.queries.llm_dedup",
     "wd2sql_spark.queries.llm_similarity",
     "wd2sql_spark.queries.llm_text",
@@ -50,6 +51,14 @@ _MODULES = (
     "wd2sql_spark.queries.sessionization",
     "wd2sql_spark.queries.graph",
     "wd2sql_spark.queries.curation",
+    "wd2sql_spark.queries.setops",
+    "wd2sql_spark.queries.relational",
+    "wd2sql_spark.queries.joins",
+    "wd2sql_spark.queries.temporal_joins",
+    "wd2sql_spark.queries.subqueries",
+    "wd2sql_spark.queries.pivots",
+    "wd2sql_spark.queries.aggregates",
+    "wd2sql_spark.queries.windows",
 )
 
 
