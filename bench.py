@@ -1,12 +1,17 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "cold_queries": {name: sec}, "sf": ...}.
 
-Each query is timed end-to-end (plan + execute + collect-to-count). A
-warm-up pass on a tiny query amortizes JVM/session startup out of the
-per-query numbers, mirroring how the reference's numbers exclude process
-startup (its 12h figure is steady-state streaming, README.md:17-19).
+Methodology: each query runs TWICE. The first (cold) pass — reported as
+``cold_queries`` — includes plan analysis, codegen compilation, and
+broadcast builds on already-warm file/footer caches. The second (warm)
+pass is the headline ``queries``/``value`` number: steady-state latency
+with plans cached and codegen compiled, which is the regime the
+reference's sub-second query numbers describe (README.md:129-143 —
+measured after index build, on a warm database). Per-plan compile cost is
+a constant that amortizes to zero on a long-lived cluster, but it is
+still visible in ``cold_queries`` so regressions in either regime show.
 """
 
 from __future__ import annotations
@@ -19,7 +24,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: one representative per operator family, weighted toward the
-# shapes that stress shuffle/join/window machinery at scale.
+# shapes that stress shuffle/join/window machinery at scale — including one
+# each from the candidate-generation-heavy LLM families (minhash dedup, IVF
+# ANN, jaccard-graph clustering, the composed curation pass) so a perf
+# regression in the riskiest plans is visible round-over-round.
 HEADLINE = (
     "flagship_semi_join_enrich",
     "agg_pricing_summary",
@@ -33,6 +41,10 @@ HEADLINE = (
     "sort_limit_topk",
     "sessionize_gap30m",
     "funnel_view_click_purchase",
+    "dedup_minhash_lsh",
+    "sim_ivf_topk",
+    "dedup_cluster_components",
+    "curation_pipeline_summary",
 )
 
 
@@ -57,18 +69,9 @@ def main() -> None:
         table(spark, sf_dir, t).count()
     registry["sort_limit_topk"].fn(spark, sf_dir).count()
 
-    # One untimed pass per headline query: the timed pass below measures
-    # steady-state latency (plan cached, codegen compiled, broadcasts
-    # built), which is the regime the reference's sub-second query numbers
-    # describe (README.md:129-143 — measured after index build, on a warm
-    # database). First-touch compile cost is a per-plan constant that
-    # amortizes to zero on a long-lived cluster.
-    for name in HEADLINE:
-        q = registry.get(name)
-        if q is not None:
-            q.fn(spark, sf_dir).count()
-
-    timings: dict[str, float] = {}
+    # Cold pass: first execution of each plan (analysis + codegen +
+    # broadcast build) on warm caches. Timed and reported separately.
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         q = registry.get(name)
         if q is None:
@@ -76,6 +79,16 @@ def main() -> None:
         t0 = time.perf_counter()
         # count() forces full execution of every operator in the plan
         # without driver-side materialization of the result set.
+        q.fn(spark, sf_dir).count()
+        cold[name] = round(time.perf_counter() - t0, 4)
+
+    # Warm pass: steady-state latency — the headline number.
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
         q.fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)
 
@@ -86,6 +99,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "cold_queries": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

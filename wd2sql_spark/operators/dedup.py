@@ -40,7 +40,10 @@ def normalize_text(col: Column) -> Column:
 
 
 def tokens(col: Column) -> Column:
-    return F.split(normalize_text(col), " ")
+    """Whitespace tokens of the lowercased text. One regex pass: splitting
+    on ``\\s+`` after trim is equivalent to normalize_text + split-on-space
+    (collapse-then-split ≡ split-on-runs) at half the scan cost."""
+    return F.split(F.trim(F.lower(col)), r"\s+")
 
 
 def shingles(tokens_col: Column, n: int = 3) -> Column:
@@ -93,6 +96,12 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, max_doc_freq: int | None = None) 
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= max_doc_freq)
         sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
+    # The filtered inverted index feeds THREE consumers (sizes, both join
+    # sides); without persist each one re-runs the tokenize/shingle explode
+    # — the dominant CPU cost. MEMORY_AND_DISK (the persist() default)
+    # spills at scale, and the relation is (id, shingle) — a fraction of
+    # the corpus text.
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -141,7 +150,10 @@ def minhash_lsh_pairs(
     joined — never all pairs.
     Output: (d1, d2, est_jaccard DOUBLE), d1 < d2.
     """
-    sig = minhash_signatures(docs, k, n)
+    # sig feeds the band-key build AND both sides of the estimate join;
+    # persist avoids re-running the k·shingles md5 pipeline three times.
+    # The signature relation is k rows × ~20 B per doc — small at any SF.
+    sig = minhash_signatures(docs, k, n).persist()
     band = sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
     band_key = band.groupBy("doc_id", "band").agg(
         F.concat_ws("|", F.sort_array(F.collect_list(F.concat_ws(":", F.col("seed"), F.col("mh"))))).alias(

@@ -90,10 +90,11 @@ def hyperplanes(dim: int, r: int) -> list[list[float]]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id: bit i = [vec·plane_i > 0]."""
+    """Sign-pattern bucket id: bit i = [vec·plane_i > 0]. Plane arrays are
+    single parsed SQL literals (see _centroid_struct_array on why)."""
     acc = F.lit(0).cast("bigint")
     for i, plane in enumerate(planes):
-        lits = F.array(*[F.lit(x) for x in plane])
+        lits = F.expr("array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in plane) + ")")
         proj = F.aggregate(
             F.zip_with(vec, lits, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
@@ -160,45 +161,50 @@ def collect_centroids(
     cheaper: assignment becomes a narrow map with NO join and NO shuffle.
     (A production build would k-means these; the inverted-file mechanics —
     assign, probe, per-list search — are identical and that is what this
-    operator exercises.)"""
+    operator exercises.)
+
+    The lowest ids are selected with orderBy + limit, NOT ``id < n``: ids
+    need not be dense from 0 (an offset/sparse corpus would silently
+    yield an empty codebook and every vector would assign to cid -1)."""
     rows = (
-        corpus.filter(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col)
+        corpus.select(id_col, vec_col)
         .orderBy(id_col)
+        .limit(n_centroids)
         .collect()
     )
+    if not rows:
+        raise ValueError("collect_centroids: corpus is empty, no codebook")
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
 def _centroid_struct_array(centroids: list[tuple[int, list[float]]]) -> Column:
-    return F.array(
-        *[
-            F.struct(
-                F.lit(cid).cast("bigint").alias("cid"),
-                F.array(*[F.lit(x) for x in vec]).alias("cv"),
-            )
-            for cid, vec in centroids
-        ]
-    )
+    """Codebook as ONE parsed SQL literal. Building it from per-component
+    ``F.lit`` calls costs a py4j round-trip per float (k·dim ≈ thousands,
+    ~1 s of driver time per plan); a single ``F.expr`` string is one call
+    and the JVM parser ingests it in milliseconds. ``repr(float)`` →
+    DOUBLE literal round-trips bit-exactly."""
+    parts = []
+    for cid, vec in centroids:
+        arr = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in vec)
+        parts.append(f"named_struct('cid', CAST({cid} AS BIGINT), 'cv', array({arr}))")
+    return F.expr("array(" + ", ".join(parts) + ")")
 
 
 def ivf_assign(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """Nearest-centroid id by cosine, as a single JVM-side fold over the
-    inlined codebook (strict ``>`` keeps the lowest cid on ties, matching
-    SQL ``ORDER BY score DESC, cid LIMIT 1``)."""
-    init = F.struct(
-        F.lit(-1).cast("bigint").alias("cid"),
-        F.lit(float("-inf")).alias("score"),
-    )
-    folded = F.aggregate(
+    """Nearest-centroid id by cosine: score every codebook entry ONCE
+    (``transform`` — a naive fold would evaluate each cosine twice, in the
+    comparison and again in the taken branch), then ``array_max`` over
+    (score, -cid) structs, whose lexicographic max is the highest score
+    with the LOWEST cid on ties — matching SQL ``ORDER BY score DESC, cid
+    LIMIT 1``."""
+    scored = F.transform(
         _centroid_struct_array(centroids),
-        init,
-        lambda acc, c: F.when(
-            cosine(vec, c["cv"]) > acc["score"],
-            F.struct(c["cid"].alias("cid"), cosine(vec, c["cv"]).alias("score")),
-        ).otherwise(acc),
+        lambda c: F.struct(
+            cosine(vec, c["cv"]).alias("score"),
+            (-c["cid"]).alias("negcid"),
+        ),
     )
-    return folded["cid"]
+    return -F.array_max(scored)["negcid"]
 
 
 def ivf_topk(
@@ -263,15 +269,18 @@ def ivf_topk(
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
-    block_col: str | None = "label",
+    block_col: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
-    ``block_col`` restricts comparisons to equal-key blocks (at scale the
-    block key would be an LSH bucket or cluster id; blocking turns O(n²)
-    into Σ block²). Output: (d1, d2, cosine DOUBLE), d1 < d2.
+    ``block_col`` restricts comparisons to equal-key blocks; the block key
+    must be SIMILARITY-PRESERVING (an LSH bucket — see :func:`lsh_bucket` —
+    or a cluster id), never an arbitrary metadata column: blocking turns
+    O(n²) into Σ block² only if near-duplicates actually share a block.
+    With no block_col every pair is compared (small corpora only).
+    Output: (d1, d2, cosine DOUBLE), d1 < d2.
     """
     cols = [F.col(id_col), F.col(vec_col)]
     if block_col:

@@ -42,7 +42,17 @@ def salted_join(
     derivation is a pure hash, so the plan stays deterministic end-to-end.
     The sort-merge hint pins the strategy: broadcasting ``other`` would
     make salting a no-op and hide the technique under test.
+
+    ``how`` is restricted to joins that replication preserves: with
+    ``other`` copied once per salt, a right/full outer join would emit
+    every unmatched ``other`` row n_salts times.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not replication-safe; "
+            f"unmatched rows of the replicated side would duplicate. Use one of {sorted(allowed)}."
+        )
     b = big.withColumn(SALT, F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).cast("int"))
     salts = F.array(*[F.lit(i) for i in range(n_salts)])
     o = other.withColumn(SALT, F.explode(salts))

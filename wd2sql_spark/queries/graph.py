@@ -24,17 +24,17 @@ from pyspark.sql import functions as F
 
 from wd2sql_spark.catalog import table
 from wd2sql_spark.operators import dedup as D
-from wd2sql_spark.queries.llm_dedup import _SHINGLES_CTE
+from wd2sql_spark.queries.llm_dedup import _CAPPED_SHINGLES_CTE, MAX_SHINGLE_DF
 from wd2sql_spark.queries.registry import query
 
 JACCARD_EDGE_MIN = 0.5  # same-cluster threshold on exact 3-gram Jaccard
 
 CLUSTERS_ORACLE = f"""
-WITH RECURSIVE {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+WITH RECURSIVE {_CAPPED_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 edges AS (
@@ -67,7 +67,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical; the fixpoint then matches by construction."""
     docs = table(spark, sf_dir, "documents")
     edges = (
-        D.jaccard_pairs(docs, n=3)
+        D.jaccard_pairs(docs, n=3, max_doc_freq=MAX_SHINGLE_DF)
         .filter(F.col("jaccard") >= JACCARD_EDGE_MIN)
         .select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
     )

@@ -35,6 +35,26 @@ sh AS (
 )
 """
 
+# Document-frequency cap for the exact-Jaccard family: a shingle appearing
+# in > MAX_SHINGLE_DF docs is boilerplate with no dedup signal, and its
+# candidate contribution is C(df, 2) — one df=10^6 stop-phrase alone would
+# emit 5·10^11 pairs at corpus scale. The cap keeps the inverted-index
+# join linear. 128 is far above every fixture's observed max df (25 at
+# sf0.1), so small-SF results are unchanged; the SAME filter runs in the
+# oracle so the algorithm, not just the fixture outcome, matches.
+MAX_SHINGLE_DF = 128
+
+# shingles with boilerplate (df > cap) dropped; sizes MUST be computed
+# from this relation (the Spark side filters before sizing too).
+_CAPPED_SHINGLES_CTE = f"""{_SHINGLES_CTE},
+shf AS (
+  SELECT sh.doc_id, sh.shingle
+  FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {MAX_SHINGLE_DF}) keep USING (shingle)
+)
+"""
+
 EXACT_ORACLE = f"""
 SELECT md5({_NORM}) AS content_hash,
        CAST(min(doc_id) AS BIGINT) AS keep_id,
@@ -58,11 +78,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JACCARD_ORACLE = f"""
-WITH {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+WITH {_CAPPED_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
@@ -77,10 +97,12 @@ LIMIT 20
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard via shingle inverted-index join; top-20 most
     similar pairs. The join shuffles (doc, shingle) rows — linear in
-    corpus size + candidate pairs, never O(n²)."""
+    corpus size + candidate pairs, never O(n²); the df cap drops
+    boilerplate shingles whose C(df,2) candidate blowup would dominate at
+    corpus scale (mirrored in the oracle)."""
     docs = table(spark, sf_dir, "documents")
     return (
-        D.jaccard_pairs(docs, n=3)
+        D.jaccard_pairs(docs, n=3, max_doc_freq=MAX_SHINGLE_DF)
         .select(
             F.col("d1").cast("bigint"),
             F.col("d2").cast("bigint"),

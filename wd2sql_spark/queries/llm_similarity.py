@@ -59,10 +59,31 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+def _lsh_bucket_sql(col: str, r: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of operators/similarity.lsh_bucket: bit i = sign of the
+    projection onto md5-derived hyperplane i, inlined as literal arrays.
+    Plane components are exact multiples of 0.5 (hex digit − 7.5), so the
+    literals round-trip losslessly and both engines run identical IEEE
+    ops in identical order → identical sign bits."""
+    terms = []
+    for i, plane in enumerate(S.hyperplanes(dim, r)):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        proj = (
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"k -> CAST({col}[k] AS DOUBLE) * ({arr})[k]))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {2**i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
 NEAR_DUP_ORACLE = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS lsh_blk
+  FROM embeddings
+)
 SELECT a.vec_id AS d1, b.vec_id AS d2, round({_cos('a', 'b')}, 6) AS cosine
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
+FROM bucketed a JOIN bucketed b
+  ON a.lsh_blk = b.lsh_blk AND a.vec_id < b.vec_id
 ORDER BY cosine DESC, d1, d2
 LIMIT 20
 """
@@ -71,11 +92,19 @@ LIMIT 20
 @query("sim_cosine_near_dup", oracle=NEAR_DUP_ORACLE, category="llm-similarity")
 def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: top-20 most similar pairs within
-    ``label`` blocks (blocking keeps the pair space Σ block² instead of
-    n²; at scale the block key is an LSH bucket)."""
+    random-hyperplane LSH buckets (r=4 → 16 buckets). The block key is
+    similarity-preserving — high-cosine pairs share a sign pattern with
+    high probability — so blocking prunes the pair space Σ block² while
+    keeping the near-dups it exists to find (an arbitrary metadata block
+    key would scale identically but miss cross-key duplicates). The
+    oracle inlines the same md5-derived hyperplanes, so the bucket ids
+    match bit-for-bit."""
     emb = table(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn(
+        "lsh_blk", S.lsh_bucket(F.col("embedding"), S.hyperplanes(64, 4))
+    )
     return (
-        S.cosine_near_dup_pairs(emb, threshold=-1.0, block_col="label")
+        S.cosine_near_dup_pairs(bucketed, threshold=-1.0, block_col="lsh_blk")
         .select(F.col("d1").cast("bigint"), F.col("d2").cast("bigint"), "cosine")
         .orderBy(F.col("cosine").desc(), "d1", "d2")
         .limit(20)
@@ -97,7 +126,8 @@ def _cos_expr(a: str, b: str) -> str:
 
 IVF_ORACLE = f"""
 WITH cent AS (
-  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+  SELECT vec_id AS cid, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
 assign_scored AS (
   SELECT e.vec_id, e.embedding, c.cid, {_cos_expr('e.embedding', 'c.cv')} AS score
   FROM embeddings e CROSS JOIN cent c),

@@ -66,10 +66,18 @@ def track_streaks(events: DataFrame) -> DataFrame:
             last_type, cur_run, best, n = state.get
         else:
             last_type, cur_run, best, n = None, 0, 0, 0
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            last_type, cur_run, best = _fold_batch(pdf["event_type"], last_type, cur_run, best)
-            n += len(pdf)
+        # The iterator yields the group's batch data in ARBITRARY Arrow
+        # chunks (~spark.sql.execution.arrow.maxRecordsPerBatch rows) with
+        # no ordering guarantee across or within chunks — sorting each
+        # chunk independently would merge runs out of event-time order
+        # whenever a group spans >1 chunk. Concatenate, sort ONCE, fold.
+        # Memory is bounded by a single group's per-batch rows (not the
+        # partition), the same bound applyInPandas itself imposes; the
+        # cross-BATCH carry still lives in group state.
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        last_type, cur_run, best = _fold_batch(pdf["event_type"], last_type, cur_run, best)
+        n += len(pdf)
         state.update((last_type, cur_run, best, n))
         yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "max_streak": [best]})
 
