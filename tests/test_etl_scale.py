@@ -151,3 +151,21 @@ def test_etl_at_volume(spark, tmp_path):
     # CPU steal (observed 6× wall-clock swings on identical runs), so a
     # tight floor would flake; uncontended runs land at 2-5 MB/s.
     assert mbps > 0.25, f"ETL throughput collapsed: {mbps:.2f} MB/s"
+
+
+def test_etl_staged_plan_is_shuffle_free(spark, tmp_path):
+    """The staged single-pass plan (pipeline.py unified_rows) must stay a
+    pure narrow pipeline: one scan + parse + explode, ZERO Exchanges before
+    the partitioned write — the property that makes the ETL embarrassingly
+    parallel over input splits at 1.5 TB. A regression that introduces a
+    shuffle (or Python evaluation) here would silently serialize the whole
+    dump through the cluster fabric."""
+    from wd2sql_spark.etl.pipeline import parse_entities, read_dump, unified_rows
+    from wd2sql_spark.plans.audit import plan_report
+
+    dump = str(tmp_path / "dump")
+    _write_dump(dump)
+    rep = plan_report(unified_rows(parse_entities(read_dump(spark, dump))))
+    assert rep.shuffles == 0, f"staged ETL plan gained a shuffle:\n{rep.text}"
+    assert rep.broadcasts == 0
+    assert not rep.python_eval and not rep.pandas_eval
