@@ -81,7 +81,50 @@ def query(name: str, oracle: str | None = None, category: str = "misc") -> Calla
     return deco
 
 
+# Within the module order above, hand-pick the front of the line: the
+# driver's capped run should reach (a) at least one representative of
+# EVERY family that lacked a driver-green row in round 1 and (b) the two
+# aggregates whose round-1 rows were err/no_oracle — even if the cap cuts
+# mid-list. Names not listed keep their module-order position after these.
+_PRIORITY = (
+    # wikidata ETL goldens — the direct check of the reference's semantics
+    "wd_id_codec",
+    "wd_etl_meta",
+    "wd_etl_string",
+    "wd_etl_entity",
+    "wd_etl_coordinates",
+    "wd_etl_quantity",
+    "wd_etl_time",
+    "wd_etl_presence",
+    "wd_query_conjunctive",
+    # one-query families and round-1 orphans/failures
+    "setop_integrity_audit",
+    "dedup_cluster_components",
+    "curation_pipeline_summary",
+    "agg_ordered_array_topn",
+    "agg_approx_count_distinct",
+    # representatives of the larger unverified families (full families
+    # follow in module order right after the priority block)
+    "stream_wd_etl_meta",
+    "stream_static_enrich",
+    "sessionize_gap30m",
+    "funnel_view_click_purchase",
+    "scalar_string_fns",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_bruteforce_topk",
+    "sim_cosine_near_dup",
+    "text_token_stats",
+    "multimodal_decode_stats",
+    "sample_hash_reproducible",
+)
+
+
 def load_all_modules() -> dict[str, Query]:
     for mod in _MODULES:
         importlib.import_module(mod)
-    return REGISTRY
+    ordered = {name: REGISTRY[name] for name in _PRIORITY if name in REGISTRY}
+    for name, q in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = q
+    return ordered
