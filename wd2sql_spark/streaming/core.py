@@ -52,19 +52,36 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+# Stateful operators create one state-store instance PER shuffle partition
+# per store (a stream-stream join keeps four stores per partition), and the
+# store setup cost dominates a small availableNow run: the fixture interval
+# join is 5× faster at 8 partitions than at 32. On a real cluster the
+# partition count is sized to state volume and cores — here it is a harness
+# knob for running many short stateful queries back to back.
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
 def run_to_batch(sdf: DataFrame, *, output_mode: str = "complete", name: str = "q") -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a memory
     sink; return the materialized result. Unique sink names keep repeated
-    driver invocations independent."""
+    driver invocations independent. The shuffle-partition count is scoped
+    to the run (set at start, restored after): a streaming query pins its
+    state-store layout from the session config at START, so this is the
+    one place the knob can be applied per-query."""
     spark = sdf.sparkSession
     qname = f"stream_{name}_{uuid.uuid4().hex[:8]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(qname)
