@@ -195,3 +195,19 @@ def test_every_scan_prunes_columns(reports):
     r = reports["text_token_stats"]
     for s in r.scans:
         assert len(s["columns"]) <= 6, s
+
+
+def test_quality_family_plans(reports):
+    """The quality-filter battery must stay text-in-scan-only: every query
+    reads exactly (doc_id, text), keeps all hashing/stat arithmetic
+    JVM-side, and stays within its shuffle budget (per-doc stats pay one
+    corpus-sized exchange per independent statistic, never a pair join)."""
+    for n, budget in (
+        ("quality_repetition_metrics", 6),  # gram agg + doc agg + run window + run aggs + join sort
+        ("quality_oov_vocab", 4),           # token tf + vocab rank + doc agg (+ sort)
+        ("quality_boilerplate_windows", 4), # window df + per-doc agg (+ sort)
+    ):
+        r = reports[n]
+        assert r.read_columns == {"doc_id", "text"}, n
+        assert not r.python_eval and not r.pandas_eval, n
+        assert r.shuffles <= budget, (n, r.shuffles)

@@ -1,0 +1,255 @@
+"""Corpus quality-filter battery over ``documents`` — the heuristic rule
+layer of an LLM-training-data pipeline (repetition metrics, learned-
+vocabulary OOV scoring, cross-document boilerplate detection), in the
+style of the published Gopher/C4 filtering rules.
+
+Everything is Catalyst built-ins with exact-integer ratio arithmetic
+(round-6 at the end), so every query has a bit-exact DuckDB oracle. The
+reference has no quality layer (it is a faithful ETL); these are the
+operators a user of its OUTPUT corpus needs before training on it.
+
+Scale shapes:
+- repetition metrics: one explode + per-(doc, gram) partial aggregate —
+  the corpus-sized shuffle every per-doc text statistic pays, nothing
+  quadratic.
+- OOV: a two-step train/apply — fit a top-K vocabulary on the corpus
+  (vocabulary-sized aggregate, tiny), broadcast it back over the token
+  relation. The learned artifact never leaves the JVM.
+- boilerplate windows: sub-document dedup — window hashes shuffle as
+  32-byte digests, never text; cross-doc window frequency is a partial
+  count on the digest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wd2sql_spark.catalog import table
+from wd2sql_spark.queries.registry import query
+
+REPETITION_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+grams AS (
+  SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS gram
+  FROM t WHERE len(ts) >= 2
+),
+gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram),
+gstat AS (
+  SELECT doc_id, MAX(c) AS top_gram_count, SUM(c) AS n_grams, COUNT(*) AS n_distinct_grams
+  FROM gc GROUP BY doc_id
+),
+pos AS (
+  SELECT doc_id, unnest(ts) AS token,
+         generate_subscripts(ts, 1) AS p
+  FROM t
+),
+runs AS (
+  SELECT doc_id, token,
+         p - ROW_NUMBER() OVER (PARTITION BY doc_id, token ORDER BY p) AS grp
+  FROM pos
+),
+rstat AS (
+  SELECT doc_id, MAX(run_len) AS max_token_run
+  FROM (SELECT doc_id, token, grp, COUNT(*) AS run_len FROM runs GROUP BY doc_id, token, grp)
+  GROUP BY doc_id
+)
+SELECT g.doc_id,
+       CAST(g.top_gram_count AS BIGINT) AS top_gram_count,
+       round(CAST(g.top_gram_count AS DOUBLE) / g.n_grams, 6) AS top_gram_frac,
+       round(CAST(g.n_distinct_grams AS DOUBLE) / g.n_grams, 6) AS gram_diversity,
+       CAST(r.max_token_run AS BIGINT) AS max_token_run,
+       CASE WHEN CAST(g.top_gram_count AS DOUBLE) / g.n_grams > 0.18
+              OR r.max_token_run >= 4
+            THEN 'drop' ELSE 'keep' END AS verdict
+FROM gstat g JOIN rstat r ON g.doc_id = r.doc_id
+ORDER BY g.doc_id
+"""
+
+
+@query("quality_repetition_metrics", oracle=REPETITION_ORACLE, category="llm-quality")
+def quality_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition rules per document: the fraction of 2-grams
+    taken by the single most frequent 2-gram, 2-gram diversity, and the
+    longest run of one token repeated consecutively; docs over the
+    repetition thresholds get a drop verdict. One explode feeds a
+    per-(doc, gram) partial aggregate — map-side combine collapses
+    repeated grams before the only corpus-sized shuffle; the run-length
+    pass is the gaps-and-islands window shape on (doc, token) position."""
+    d = table(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ts) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(ts, i), F.element_at(ts, i + 1)),
+    )
+    gc = (
+        d.filter(F.size(ts) >= 2)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    gstat = gc.groupBy("doc_id").agg(
+        F.max("c").alias("top_gram_count"),
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+    )
+
+    pos = d.select("doc_id", F.posexplode(ts).alias("p0", "token")).select(
+        "doc_id", "token", (F.col("p0") + 1).alias("p")
+    )
+    wrun = Window.partitionBy("doc_id", "token").orderBy("p")
+    runs = pos.withColumn("grp", F.col("p") - F.row_number().over(wrun))
+    rstat = (
+        runs.groupBy("doc_id", "token", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").alias("max_token_run"))
+    )
+
+    top_frac = F.col("top_gram_count").cast("double") / F.col("n_grams")
+    return (
+        gstat.join(rstat, "doc_id")
+        .select(
+            "doc_id",
+            F.col("top_gram_count").cast("bigint"),
+            F.round(top_frac, 6).alias("top_gram_frac"),
+            F.round(F.col("n_distinct_grams").cast("double") / F.col("n_grams"), 6).alias(
+                "gram_diversity"
+            ),
+            F.col("max_token_run").cast("bigint"),
+            F.when((top_frac > 0.18) | (F.col("max_token_run") >= 4), "drop")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+VOCAB_K = 100
+
+OOV_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rn
+    FROM tok GROUP BY token) t
+  WHERE rn <= {VOCAB_K}
+),
+flags AS (
+  SELECT t.doc_id,
+         CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok t LEFT JOIN vocab v ON t.token = v.token
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       round(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_ratio
+FROM flags
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("quality_oov_vocab", oracle=OOV_ORACLE, category="llm-quality")
+def quality_oov_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary scoring against a vocabulary LEARNED from the
+    corpus itself: fit the top-{K} tokens by frequency (ties broken by
+    token so the boundary is deterministic), then score every document by
+    the fraction of its token occurrences outside that vocabulary — the
+    fit-then-apply shape of every corpus-trained filter. The vocabulary is
+    a K-row aggregate at any corpus size; the apply side is one broadcast
+    join over the token relation."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    wv = Window.orderBy(F.col("cnt").desc(), "token")
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= VOCAB_K)
+        .select("token")
+    )
+    flags = tok.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "token", "left"
+    ).select("doc_id", F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"))
+    return (
+        flags.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("oov").cast("bigint").alias("n_oov"),
+            F.round(F.sum("oov").cast("double") / F.count(F.lit(1)), 6).alias("oov_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+WINDOW_N = 8  # tokens per boilerplate window
+WINDOW_STRIDE = 4  # stride between window starts
+
+BOILERPLATE_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+win AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(ts, i, i + {WINDOW_N - 1}), ' ')) AS wh
+  FROM (
+    SELECT doc_id, ts, unnest(range(1, len(ts) - {WINDOW_N} + 2, {WINDOW_STRIDE})) AS i
+    FROM t WHERE len(ts) >= {WINDOW_N})
+),
+wdf AS (SELECT wh, COUNT(*) AS n_docs FROM win GROUP BY wh),
+per_doc AS (
+  SELECT w.doc_id,
+         COUNT(*) AS n_windows,
+         SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS n_shared
+  FROM win w JOIN wdf d ON w.wh = d.wh
+  GROUP BY w.doc_id
+)
+SELECT doc_id,
+       CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       round(CAST(n_shared AS DOUBLE) / n_windows, 6) AS shared_frac
+FROM per_doc
+WHERE n_shared > 0
+ORDER BY doc_id
+"""
+
+
+@query("quality_boilerplate_windows", oracle=BOILERPLATE_ORACLE, category="llm-quality")
+def quality_boilerplate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document boilerplate detection: slide a {N}-token window
+    (stride {S}) over every document, hash each window, and flag windows
+    whose hash appears in ≥2 distinct documents — the mechanism for
+    finding repeated headers/footers/templates that whole-document dedup
+    cannot see. Reports per-document shared-window fractions for docs with
+    any shared window. Only 32-byte window digests shuffle (two digest
+    aggregates); text never leaves the scan stage."""
+    d = table(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(1), F.size(ts) - WINDOW_N + 1, F.lit(WINDOW_STRIDE))
+    hashes = F.transform(
+        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(ts, i, WINDOW_N)))
+    )
+    win = (
+        d.filter(F.size(ts) >= WINDOW_N)
+        .select("doc_id", F.explode(F.array_distinct(hashes)).alias("wh"))
+    )
+    wdf = win.groupBy("wh").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        win.join(wdf, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return (
+        per_doc.filter(F.col("n_shared") > 0)
+        .select(
+            "doc_id",
+            F.col("n_windows").cast("bigint"),
+            F.col("n_shared").cast("bigint"),
+            F.round(F.col("n_shared").cast("double") / F.col("n_windows"), 6).alias(
+                "shared_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )

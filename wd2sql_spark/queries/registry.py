@@ -47,6 +47,7 @@ _MODULES = (
     "wd2sql_spark.queries.llm_text",
     "wd2sql_spark.queries.llm_multimodal",
     "wd2sql_spark.queries.llm_sampling",
+    "wd2sql_spark.queries.llm_quality",
     "wd2sql_spark.queries.streaming_q",
     "wd2sql_spark.queries.sessionization",
     "wd2sql_spark.queries.graph",
@@ -117,6 +118,7 @@ _PRIORITY = (
     "text_token_stats",
     "multimodal_decode_stats",
     "sample_hash_reproducible",
+    "quality_repetition_metrics",
 )
 
 
