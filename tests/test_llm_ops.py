@@ -112,3 +112,19 @@ def test_multimodal_roundtrip(spark, docs):
         F.col("n_bytes") != F.octet_length("text")
     )
     assert joined.count() == 0  # binary payload is byte-exact through Arrow
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """Pointer jumping must make convergence O(log diameter): a 1024-node
+    chain (diameter 1023) resolves to ONE component labeled 0 within 12
+    rounds — one-hop-only propagation would need ~1023 and return wrong
+    labels under the same cap. This is the adversarial-graph guarantee
+    that makes the operator safe beyond shallow near-dup clusters."""
+    from wd2sql_spark.operators.dedup import connected_components
+
+    n = 1024
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    comp = connected_components(edges, max_iter=12)
+    rows = comp.collect()
+    assert len(rows) == n
+    assert {r["cluster_id"] for r in rows} == {0}

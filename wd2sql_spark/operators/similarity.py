@@ -266,6 +266,74 @@ def ivf_topk(
     )
 
 
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q_i = round(x_i / scale). 4× memory cut for a stored ANN corpus (the
+    difference between fitting an index in executor memory or not at
+    billions of vectors). Cosine over quantized vectors needs NO dequant:
+    the per-vector scale cancels in dot(q_a,q_b)/(|q_a||q_b|). All ops are
+    round/division built-ins, so the quantized values — and therefore the
+    approximate cosines — are bit-reproducible in any engine."""
+    scale = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
+    return F.transform(vec, lambda x: F.round(x.cast("double") / scale, 0).cast("int"))
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors: same plan shape as
+    :func:`brute_force_topk` (broadcast queries, one corpus scan, windowed
+    top-k), but the score is the integer-domain cosine — the memory-bound
+    regime where the corpus is stored quantized. Output adds the exact
+    cosine of each retrieved pair so recall/error can be audited."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        quantize_int8(F.col(vec_col)).alias("qq"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        quantize_int8(F.col(vec_col)).alias("cq"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+    def qnorm(col: str) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(F.col(col), lambda x: (x * x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).cast("double")
+        )
+
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(qdot.cast("double") / (qnorm("qq") * qnorm("cq")), 6).alias("q_cosine"),
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("exact_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("q_cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "q_cosine", "exact_cosine", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -125,6 +125,44 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_PCTL_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       'ok' AS p50_verdict,
+       'ok' AS p90_verdict
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("agg_approx_percentiles", oracle=APPROX_PCTL_ORACLE, category="aggregates")
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna sketch) scored against the exact
+    percentile, same bound-check contract as agg_approx_count_distinct:
+    Spark computes the sketch p50/p90 AND the exact interpolated
+    percentile and returns within-5% verdicts; the oracle asserts 'ok'.
+    The sketch is the scale path — fixed-size summaries merge map-side
+    instead of sorting the column; the exact twin exists to score it."""
+    o = table(spark, sf_dir, "orders")
+    ap = F.percentile_approx("o_totalprice", [0.5, 0.9], 10_000)
+    ex = F.percentile("o_totalprice", [0.5, 0.9])
+
+    def verdict(i: int):
+        rel = F.abs(ap[i] - ex[i]) / ex[i]
+        return F.when(rel <= 0.05, "ok").otherwise("off")
+
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            verdict(0).alias("p50_verdict"),
+            verdict(1).alias("p90_verdict"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 ROLLUP_ORACLE = """
 SELECT n_name, c_mktsegment,
        COUNT(*) AS n_custs,

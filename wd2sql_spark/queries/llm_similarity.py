@@ -179,6 +179,47 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, k=5, r=4, dim=64).orderBy("query_id", "rank")
 
 
+QUANTIZED_ORACLE = f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings),
+qz AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT)) AS q8
+  FROM s),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(CAST(list_sum(list_transform(range(1, len(a.q8) + 1),
+                                            k -> CAST(a.q8[k] AS BIGINT) * b.q8[k])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(a.q8, x -> CAST(x AS BIGINT) * x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(b.q8, x -> CAST(x AS BIGINT) * x)) AS DOUBLE))),
+               6) AS q_cosine,
+         round({_cos('a', 'b')}, 6) AS exact_cosine
+  FROM qz a JOIN qz b ON a.vec_id < 3 AND a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, q_cosine, exact_cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY q_cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, q_cosine, exact_cosine, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@query("sim_quantized_topk", oracle=QUANTIZED_ORACLE, category="llm-similarity")
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 by cosine over int8-QUANTIZED vectors (symmetric per-vector
+    scale, max|x|/127): the memory-bound regime where the stored corpus is
+    4× smaller and the hot loop is integer multiply-adds. The per-vector
+    scale cancels inside the cosine, so no dequantization happens at query
+    time; the exact cosine of each retrieved pair is returned alongside so
+    quantization error is visible in the result itself. Quantized values
+    are round/divide built-ins — bit-reproducible, hence a full oracle."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return S.quantized_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
 CENTROID_ORACLE = """
 WITH dims AS (
   SELECT vec_id, label,
