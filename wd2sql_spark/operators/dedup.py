@@ -127,16 +127,27 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, max_doc_freq: int | None = None) 
 
 
 def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
-    """(doc_id, seed, mh): per-seed min-hash over the doc's shingles.
-    Partial (map-side) MIN collapses each partition before the shuffle."""
+    """(doc_id, seed, mh): per-seed min-hash over the doc's shingles —
+    the narrow (long) form, unpivoted from :func:`minhash_signatures_wide`."""
+    wide = minhash_signatures_wide(docs, k, n)
+    stack = ", ".join(f"{s}, mh{s}" for s in range(k))
+    return wide.selectExpr("doc_id", f"stack({k}, {stack}) AS (seed, mh)")
+
+
+def minhash_signatures_wide(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}): all k min-hashes in ONE aggregation over the
+    (doc, shingle) relation — k conditional MIN columns instead of a k×
+    seed-explode, so the shuffle carries one row per doc (k·15 bytes) and
+    partial MIN collapses each map partition before it. Same md5-derived
+    values as the narrow form (seed ':' shingle), so oracles are unchanged."""
     sh = doc_shingles(docs, n)
-    hashed = sh.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed"), "shingle")
-    hashed = hashed.select(
-        "doc_id",
-        "seed",
-        F.substring(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))), 1, 15).alias("h"),
-    )
-    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    aggs = [
+        F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))), 1, 15)
+        ).alias(f"mh{s}")
+        for s in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -147,21 +158,35 @@ def minhash_lsh_pairs(
     Bands of ``band_size`` consecutive seeds; docs sharing any full band
     bucket become candidates (probability 1-(1-j^r)^b); the estimate is
     the fraction of equal signature components. Only band buckets are
-    joined — never all pairs.
+    joined — never all pairs. Built on the WIDE signature form: band keys
+    are column concatenations (no per-band aggregate) and the estimate is
+    a row-local sum of k column equalities after two doc-id joins (no
+    per-seed join), so the only corpus-sized work is the one signature
+    aggregation and the band-bucket join itself.
     Output: (d1, d2, est_jaccard DOUBLE), d1 < d2.
     """
     # sig feeds the band-key build AND both sides of the estimate join;
-    # persist avoids re-running the k·shingles md5 pipeline three times.
-    # The signature relation is k rows × ~20 B per doc — small at any SF.
-    sig = minhash_signatures(docs, k, n).persist()
-    band = sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
-    band_key = band.groupBy("doc_id", "band").agg(
-        F.concat_ws("|", F.sort_array(F.collect_list(F.concat_ws(":", F.col("seed"), F.col("mh"))))).alias(
-            "band_key"
-        )
+    # persist avoids re-running the shingle+md5 pipeline three times. The
+    # signature relation is one ~k·16 B row per doc — small at any SF.
+    sig = minhash_signatures_wide(docs, k, n).persist()
+    n_bands = k // band_size
+    # mh columns are fixed-width hex, so plain concatenation is injective.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bb).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{s}") for s in range(bb * band_size, (bb + 1) * band_size)]
+                ).alias("band_key"),
+            )
+            for bb in range(n_bands)
+        ]
     )
-    a = band_key.alias("a")
-    b = band_key.alias("b")
+    bk = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    a = bk.alias("a")
+    b = bk.alias("b")
     cand = (
         a.join(
             b,
@@ -174,15 +199,14 @@ def minhash_lsh_pairs(
     )
     sa = sig.alias("sa")
     sb = sig.alias("sb")
+    eq = sum(
+        (F.when(F.col(f"sa.mh{s}") == F.col(f"sb.mh{s}"), 1).otherwise(0) for s in range(k)),
+        F.lit(0),
+    )
     est = (
         cand.join(sa, F.col("d1") == F.col("sa.doc_id"))
-        .join(sb, (F.col("d2") == F.col("sb.doc_id")) & (F.col("sa.seed") == F.col("sb.seed")))
-        .groupBy("d1", "d2")
-        .agg(
-            (F.sum(F.when(F.col("sa.mh") == F.col("sb.mh"), 1).otherwise(0)) / F.lit(float(k))).alias(
-                "est_jaccard"
-            )
-        )
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .select("d1", "d2", (eq / F.lit(float(k))).alias("est_jaccard"))
     )
     return est.filter(F.col("est_jaccard") >= min_est_jaccard)
 
