@@ -164,3 +164,46 @@ def test_foreach_batch_microbatch_cadence(spark, tmp_path):
     q.stop()
     assert len(seen) == 3, seen
     assert sum(n for _, n in seen) == 3
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Stop/restart semantics: a file-source stream with a checkpoint
+    processes each input file exactly once ACROSS separate query starts —
+    the property that lets a production ingest restart after failure
+    without duplicating or dropping data. Run 1 sees files written before
+    it; run 2 (same checkpoint, new query object) must emit only the files
+    added in between, and the union must be exact."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = StructType([StructField("v", LongType())])
+
+    def write_file(name: str, lo: int, hi: int) -> None:
+        (src / name).write_text("\n".join(f'{{"v": {i}}}' for i in range(lo, hi)) + "\n")
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .json(str(src))
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    write_file("a.json", 0, 10)
+    run_once()
+    first = sorted(r["v"] for r in spark.read.parquet(out).collect())
+    assert first == list(range(10))
+
+    write_file("b.json", 10, 20)
+    run_once()
+    both = sorted(r["v"] for r in spark.read.parquet(out).collect())
+    assert both == list(range(20))  # a.json not reprocessed, b.json not missed
