@@ -27,7 +27,7 @@ reproducible in any engine (this is what makes the DuckDB oracle possible).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 HEX_DIGITS = "0123456789abcdef"
@@ -92,15 +92,17 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, max_doc_freq: int | None = None) 
     only for boilerplate that matters least).
     Output: (d1, d2, jaccard DOUBLE) with d1 < d2.
     """
-    sh = doc_shingles(docs, n)
+    # Persist the RAW inverted index first: the df-filter pass and the
+    # filtered relation's build would otherwise each re-run the
+    # tokenize/shingle explode — the dominant CPU cost. The filtered
+    # relation is persisted too (it feeds THREE consumers: sizes and both
+    # join sides). MEMORY_AND_DISK (the persist() default) spills at
+    # scale, and both relations are (id, shingle) — a fraction of the
+    # corpus text.
+    sh = doc_shingles(docs, n).persist()
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= max_doc_freq)
         sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
-    # The filtered inverted index feeds THREE consumers (sizes, both join
-    # sides); without persist each one re-runs the tokenize/shingle explode
-    # — the dominant CPU cost. MEMORY_AND_DISK (the persist() default)
-    # spills at scale, and the relation is (id, shingle) — a fraction of
-    # the corpus text.
     sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -326,13 +328,19 @@ def connected_components(
                 F.least(F.col("lbl"), F.coalesce(F.col("p_lbl"), F.col("lbl"))).alias("new_lbl"),
             )
         )
-        progress = (
-            new_labels.join(labels, "node")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .limit(1)
-            .count()
+        # Convergence check rides the checkpoint job itself: an Observation
+        # on the (new, old) label join counts changed labels while the
+        # eager localCheckpoint materializes the round — no separate probe
+        # job, no recomputation of the round's joins.
+        obs = Observation()
+        merged = (
+            new_labels.join(labels.withColumnRenamed("lbl", "old_lbl"), "node")
+            .observe(
+                obs, F.sum((F.col("new_lbl") != F.col("old_lbl")).cast("int")).alias("changed")
+            )
+            .select("node", F.col("new_lbl").alias("lbl"))
         )
-        labels = new_labels.withColumnRenamed("new_lbl", "lbl").localCheckpoint(eager=True)
-        if progress == 0:
+        labels = merged.localCheckpoint(eager=True)
+        if obs.get["changed"] == 0:
             break
     return labels.select("node", F.col("lbl").alias("cluster_id"))

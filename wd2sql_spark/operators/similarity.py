@@ -37,8 +37,16 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+def cosine(a: Column, b: Column, na: Column | None = None, nb: Column | None = None) -> Column:
+    """cos(a,b), optionally with PRECOMPUTED norms: in a pairwise join the
+    norms are per-vector quantities, so computing them per PAIR wastes
+    O(pairs·dim) work — carry ``l2_norm`` as a column on each side and
+    pass it here. The factored form runs the exact same IEEE ops in the
+    same order (sqrt each side, then multiply), so results are
+    bit-identical to the inline form and to the SQL oracles."""
+    na = l2_norm(a) if na is None else na
+    nb = l2_norm(b) if nb is None else nb
+    return dot(a, b) / (na * nb)
 
 
 def brute_force_topk(
@@ -53,8 +61,16 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, cosine DOUBLE, rank BIGINT), rank 1..k,
     self-matches excluded, ties broken by neighbor id.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -62,7 +78,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -124,11 +142,13 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     scored = (
@@ -138,7 +158,9 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -228,25 +250,33 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
         ivf_assign(F.col(vec_col), centroids).alias("cid"),
     )
     # Probe lists: explode the codebook per query (n_queries × n_centroids
     # rows — trivially small), rank by the same cosine, keep nprobe.
     q_scored = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-        .select("query_id", "qv", F.explode(_centroid_struct_array(centroids)).alias("c"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            l2_norm(F.col(vec_col)).alias("qn"),
+        )
+        .select(
+            "query_id", "qv", "qn", F.explode(_centroid_struct_array(centroids)).alias("c")
+        )
         .select(
             "query_id",
             "qv",
+            "qn",
             F.col("c.cid").alias("cid"),
-            cosine(F.col("qv"), F.col("c.cv")).alias("cscore"),
+            cosine(F.col("qv"), F.col("c.cv"), na=F.col("qn")).alias("cscore"),
         )
     )
     pw = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(), F.col("cid"))
     probes = (
         q_scored.withColumn("rn", F.row_number().over(pw))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "cid")
+        .select("query_id", "qv", "qn", "cid")
     )
     scored = (
         F.broadcast(probes)
@@ -255,7 +285,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -290,31 +322,32 @@ def quantized_topk(
     top-k), but the score is the integer-domain cosine — the memory-bound
     regime where the corpus is stored quantized. Output adds the exact
     cosine of each retrieved pair so recall/error can be audited."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        quantize_int8(F.col(vec_col)).alias("qq"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        quantize_int8(F.col(vec_col)).alias("cq"),
-    )
-    qdot = F.aggregate(
-        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: (x * y).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-
-    def qnorm(col: str) -> Column:
+    def qnorm(col: Column) -> Column:
         return F.sqrt(
             F.aggregate(
-                F.transform(F.col(col), lambda x: (x * x).cast("long")),
+                F.transform(col, lambda x: (x * x).cast("long")),
                 F.lit(0).cast("long"),
                 lambda acc, v: acc + v,
             ).cast("double")
         )
 
+    def side(df: DataFrame, idalias: str, v: str, qcol: str, n8: str, nx: str) -> DataFrame:
+        q8 = quantize_int8(F.col(vec_col))
+        return df.select(
+            F.col(id_col).alias(idalias),
+            F.col(vec_col).alias(v),
+            q8.alias(qcol),
+            qnorm(q8).alias(n8),
+            l2_norm(F.col(vec_col)).alias(nx),
+        )
+
+    q = side(queries, "query_id", "qv", "qq", "qqn", "qn")
+    c = side(corpus, "neighbor_id", "cv", "cq", "cqn", "cn")
+    qdot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -322,8 +355,10 @@ def quantized_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(qdot.cast("double") / (qnorm("qq") * qnorm("cq")), 6).alias("q_cosine"),
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("exact_cosine"),
+            F.round(qdot.cast("double") / (F.col("qqn") * F.col("cqn")), 6).alias("q_cosine"),
+            F.round(
+                cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+            ).alias("exact_cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("q_cosine").desc(), F.col("neighbor_id"))
@@ -350,7 +385,7 @@ def cosine_near_dup_pairs(
     With no block_col every pair is compared (small corpora only).
     Output: (d1, d2, cosine DOUBLE), d1 < d2.
     """
-    cols = [F.col(id_col), F.col(vec_col)]
+    cols = [F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_nrm")]
     if block_col:
         cols.append(F.col(block_col).alias("_blk"))
     base = emb.select(*cols)
@@ -364,7 +399,15 @@ def cosine_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("d1"),
             F.col(f"b.{id_col}").alias("d2"),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cosine"),
+            F.round(
+                cosine(
+                    F.col(f"a.{vec_col}"),
+                    F.col(f"b.{vec_col}"),
+                    F.col("a._nrm"),
+                    F.col("b._nrm"),
+                ),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
