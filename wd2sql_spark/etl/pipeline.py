@@ -239,6 +239,10 @@ _ITEM = StructType(
         StructField("kind", StringType()),
         StructField("pid", StringType()),
         StructField("c", S.CLAIM),
+        StructField("label", StringType()),
+        StructField("description", StringType()),
+        StructField("line", StringType()),
+        StructField("reason", StringType()),
     ]
 )
 
@@ -265,12 +269,34 @@ def unified_rows(entities: DataFrame) -> DataFrame:
     """
     bad = F.col(S.CORRUPT_COL).isNotNull() | F.col("id").isNull()
     null_claim = F.lit(None).cast(S.CLAIM)
-    null_pid = F.lit(None).cast("string")
+    null_str = F.lit(None).cast("string")
+
+    # Payload columns live INSIDE the item struct that needs them, built
+    # once per entity BEFORE the explode: the meta item carries the
+    # English label/description, the quarantine item carries the raw line
+    # and reason, and claim items carry neither. Hoisting them out of the
+    # exploded relation matters at scale — an entity with n claims would
+    # otherwise replicate its full JSON line and label/description maps
+    # across all n+1 output rows of the explode.
     meta_item = F.struct(
-        F.lit("meta").alias("kind"), null_pid.alias("pid"), null_claim.alias("c")
+        F.lit("meta").alias("kind"),
+        null_str.alias("pid"),
+        null_claim.alias("c"),
+        F.element_at(F.col("labels"), "en").getField("value").alias("label"),
+        F.element_at(F.col("descriptions"), "en").getField("value").alias("description"),
+        null_str.alias("line"),
+        null_str.alias("reason"),
     )
     quar_item = F.struct(
-        F.lit("quarantine").alias("kind"), null_pid.alias("pid"), null_claim.alias("c")
+        F.lit("quarantine").alias("kind"),
+        null_str.alias("pid"),
+        null_claim.alias("c"),
+        null_str.alias("label"),
+        null_str.alias("description"),
+        F.col("line").alias("line"),
+        F.when(F.col(S.CORRUPT_COL).isNotNull(), "corrupt_json")
+        .otherwise("bad_id")
+        .alias("reason"),
     )
     empty_claims = F.array().cast(ArrayType(S.CLAIM))
     claim_items = F.flatten(
@@ -282,7 +308,13 @@ def unified_rows(entities: DataFrame) -> DataFrame:
                     lambda cl: F.coalesce(cl.getField("rank"), F.lit("normal")) != DEPRECATED,
                 ),
                 lambda cl: F.struct(
-                    F.lit("claim").alias("kind"), kv.getField("key").alias("pid"), cl.alias("c")
+                    F.lit("claim").alias("kind"),
+                    kv.getField("key").alias("pid"),
+                    cl.alias("c"),
+                    null_str.alias("label"),
+                    null_str.alias("description"),
+                    null_str.alias("line"),
+                    null_str.alias("reason"),
                 ),
             ),
         )
@@ -291,9 +323,7 @@ def unified_rows(entities: DataFrame) -> DataFrame:
         F.concat(F.array(meta_item), F.coalesce(claim_items, F.array().cast(ArrayType(_ITEM))))
     )
 
-    ex = entities.select(
-        "line", "id", "labels", "descriptions", S.CORRUPT_COL, F.explode(items).alias("it")
-    )
+    ex = entities.select("id", F.explode(items).alias("it"))
     k = F.col("it.kind")
     # Claims whose property id doesn't encode are skipped, matching
     # claims_flat / the reference's per-record tolerance.
@@ -308,16 +338,11 @@ def unified_rows(entities: DataFrame) -> DataFrame:
     return ex.select(
         F.col("id"),
         F.when(k == "claim", encode_wid(F.col("it.pid"))).alias("property_id"),
-        F.when(k == "meta", F.element_at(F.col("labels"), "en").getField("value")).alias("label"),
-        F.when(k == "meta", F.element_at(F.col("descriptions"), "en").getField("value")).alias(
-            "description"
-        ),
+        F.col("it.label").alias("label"),
+        F.col("it.description").alias("description"),
         *[v.alias(key) for key, v in d.items()],
-        F.when(k == "quarantine", F.col("line")).alias("line"),
-        F.when(
-            k == "quarantine",
-            F.when(F.col(S.CORRUPT_COL).isNotNull(), "corrupt_json").otherwise("bad_id"),
-        ).alias("reason"),
+        F.col("it.line").alias("line"),
+        F.col("it.reason").alias("reason"),
         table.alias("table"),
     )
 
