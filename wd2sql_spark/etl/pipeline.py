@@ -118,12 +118,17 @@ def _claim_value_cols(c) -> dict:
     dv_type = c.getField("mainsnak").getField("datavalue").getField("type")
     dv_raw = c.getField("mainsnak").getField("datavalue").getField("value")
 
-    mono = F.from_json(dv_raw, S.MONOTEXT_VALUE)
-    multi = F.from_json(dv_raw, S.MULTITEXT_VALUE)
-    entity_v = F.from_json(dv_raw, S.ENTITYID_VALUE)
-    coord = F.from_json(dv_raw, S.COORD_VALUE)
-    qty = F.from_json(dv_raw, S.QUANTITY_VALUE)
-    time_v = F.from_json(dv_raw, S.TIME_VALUE)
+    # ONE parse of the payload with the union schema (S.MERGED_VALUE);
+    # every per-type expression reads its own fields and ignores the rest
+    # (null for other types). For plain-string payloads from_json yields a
+    # null struct, which every consumer below already guards with dv_type.
+    v = F.from_json(dv_raw, S.MERGED_VALUE)
+    mono = v
+    multi = v
+    entity_v = v
+    coord = v
+    qty = v
+    time_v = v
 
     multi_en = multi.getField("texts").getItem("en")
 
@@ -178,7 +183,9 @@ def _claim_value_cols(c) -> dict:
         "upper_bound": qty.getField("upperBound").try_cast("double"),
         "unit_id": F.when(dv_type == "quantity", encode_entity_url(qty.getField("unit"))),
         "time": F.when(dv_type == "time", parsed_ts),
-        "time_precision": time_v.getField("precision"),
+        # precision parses as DOUBLE in the union schema (shared with
+        # globecoordinate); time's integer precision round-trips exactly.
+        "time_precision": F.when(dv_type == "time", time_v.getField("precision").cast("int")),
         "time_raw": F.when(dv_type == "time", t_raw),
     }
 

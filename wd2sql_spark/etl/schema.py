@@ -118,6 +118,42 @@ MULTITEXT_VALUE = StructType(
     [StructField("texts", MapType(StringType(), StringType()))]
 )
 
+# Union of every per-type payload schema, so the dispatch step parses
+# ``datavalue.value`` exactly ONCE (six separate from_json calls on the
+# same raw text were the dominant dispatch cost — Jackson re-tokenized
+# each claim payload up to six times). Field names are disjoint across
+# types except ``precision``, shared by globecoordinate (double) and time
+# (integer): declared DOUBLE here, cast back to int on the time path —
+# integer JSON literals parse to exact doubles. Fields absent from a
+# payload are simply null, which is what the per-type column expressions
+# already expect.
+MERGED_VALUE = StructType(
+    [
+        # monolingualtext
+        StructField("text", StringType()),
+        StructField("language", StringType()),
+        # multilingualtext (synthetic)
+        StructField("texts", MapType(StringType(), StringType())),
+        # wikibase-entityid
+        StructField("entity-type", StringType()),
+        StructField("numeric-id", LongType()),
+        StructField("id", StringType()),
+        # globecoordinate
+        StructField("latitude", DoubleType()),
+        StructField("longitude", DoubleType()),
+        StructField("precision", DoubleType()),
+        StructField("globe", StringType()),
+        # quantity (amounts arrive as signed decimal strings, "+42")
+        StructField("amount", StringType()),
+        StructField("lowerBound", StringType()),
+        StructField("upperBound", StringType()),
+        StructField("unit", StringType()),
+        # time (e.g. "+2001-12-31T00:00:00Z")
+        StructField("time", StringType()),
+        StructField("calendarmodel", StringType()),
+    ]
+)
+
 # ---------------------------------------------------------------------------
 # Output: the 8 tables (SURVEY §1.3 → Spark types §1.5)
 # ---------------------------------------------------------------------------
