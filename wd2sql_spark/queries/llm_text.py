@@ -93,11 +93,10 @@ ORDER BY doc_id
 """
 
 
-@query("text_quality_score", oracle=QUALITY_ORACLE, category="llm-text")
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score (diversity + length-window + length ramp)
-    with a keep/drop verdict — the filtering stage of a data pipeline."""
-    d = table(spark, sf_dir, "documents")
+def quality_projection(d: DataFrame) -> DataFrame:
+    """The quality-score projection on any documents relation — shared by
+    the batch query and its streaming twin (it is stateless, so the same
+    expressions run per micro-batch unchanged)."""
     ts = F.split(F.col("text"), " ")
     nt = F.size(ts)
     diversity = F.size(F.array_distinct(ts)).cast("double") / nt
@@ -108,7 +107,14 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         score.alias("quality"),
         F.when(score >= 0.5, "keep").otherwise("drop").alias("verdict"),
-    ).orderBy("doc_id")
+    )
+
+
+@query("text_quality_score", oracle=QUALITY_ORACLE, category="llm-text")
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (diversity + length-window + length ramp)
+    with a keep/drop verdict — the filtering stage of a data pipeline."""
+    return quality_projection(table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 def _langid_scores_sql() -> str:

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from wd2sql_spark.etl.pipeline import parse_entities
 from wd2sql_spark.queries.registry import query
 from wd2sql_spark.queries.wikidata import FIXTURE, META_GOLDEN
+from wd2sql_spark.queries.llm_text import QUALITY_ORACLE
 from wd2sql_spark.streaming.core import events_stream, run_to_batch
 
 TUMBLING_ORACLE = """
@@ -198,6 +199,28 @@ def stream_wd_etl_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("descriptions"), "en").getField("value").alias("description"),
     )
     return run_to_batch(meta, output_mode="append", name="wd_meta").orderBy("id")
+
+
+_DOCS_SCHEMA = (
+    "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+)
+
+
+@query("stream_quality_filter", oracle=QUALITY_ORACLE, category="streaming")
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM quality filter as STREAMING ingest: readStream over the
+    documents store → the identical stateless quality projection
+    (queries/llm_text.quality_projection) → append sink. One dataflow,
+    two execution modes — new document shards score incrementally as they
+    land, which is how a production corpus actually arrives. Stateless
+    append with availableNow is batch-exact, so this carries the SAME
+    full-hash oracle as the batch twin (text_quality_score)."""
+    from wd2sql_spark.queries.llm_text import quality_projection
+
+    d = spark.readStream.schema(_DOCS_SCHEMA).parquet(f"{sf_dir}/documents*.parquet")
+    return run_to_batch(quality_projection(d), output_mode="append", name="quality").orderBy(
+        "doc_id"
+    )
 
 
 INTERVAL_JOIN_ORACLE = """
