@@ -36,23 +36,34 @@ def encode_wid(id_col: Column | str) -> Column:
     """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     kind = F.substring(c, 1, 1)
-    # try_cast, not cast: ANSI mode (Spark 4 default) makes CAST('') throw,
-    # and a malformed id must yield NULL, not kill the job (main.rs:206-215).
-    num = F.regexp_extract(c, r"^[QPL](\d+)", 1).try_cast("long")
-    sub_kind = F.regexp_extract(c, r"^L\d+-([FS])(\d+)$", 1)
-    sub_num = F.regexp_extract(c, r"^L\d+-[FS](\d+)$", 1).try_cast("long")
+    # Patterns are anchored at BOTH ends per kind: the reference parses the
+    # digit run with a full-string integer parse (id.rs:6-24), so trailing
+    # garbage ("Q42abc") and suffixes on non-lexeme kinds ("Q42-F1") must
+    # yield NULL, not a prefix parse.
+    # Digit counts are BOUNDED in the pattern (12 for ids, 7 for form/
+    # sense indices — far beyond any real Wikidata id): an unbounded parse
+    # would overflow int64 in the encoding arithmetic for adversarial ids
+    # like 'L1-F99999999', and under ANSI mode (Spark 4 default) overflow
+    # THROWS, killing the job instead of quarantining the record
+    # (main.rs:206-215 skips it). The bound keeps every reachable encoding
+    # < 2^60, and over-long digit runs simply fail the regex → NULL.
+    # try_cast, not cast: ANSI CAST('') throws; unmatched extracts are ''.
+    qp_num = F.regexp_extract(c, r"^[QP](\d{1,12})$", 1).try_cast("long")
+    l_num = F.regexp_extract(c, r"^L(\d{1,12})(-[FS]\d{1,7})?$", 1).try_cast("long")
+    sub_kind = F.regexp_extract(c, r"^L\d{1,12}-([FS])\d{1,7}$", 1)
+    sub_num = F.regexp_extract(c, r"^L\d{1,12}-[FS](\d{1,7})$", 1).try_cast("long")
     return (
-        F.when(kind == "Q", num)
-        .when(kind == "P", num + F.lit(P_OFFSET))
+        F.when(kind == "Q", qp_num)
+        .when(kind == "P", qp_num + F.lit(P_OFFSET))
         .when(
             (kind == "L") & (sub_kind == "F"),
-            num + F.lit(L_OFFSET) + sub_num * F.lit(FORM_FACTOR),
+            l_num + F.lit(L_OFFSET) + sub_num * F.lit(FORM_FACTOR),
         )
         .when(
             (kind == "L") & (sub_kind == "S"),
-            num + F.lit(L_OFFSET) + sub_num * F.lit(FORM_FACTOR) + F.lit(SENSE_OFFSET),
+            l_num + F.lit(L_OFFSET) + sub_num * F.lit(FORM_FACTOR) + F.lit(SENSE_OFFSET),
         )
-        .when(kind == "L", num + F.lit(L_OFFSET))
+        .when(kind == "L", l_num + F.lit(L_OFFSET))
         .otherwise(F.lit(None).cast("long"))
     )
 
@@ -71,16 +82,19 @@ def encode_entity_url(url_col: Column | str) -> Column:
 
 # SQL text of the same codec — usable both to register a Spark SQL function
 # and as the DuckDB oracle twin. [0-9] instead of \d because Spark SQL
-# string literals treat backslash as an escape.
+# string literals treat backslash as an escape. Digit-count bounds match
+# encode_wid (12/7): they keep the arithmetic inside int64 — an unbounded
+# parse would make the engine THROW on overflow for adversarial ids
+# instead of yielding NULL.
 ENCODE_WID_SQL_CASE = """
 CASE
-  WHEN id LIKE 'Q%' THEN TRY_CAST(regexp_extract(id, '^Q([0-9]+)$', 1) AS BIGINT)
-  WHEN id LIKE 'P%' THEN TRY_CAST(regexp_extract(id, '^P([0-9]+)$', 1) AS BIGINT) + 1000000000
-  WHEN id LIKE 'L%-F%' THEN TRY_CAST(regexp_extract(id, '^L([0-9]+)-F[0-9]+$', 1) AS BIGINT) + 2000000000
-       + TRY_CAST(regexp_extract(id, '^L[0-9]+-F([0-9]+)$', 1) AS BIGINT) * 100000000000
-  WHEN id LIKE 'L%-S%' THEN TRY_CAST(regexp_extract(id, '^L([0-9]+)-S[0-9]+$', 1) AS BIGINT) + 2000000000
-       + TRY_CAST(regexp_extract(id, '^L[0-9]+-S([0-9]+)$', 1) AS BIGINT) * 100000000000 + 10000000000
-  WHEN id LIKE 'L%' THEN TRY_CAST(regexp_extract(id, '^L([0-9]+)$', 1) AS BIGINT) + 2000000000
+  WHEN id LIKE 'Q%' THEN TRY_CAST(regexp_extract(id, '^Q([0-9]{1,12})$', 1) AS BIGINT)
+  WHEN id LIKE 'P%' THEN TRY_CAST(regexp_extract(id, '^P([0-9]{1,12})$', 1) AS BIGINT) + 1000000000
+  WHEN id LIKE 'L%-F%' THEN TRY_CAST(regexp_extract(id, '^L([0-9]{1,12})-F[0-9]{1,7}$', 1) AS BIGINT) + 2000000000
+       + TRY_CAST(regexp_extract(id, '^L[0-9]{1,12}-F([0-9]{1,7})$', 1) AS BIGINT) * 100000000000
+  WHEN id LIKE 'L%-S%' THEN TRY_CAST(regexp_extract(id, '^L([0-9]{1,12})-S[0-9]{1,7}$', 1) AS BIGINT) + 2000000000
+       + TRY_CAST(regexp_extract(id, '^L[0-9]{1,12}-S([0-9]{1,7})$', 1) AS BIGINT) * 100000000000 + 10000000000
+  WHEN id LIKE 'L%' THEN TRY_CAST(regexp_extract(id, '^L([0-9]{1,12})$', 1) AS BIGINT) + 2000000000
   ELSE NULL
 END
 """

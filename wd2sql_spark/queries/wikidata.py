@@ -23,8 +23,15 @@ FIXTURE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "..", "..", "tests", "fixtures", "wd_dump.ndjson"
 )
 
-# IDs exercising every arm of id.rs:6-24 incl. the README.md:72-83 examples.
-_CODEC_IDS = ["Q42", "Q1", "P31", "P6", "L99", "L1", "L99-F2", "L99-S1", "L7-F12", "L7-S3", "X9", "Q"]
+# IDs exercising every arm of id.rs:6-24 incl. the README.md:72-83 examples,
+# plus adversarial shapes that must encode NULL identically in both engines:
+# trailing garbage (full-string parse, not prefix), a form suffix on a
+# non-lexeme kind, and an overflow-zone form index (bounded digit counts
+# keep the arithmetic inside int64 instead of throwing under ANSI mode).
+_CODEC_IDS = [
+    "Q42", "Q1", "P31", "P6", "L99", "L1", "L99-F2", "L99-S1", "L7-F12", "L7-S3",
+    "X9", "Q", "Q42abc", "Q42-F1", "L1-F99999999", "Q99999999999999999999",
+]
 
 CODEC_ORACLE = f"""
 SELECT id, {ENCODE_WID_SQL_CASE} AS encoded
