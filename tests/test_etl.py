@@ -96,3 +96,62 @@ def test_sql_codec_function(spark):
         "SELECT encode_wid('Q42') a, encode_wid('P31') b, encode_wid('L99-F2') c, encode_wid('L99-S1') d"
     ).collect()[0]
     assert tuple(got) == (42, 1000000031, 202000000099, 112000000099)
+
+
+def test_malformed_payloads_drop_claim_keep_entity(spark, tmp_path):
+    """Per-claim payload tolerance: a claim whose typed payload fails
+    validation (bad coordinate JSON, non-numeric amount, unencodable
+    entity id, time without precision, unrecognized datavalue type,
+    monolingualtext without text) is DROPPED — it must neither abort the
+    job nor emit a NULL into a NOT NULL output column — while the
+    entity's meta row and its VALID claims survive. (The reference skips
+    the whole entity on a bad claim, value.rs value! -> main.rs:206-215;
+    dropping only the bad claim is strictly more tolerant, documented in
+    _claim_value_cols.) The SQLite export of the result must succeed,
+    proving no constraint-violating row got through."""
+    import json
+
+    from wd2sql_spark.etl.pipeline import parse_entities, read_dump, transform, wd2spark
+    from wd2sql_spark.sinks.sqlite import export_sqlite
+
+    def claim(dv_type, value, snaktype="value"):
+        snak = {"snaktype": snaktype, "property": "P1", "datatype": "x"}
+        if snaktype == "value":
+            snak["datavalue"] = {"type": dv_type, "value": value}
+        return {"mainsnak": snak, "rank": "normal"}
+
+    ent = {
+        "id": "Q7000",
+        "type": "item",
+        "labels": {"en": {"language": "en", "value": "survivor"}},
+        "descriptions": {},
+        "claims": {
+            "P1": [
+                claim("string", "keep-me"),                              # valid
+                claim("globecoordinate", "not json at all"),             # invalid
+                claim("globecoordinate", {"latitude": 1.0}),             # missing fields
+                claim("quantity", {"amount": "abc", "unit": "1"}),       # bad amount
+                claim("wikibase-entityid", {"id": "Q42abc"}),            # bad target id
+                claim("time", {"time": "+2001-01-01T00:00:00Z"}),        # no precision
+                claim("mystery-type", {"x": 1}),                         # unknown type
+                claim("monolingualtext", {"language": "en"}),            # no text
+            ]
+        },
+    }
+    dump = tmp_path / "bad_payloads.ndjson"
+    dump.write_text(json.dumps(ent) + "\n")
+
+    tables = transform(parse_entities(read_dump(spark, str(dump))))
+    assert [tuple(r) for r in tables["meta"].collect()] == [(7000, "survivor", None)]
+    assert [r["string"] for r in tables["string"].collect()] == ["keep-me"]
+    for name in ("entity", "coordinates", "quantity", "time", "none", "unknown"):
+        assert tables[name].count() == 0, name
+    assert tables["quarantine"].count() == 0  # entity itself is well-formed
+
+    # The staged path agrees, and the strict-DDL SQLite export succeeds.
+    out = str(tmp_path / "out")
+    paths = wd2spark(spark, str(dump), out)
+    staged = {n: spark.read.parquet(p) for n, p in paths.items()}
+    assert staged["meta"].count() == 1 and staged["string"].count() == 1
+    counts = export_sqlite(staged, str(tmp_path / "bad.db"))
+    assert counts["meta"] == 1 and counts["string"] == 1 and counts["coordinates"] == 0

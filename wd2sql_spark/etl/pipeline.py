@@ -132,6 +132,26 @@ def _claim_value_cols(c) -> dict:
 
     multi_en = multi.getField("texts").getItem("en")
 
+    # Per-type payload validity: the reference's value! field extraction
+    # (value.rs:201-261) errors on a missing/undecodable required field and
+    # the record is skipped (main.rs:206-215). Here an invalid payload
+    # dispatches to NULL → the claim row is dropped before any table (a
+    # NULL in a required column would otherwise violate the SQLite sink's
+    # NOT NULL DDL). Divergence, documented: the reference skips the WHOLE
+    # entity on a bad claim; we drop only the bad claim and keep the
+    # entity's remaining data — strictly more tolerant, same guarantee
+    # that no malformed value reaches an output table.
+    null_t = F.lit(None).cast("string")
+    coord_ok = (
+        coord.getField("latitude").isNotNull()
+        & coord.getField("longitude").isNotNull()
+        & coord.getField("precision").isNotNull()
+        & encode_entity_url(coord.getField("globe")).isNotNull()
+    )
+    entity_ok = encode_wid(entity_v.getField("id")).isNotNull()
+    qty_ok = qty.getField("amount").try_cast("double").isNotNull()
+    time_ok = time_v.getField("time").isNotNull() & time_v.getField("precision").isNotNull()
+
     value_type = (
         F.when(snaktype == "novalue", "none")
         .when(snaktype == "somevalue", "unknown")
@@ -141,11 +161,12 @@ def _claim_value_cols(c) -> dict:
         # (value.rs:222-229 — a presence row, NOT a null string)
         .when((dv_type == "multilingualtext") & multi_en.isNotNull(), "string")
         .when(dv_type == "multilingualtext", "none")
-        .when(dv_type == "wikibase-entityid", "entity")
-        .when(dv_type == "globecoordinate", "coordinates")
-        .when(dv_type == "quantity", "quantity")
-        .when(dv_type == "time", "time")
-        .otherwise("unknown")
+        .when(dv_type == "wikibase-entityid", F.when(entity_ok, "entity").otherwise(null_t))
+        .when(dv_type == "globecoordinate", F.when(coord_ok, "coordinates").otherwise(null_t))
+        .when(dv_type == "quantity", F.when(qty_ok, "quantity").otherwise(null_t))
+        .when(dv_type == "time", F.when(time_ok, "time").otherwise(null_t))
+        # Unrecognized datavalue types error-skip in the reference too.
+        .otherwise(null_t)
     )
 
     string_val = (
@@ -342,6 +363,9 @@ def unified_rows(entities: DataFrame) -> DataFrame:
         .when(k == "quarantine", "quarantine")
         .otherwise(d.pop("value_type"))
     )
+    # Claims whose payload failed validation dispatch to a NULL table —
+    # drop them here so the staged store holds only routable rows.
+    ex = ex.filter(table.isNotNull())
     return ex.select(
         F.col("id"),
         F.when(k == "claim", encode_wid(F.col("it.pid"))).alias("property_id"),
