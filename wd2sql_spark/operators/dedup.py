@@ -40,10 +40,15 @@ def normalize_text(col: Column) -> Column:
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokens of the lowercased text. One regex pass: splitting
-    on ``\\s+`` after trim is equivalent to normalize_text + split-on-space
-    (collapse-then-split ≡ split-on-runs) at half the scan cost."""
-    return F.split(F.trim(F.lower(col)), r"\s+")
+    """Whitespace tokens of the lowercased text. One regex pass: stripping
+    edge whitespace then splitting on ``\\s+`` is equivalent to
+    normalize_text + split-on-space (collapse-then-split ≡ split-on-runs)
+    at half the scan cost. The edge strip must be a REGEX, not ``trim``:
+    Spark's trim removes only ASCII spaces, so a leading tab/CR/newline
+    would survive and ``split`` would emit a phantom empty first token
+    that collapse-then-split (the oracle form) never produces — caught by
+    tests/test_property_text.py."""
+    return F.split(F.regexp_replace(F.lower(col), r"^\s+|\s+$", ""), r"\s+")
 
 
 def shingles(tokens_col: Column, n: int = 3) -> Column:
