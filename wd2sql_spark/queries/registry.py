@@ -104,6 +104,12 @@ _PRIORITY = (
     "curation_pipeline_summary",
     "agg_ordered_array_topn",
     "agg_approx_count_distinct",
+    # round-2 additions with no driver row yet
+    "agg_approx_percentiles",
+    "sim_quantized_topk",
+    "stream_quality_filter",
+    "quality_oov_vocab",
+    "quality_boilerplate_windows",
     # representatives of the larger unverified families (full families
     # follow in module order right after the priority block)
     "stream_wd_etl_meta",
