@@ -34,8 +34,43 @@ def exact_sum(expr: Column, scale: int = 6) -> Column:
 
 
 def exact_avg(expr: Column, scale: int = 6) -> Column:
-    """Order-insensitive exact mean (integer-units sum / count)."""
+    """Order-insensitive exact mean (integer-units sum / count).
+
+    WARNING: ``round(exact_avg(...), k)`` is NOT cross-engine safe — the
+    quotient can land exactly on a k-decimal half boundary (it has
+    denominator n·10^scale), and on boundaries Spark's round (HALF_UP on
+    the double's shortest decimal representation) and DuckDB's round (on
+    the binary value) disagree. Use :func:`exact_avg_at` for a rounded
+    mean."""
     pow10 = 10**scale
     return (
         F.sum(F.round(expr * F.lit(pow10), 0).cast("long")) / F.lit(float(pow10))
     ) / F.count(F.lit(1))
+
+
+def exact_avg_at(expr: Column, scale: int = 6, out_scale: int = 4) -> Column:
+    """Mean of ``expr`` rounded HALF-UP at ``out_scale`` decimals, computed
+    ENTIRELY in integer arithmetic so the rounding decision is exact and
+    identical in any engine (no double ever sees a half boundary):
+
+        N = S·10^max(out-scale, 0)   M = n·10^max(scale-out, 0)
+        rounded = (2N + M) div (2M)          -- integer floor-division
+        result  = rounded / 10^out           -- one exact final IEEE op
+
+    where S is the integer-units sum. The floor-division is expressed as
+    ``(a - pmod(a, b)) / b``: a − pmod is an exact multiple of b, and
+    dividing exactly-divisible doubles below 2^53 is exact. Requires
+    non-negative sums (all users aggregate non-negative measures).
+
+    SQL twin: ``((2*N + M) // (2*M)) / 10^out.0`` with
+    ``N = SUM(CAST(round(expr*10^scale, 0) AS BIGINT)) * 10^max(out-scale,0)``
+    and ``M = COUNT(*) * 10^max(scale-out,0)``.
+    """
+    s = F.sum(F.round(expr * F.lit(10**scale), 0).cast("long"))
+    n = F.count(F.lit(1))
+    num = s * F.lit(10 ** max(out_scale - scale, 0))
+    den = n * F.lit(10 ** max(scale - out_scale, 0))
+    a = F.lit(2) * num + den
+    b = F.lit(2) * den
+    rounded = (a - F.pmod(a, b)) / b
+    return rounded.cast("long") / F.lit(float(10**out_scale))

@@ -20,9 +20,9 @@ SELECT l_returnflag, l_linestatus,
        round(SUM(l_extendedprice), 2)                               AS sum_base_price,
        round(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS sum_disc_price,
        round(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS sum_charge,
-       round(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 / COUNT(*), 4)      AS avg_qty,
-       round(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_price,
-       round(SUM(CAST(round(l_discount * 100, 0) AS BIGINT)) / 100.0 / COUNT(*), 4)      AS avg_disc,
+       ((2 * SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) * 100 + COUNT(*)) // (2 * COUNT(*))) / 10000.0      AS avg_qty,
+       ((2 * SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) * 100 + COUNT(*)) // (2 * COUNT(*))) / 10000.0 AS avg_price,
+       ((2 * SUM(CAST(round(l_discount * 100, 0) AS BIGINT)) * 100 + COUNT(*)) // (2 * COUNT(*))) / 10000.0      AS avg_disc,
        COUNT(*)                                                     AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -35,10 +35,12 @@ ORDER BY l_returnflag, l_linestatus
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: the canonical wide hash-aggregate. One shuffle on the
     2-column group key; partial aggregation collapses each map partition to
-    ≤6 rows before it. Product-money sums and means use the exact
-    integer-units pattern (see _determinism) so both engines agree to the
-    bit; plain 2-decimal sums are boundary-free at round-2 by rule 1."""
-    from wd2sql_spark.queries._determinism import exact_avg, exact_sum
+    ≤6 rows before it. Product-money sums use the exact integer-units
+    pattern and means are rounded in pure integer arithmetic
+    (_determinism.exact_avg_at) so both engines agree to the bit even on
+    half boundaries; plain 2-decimal sums are boundary-free at round-2 by
+    rule 1."""
+    from wd2sql_spark.queries._determinism import exact_avg_at, exact_sum
 
     l = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -50,9 +52,9 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(exact_sum(disc_price, 6), 2).alias("sum_disc_price"),
             F.round(exact_sum(disc_price * (1 + F.col("l_tax")), 6), 2).alias("sum_charge"),
-            F.round(exact_avg(F.col("l_quantity"), 2), 4).alias("avg_qty"),
-            F.round(exact_avg(F.col("l_extendedprice"), 2), 4).alias("avg_price"),
-            F.round(exact_avg(F.col("l_discount"), 2), 4).alias("avg_disc"),
+            exact_avg_at(F.col("l_quantity"), 2, 4).alias("avg_qty"),
+            exact_avg_at(F.col("l_extendedprice"), 2, 4).alias("avg_price"),
+            exact_avg_at(F.col("l_discount"), 2, 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -231,7 +231,8 @@ SELECT date_trunc('hour', ts) AS bucket,
        COUNT(*) AS n_events,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
        round(SUM(CAST(round(value * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS total_value,
-       round(SUM(CAST(round(value * 1000000, 0) AS BIGINT)) / 1000000.0 / COUNT(*), 4) AS avg_value
+       ((2 * SUM(CAST(round(value * 1000000, 0) AS BIGINT)) + 100 * COUNT(*))
+        // (200 * COUNT(*))) / 10000.0 AS avg_value
 FROM events
 GROUP BY bucket, event_type
 ORDER BY bucket, event_type
@@ -242,8 +243,11 @@ ORDER BY bucket, event_type
 def ts_downsample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly time-bucket rollup per event type: the downsampling shape of
     a time-series store, as one partial+final hash aggregate. avg is
-    derived from the exact integer-units sum so both engines divide the
-    same integers (order-insensitive)."""
+    rounded in pure integer arithmetic (exact_avg_at) — a double round of
+    the quotient flips on half boundaries between engines (caught by the
+    sf0.1 sweep)."""
+    from wd2sql_spark.queries._determinism import exact_avg_at
+
     e = events(spark, sf_dir)
     s = exact_sum(F.col("value"), 6)
     return (
@@ -254,7 +258,7 @@ def ts_downsample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.count_distinct(F.col("user_id")).alias("n_users"),
             F.round(s, 2).alias("total_value"),
-            F.round(s / F.count(F.lit(1)), 4).alias("avg_value"),
+            exact_avg_at(F.col("value"), 6, 4).alias("avg_value"),
         )
         .orderBy("bucket", "event_type")
     )
