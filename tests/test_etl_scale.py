@@ -169,3 +169,49 @@ def test_etl_staged_plan_is_shuffle_free(spark, tmp_path):
     assert rep.shuffles == 0, f"staged ETL plan gained a shuffle:\n{rep.text}"
     assert rep.broadcasts == 0
     assert not rep.python_eval and not rep.pandas_eval
+
+
+def test_etl_claims_heavy_fanout(spark, tmp_path):
+    """Realistic entity shape: real Wikidata entities average dozens of
+    claims, so the explode fan-out (1 entity row → n+1 output rows) is the
+    hot path — the 1-claim-per-entity volume test never exercises it.
+    2k entities × 60 claims each (all dispatch arms) must produce exact
+    per-table counts through the staged single-pass plan, and the explode
+    must not blow memory or time (it is a narrow op: no shuffle, rows
+    stream through codegen)."""
+    import time
+
+    n_entities, claims_per = 2_000, 60
+    dump = tmp_path / "heavy.ndjson"
+    with open(dump, "w") as f:
+        for i in range(n_entities):
+            f.write(
+                json.dumps(
+                    {
+                        "id": f"Q{i + 1}",
+                        "type": "item",
+                        "labels": {"en": {"language": "en", "value": f"e{i}"}},
+                        "descriptions": {},
+                        "claims": {"P31": [_claim(j) for j in range(claims_per)]},
+                    }
+                )
+                + "\n"
+            )
+
+    out = str(tmp_path / "out")
+    t0 = time.perf_counter()
+    paths = wd2spark(spark, str(dump), out, staged=True)
+    elapsed = time.perf_counter() - t0
+
+    # Per entity: 60 claims cycle templates 0..9 six times → 6 of each arm.
+    per_entity = {"string": 12, "entity": 6, "coordinates": 6, "quantity": 6,
+                  "time": 6, "none": 12, "unknown": 6}  # t7 deprecated → dropped
+    counts = {name: spark.read.parquet(p).count() for name, p in paths.items()}
+    assert counts["meta"] == n_entities
+    assert counts["quarantine"] == 0
+    for name, want in per_entity.items():
+        assert counts[name] == want * n_entities, (name, counts[name])
+
+    total_rows = n_entities * (1 + sum(per_entity.values()))
+    print(f"\nclaims-heavy: {total_rows} output rows in {elapsed:.1f}s")
+    assert elapsed < 120, f"claims-heavy ETL too slow: {elapsed:.1f}s"
