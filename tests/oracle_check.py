@@ -68,16 +68,89 @@ def _sort_key(row):
     return tuple((x is None, str(x)) for x in row)
 
 
+# The driver converts results to pandas (Spark toPandas / DuckDB fetchdf)
+# and hashes dtype-sensitively: DuckDB HUGEINT (any integer SUM) and
+# DECIMAL become float64 ("1.0") while Spark's BIGINT stays int64 ("1") —
+# equal values, different hash (bit sessionize_gap30m in r2). List/struct
+# cells crash its pandas hasher outright (bit agg_ordered_array_topn in r1,
+# scalar_array_fns in r2). Classify both sides into "hash classes" and
+# fail on any divergence so the sweep predicts the driver, not just value
+# equality.
+def _spark_hash_class(dt: str) -> str:
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("decimal"):
+        return "ERR:spark decimal — cast to double"
+    if dt in ("timestamp", "timestamp_ntz"):
+        return "ts"
+    if dt in ("date",):
+        return "date"
+    if dt in ("boolean",):
+        return "bool"
+    if dt in ("string", "varchar"):
+        return "str"
+    if dt in ("binary",):
+        return "bytes"
+    return f"ERR:spark {dt} — driver hasher cannot factorize complex cells"
+
+
+def _duck_hash_class(dt: str) -> str:
+    dt = dt.upper()
+    if dt in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if dt == "HUGEINT":
+        return "ERR:duck HUGEINT → pandas float64 — CAST(... AS BIGINT) in oracle"
+    if dt in ("FLOAT", "DOUBLE"):
+        return "float"
+    if dt.startswith("DECIMAL"):
+        return "ERR:duck DECIMAL → pandas float64 — CAST(... AS DOUBLE) in oracle"
+    if dt.startswith("TIMESTAMP"):
+        return "ts"
+    if dt == "DATE":
+        return "date"
+    if dt == "BOOLEAN":
+        return "bool"
+    if dt == "VARCHAR":
+        return "str"
+    if dt == "BLOB":
+        return "bytes"
+    return f"ERR:duck {dt} — driver hasher cannot factorize complex cells"
+
+
+def _dtype_parity_errors(spark_df, duck_rel) -> list[str]:
+    errs = []
+    s_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
+    d_types = dict(zip(duck_rel.columns, (str(t) for t in duck_rel.types)))
+    for col in sorted(set(s_types) & set(d_types)):
+        sc, dc = _spark_hash_class(s_types[col]), _duck_hash_class(d_types[col])
+        for c in (sc, dc):
+            if c.startswith("ERR:"):
+                errs.append(f"dtype col {col}: {c[4:]}")
+        if not sc.startswith("ERR:") and not dc.startswith("ERR:") and sc != dc:
+            errs.append(
+                f"dtype col {col}: hash-class mismatch spark {s_types[col]}({sc}) "
+                f"vs duck {d_types[col]}({dc}) — driver hash will differ"
+            )
+    return errs
+
+
 def compare(name: str, spark_df, oracle_sql: str, sf_dir: str) -> CompareResult:
     res = CompareResult(name=name, ok=True)
     spark_cols = list(spark_df.columns)
     spark_rows = [tuple(r) for r in spark_df.collect()]
 
     con = _duckdb_con(sf_dir)
-    duck = con.execute(oracle_sql)
-    duck_cols = [d[0] for d in duck.description]
+    duck = con.sql(oracle_sql)
+    duck_cols = list(duck.columns)
+    dtype_errs = _dtype_parity_errors(spark_df, duck)
     duck_rows = duck.fetchall()
     con.close()
+    if dtype_errs:
+        res.ok = False
+        res.errors.extend(dtype_errs)
 
     if sorted(spark_cols) != sorted(duck_cols):
         res.ok = False

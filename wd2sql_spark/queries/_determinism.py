@@ -48,19 +48,26 @@ def exact_avg(expr: Column, scale: int = 6) -> Column:
     ) / F.count(F.lit(1))
 
 
+def _int_div(a: Column, b: Column) -> Column:
+    """Exact LONG integral division via Spark's ``div`` operator (JVM long
+    arithmetic, truncation toward zero — same as DuckDB's ``//`` on
+    BIGINT). Unlike the former ``(a - pmod(a, b)) / b`` double expression,
+    exactness does NOT depend on a < 2^53 (ADVICE r2)."""
+    return F.call_function("div", a.cast("long"), b.cast("long"))
+
+
 def exact_avg_at(expr: Column, scale: int = 6, out_scale: int = 4) -> Column:
     """Mean of ``expr`` rounded HALF-UP at ``out_scale`` decimals, computed
     ENTIRELY in integer arithmetic so the rounding decision is exact and
     identical in any engine (no double ever sees a half boundary):
 
         N = S·10^max(out-scale, 0)   M = n·10^max(scale-out, 0)
-        rounded = (2N + M) div (2M)          -- integer floor-division
+        rounded = (2N + M) div (2M)          -- integer truncating division
         result  = rounded / 10^out           -- one exact final IEEE op
 
-    where S is the integer-units sum. The floor-division is expressed as
-    ``(a - pmod(a, b)) / b``: a − pmod is an exact multiple of b, and
-    dividing exactly-divisible doubles below 2^53 is exact. Requires
-    non-negative sums (all users aggregate non-negative measures).
+    where S is the integer-units sum. Requires non-negative sums (all
+    users aggregate non-negative measures; with them, truncation equals
+    floor and both engines' integer division agree).
 
     SQL twin: ``((2*N + M) // (2*M)) / 10^out.0`` with
     ``N = SUM(CAST(round(expr*10^scale, 0) AS BIGINT)) * 10^max(out-scale,0)``
@@ -70,7 +77,37 @@ def exact_avg_at(expr: Column, scale: int = 6, out_scale: int = 4) -> Column:
     n = F.count(F.lit(1))
     num = s * F.lit(10 ** max(out_scale - scale, 0))
     den = n * F.lit(10 ** max(scale - out_scale, 0))
-    a = F.lit(2) * num + den
-    b = F.lit(2) * den
-    rounded = (a - F.pmod(a, b)) / b
-    return rounded.cast("long") / F.lit(float(10**out_scale))
+    rounded = _int_div(F.lit(2) * num + den, F.lit(2) * den)
+    return rounded / F.lit(float(10**out_scale))
+
+
+def exact_sum_at(
+    expr: Column, scale: int = 6, out_scale: int = 2, div: int = 1
+) -> Column:
+    """``round(SUM(expr) / div, out_scale)`` computed entirely in integer
+    arithmetic — the rounded-sum twin of :func:`exact_avg_at`.
+
+    ``round(exact_sum(x, s), k)`` with k < true decimal count of the
+    summand is NOT cross-engine safe: the total S/10^s can land exactly on
+    a k-decimal half boundary (x.xx5), where Spark (HALF_UP on the
+    double's shortest decimal repr) and DuckDB (rounding the binary value)
+    can disagree. Here the half-up decision is made on exact integers:
+
+        value   = S / (div · 10^scale)
+        N       = S · 10^max(out-scale, 0)
+        M       = div · 10^max(scale-out, 0)
+        rounded = (2N + M) div (2M)
+        result  = rounded / 10^out
+
+    Requires non-negative sums. Returns NULL on empty/all-NULL input
+    (like SUM) — coalesce afterwards if 0.0 is wanted.
+
+    SQL twin (scale=6, out=2, div=1):
+    ``((2 * SUM(CAST(round(x * 1000000, 0) AS BIGINT)) + 10000) // 20000)
+    / 100.0``.
+    """
+    s = F.sum(F.round(expr * F.lit(10**scale), 0).cast("long"))
+    num = s * F.lit(10 ** max(out_scale - scale, 0))
+    den = F.lit(div * 10 ** max(scale - out_scale, 0))
+    rounded = _int_div(F.lit(2) * num + den, F.lit(2) * den)
+    return rounded / F.lit(float(10**out_scale))

@@ -18,8 +18,8 @@ PRICING_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        round(SUM(l_quantity), 2)                                    AS sum_qty,
        round(SUM(l_extendedprice), 2)                               AS sum_base_price,
-       round(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS sum_disc_price,
-       round(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS sum_charge,
+       ((2 * SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000, 0) AS BIGINT)) + 10000) // 20000) / 100.0 AS sum_disc_price,
+       ((2 * SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0) AS BIGINT)) + 10000) // 20000) / 100.0 AS sum_charge,
        ((2 * SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) * 100 + COUNT(*)) // (2 * COUNT(*))) / 10000.0      AS avg_qty,
        ((2 * SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) * 100 + COUNT(*)) // (2 * COUNT(*))) / 10000.0 AS avg_price,
        ((2 * SUM(CAST(round(l_discount * 100, 0) AS BIGINT)) * 100 + COUNT(*)) // (2 * COUNT(*))) / 10000.0      AS avg_disc,
@@ -40,7 +40,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_determinism.exact_avg_at) so both engines agree to the bit even on
     half boundaries; plain 2-decimal sums are boundary-free at round-2 by
     rule 1."""
-    from wd2sql_spark.queries._determinism import exact_avg_at, exact_sum
+    from wd2sql_spark.queries._determinism import exact_avg_at, exact_sum_at
 
     l = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -50,8 +50,8 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(exact_sum(disc_price, 6), 2).alias("sum_disc_price"),
-            F.round(exact_sum(disc_price * (1 + F.col("l_tax")), 6), 2).alias("sum_charge"),
+            exact_sum_at(disc_price, 6, 2).alias("sum_disc_price"),
+            exact_sum_at(disc_price * (1 + F.col("l_tax")), 6, 2).alias("sum_charge"),
             exact_avg_at(F.col("l_quantity"), 2, 4).alias("avg_qty"),
             exact_avg_at(F.col("l_extendedprice"), 2, 4).alias("avg_price"),
             exact_avg_at(F.col("l_discount"), 2, 4).alias("avg_disc"),

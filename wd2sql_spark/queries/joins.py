@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wd2sql_spark.catalog import table
-from wd2sql_spark.queries._determinism import exact_sum
+from wd2sql_spark.queries._determinism import exact_sum_at
 from wd2sql_spark.queries.registry import query
 
 INNER_ORACLE = """
@@ -147,7 +147,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 SALTED_ORACLE = """
 SELECT o.o_orderpriority,
        COUNT(*) AS n_lines,
-       round(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS revenue
+       ((2 * SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) + 10000) // 20000) / 100.0 AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
@@ -175,7 +175,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_lines"),
-            F.round(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6), 2).alias(
+            exact_sum_at(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6, 2).alias(
                 "revenue"
             ),
         )
@@ -185,7 +185,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MULTIWAY_ORACLE = """
 SELECT n.n_name,
-       round(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS revenue
+       ((2 * SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) + 10000) // 20000) / 100.0 AS revenue
 FROM customer c
 JOIN orders o    ON c.c_custkey = o.o_custkey
 JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
@@ -246,7 +246,7 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exact integer-units sum (see queries/_determinism.py): a plain
             # double SUM is order-sensitive and flips round-2 boundaries
             # between engines.
-            F.round(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6), 2).alias(
+            exact_sum_at(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6, 2).alias(
                 "revenue"
             )
         )
@@ -256,7 +256,7 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SHIP_PRIORITY_ORACLE = """
 SELECT l.l_orderkey,
-       round(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS revenue,
+       ((2 * SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) + 10000) // 20000) / 100.0 AS revenue,
        o.o_orderdate,
        o.o_orderpriority
 FROM customer c
@@ -290,7 +290,7 @@ def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, l["l_orderkey"] == o["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6), 2).alias(
+            exact_sum_at(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6, 2).alias(
                 "revenue"
             )
         )
@@ -302,7 +302,7 @@ def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RETURNED_ITEM_ORACLE = """
 SELECT c.c_custkey, c.c_name,
-       round(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS revenue,
+       ((2 * SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) + 10000) // 20000) / 100.0 AS revenue,
        n.n_name
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -337,7 +337,7 @@ def join_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6), 2).alias(
+            exact_sum_at(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6, 2).alias(
                 "revenue"
             )
         )
@@ -348,7 +348,7 @@ def join_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DISJUNCTIVE_ORACLE = """
-SELECT round(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS revenue,
+SELECT ((2 * SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) + 10000) // 20000) / 100.0 AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -393,7 +393,7 @@ def join_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
         .filter(branches)
         .agg(
-            F.round(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6), 2).alias(
+            exact_sum_at(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6, 2).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_lines"),

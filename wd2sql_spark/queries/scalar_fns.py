@@ -147,7 +147,7 @@ SELECT doc_id,
        string_split(text, ' ')[1]                              AS first_token,
        array_to_string(list_sort(list_distinct(string_split(substr(text, 1, 40), ' '))), ',') AS prefix_vocab,
        CAST(list_contains(string_split(text, ' '), 'spark') AS BOOLEAN) AS has_spark,
-       list_transform(string_split(substr(text, 1, 20), ' '), x -> upper(x)) AS prefix_uc,
+       array_to_string(list_transform(string_split(substr(text, 1, 20), ' '), x -> upper(x)), ',') AS prefix_uc,
        round(list_aggregate(list_transform(string_split(substr(text, 1, 40), ' '), x -> CAST(length(x) AS DOUBLE)), 'sum'), 1) AS prefix_len_sum
 FROM documents
 ORDER BY doc_id
@@ -159,7 +159,9 @@ def scalar_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """split/size/element_at/array_distinct+sort/array_contains/transform/
     aggregate — the array surface behind claims flattening (main.rs:86-90).
     `transform`/`aggregate` are Catalyst higher-order functions: they run
-    per-row inside codegen, not as UDFs."""
+    per-row inside codegen, not as UDFs. Array-valued results are
+    array_join'd to strings on BOTH sides — the driver's pandas hasher
+    cannot factorize list cells (bit this query in r2)."""
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     prefix_toks = F.split(F.substring(F.col("text"), 1, 40), " ")
@@ -169,9 +171,10 @@ def scalar_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(toks, 1).alias("first_token"),
         F.array_join(F.array_sort(F.array_distinct(prefix_toks)), ",").alias("prefix_vocab"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.transform(F.split(F.substring(F.col("text"), 1, 20), " "), lambda x: F.upper(x)).alias(
-            "prefix_uc"
-        ),
+        F.array_join(
+            F.transform(F.split(F.substring(F.col("text"), 1, 20), " "), lambda x: F.upper(x)),
+            ",",
+        ).alias("prefix_uc"),
         F.round(
             F.aggregate(
                 prefix_toks,

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wd2sql_spark.catalog import events
-from wd2sql_spark.queries._determinism import exact_sum
+from wd2sql_spark.queries._determinism import exact_sum_at
 from wd2sql_spark.queries.registry import query
 
 GAP_MIN = 30  # session gap threshold, minutes
@@ -46,12 +46,13 @@ sessioned AS (
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM flagged
 )
-SELECT user_id, session_seq,
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
        MIN(ts) AS session_start,
        MAX(ts) AS session_end,
        COUNT(*) AS n_events,
        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
-       round(SUM(CAST(round(value * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS total_value
+       ((2 * SUM(CAST(round(value * 1000000, 0) AS BIGINT)) + 10000) // 20000) / 100.0 AS total_value
 FROM sessioned
 GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq
@@ -64,7 +65,12 @@ def sessionize_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     longer than 30 minutes; emit per-session start/end/counts/value.
 
     lag → boundary flag → running sum = session id; then aggregate per
-    (user_id, session_seq). Single shuffle (see module docstring)."""
+    (user_id, session_seq). Single shuffle (see module docstring).
+
+    Driver-hash notes (both bitten in r2): the oracle's windowed SUM is a
+    DuckDB HUGEINT, which pandas renders float64 ("1.0" vs Spark's "1") —
+    it must be CAST to BIGINT; and the rounded money sum uses exact_sum_at
+    so the half-up decision happens on exact integers in both engines."""
     order = ["ts", "event_id"]  # event_id tiebreak → total order per user
     w = Window.partitionBy("user_id").orderBy(*order)
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -86,7 +92,7 @@ def sessionize_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_clicks"),
-            F.round(exact_sum(F.col("value"), 6), 2).alias("total_value"),
+            exact_sum_at(F.col("value"), 6, 2).alias("total_value"),
         )
         .orderBy("user_id", "session_seq")
     )
@@ -230,7 +236,7 @@ SELECT date_trunc('hour', ts) AS bucket,
        event_type,
        COUNT(*) AS n_events,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-       round(SUM(CAST(round(value * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS total_value,
+       ((2 * SUM(CAST(round(value * 1000000, 0) AS BIGINT)) + 10000) // 20000) / 100.0 AS total_value,
        ((2 * SUM(CAST(round(value * 1000000, 0) AS BIGINT)) + 100 * COUNT(*))
         // (200 * COUNT(*))) / 10000.0 AS avg_value
 FROM events
@@ -249,7 +255,6 @@ def ts_downsample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wd2sql_spark.queries._determinism import exact_avg_at
 
     e = events(spark, sf_dir)
-    s = exact_sum(F.col("value"), 6)
     return (
         e.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("bucket"), F.col("event_type")
@@ -257,7 +262,7 @@ def ts_downsample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.count_distinct(F.col("user_id")).alias("n_users"),
-            F.round(s, 2).alias("total_value"),
+            exact_sum_at(F.col("value"), 6, 2).alias("total_value"),
             exact_avg_at(F.col("value"), 6, 4).alias("avg_value"),
         )
         .orderBy("bucket", "event_type")

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wd2sql_spark.catalog import table
-from wd2sql_spark.queries._determinism import exact_sum
+from wd2sql_spark.queries._determinism import exact_sum_at
 from wd2sql_spark.queries.registry import query
 
 IN_AGG_ORACLE = """
@@ -98,7 +98,7 @@ def subq_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SCALAR_AVG_ORACLE = """
-SELECT round(SUM(CAST(round(l.l_extendedprice * 1000000, 0) AS BIGINT)) / 1000000.0 / 7.0, 2)
+SELECT ((2 * SUM(CAST(round(l.l_extendedprice * 1000000, 0) AS BIGINT)) + 70000) // 140000) / 100.0
        AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -123,7 +123,7 @@ def subq_scalar_avg_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
         .join(per_part, l["l_partkey"] == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(F.round(exact_sum(F.col("l_extendedprice"), 6) / F.lit(7.0), 2).alias("avg_yearly"))
+        .agg(exact_sum_at(F.col("l_extendedprice"), 6, 2, div=7).alias("avg_yearly"))
     )
 
 
@@ -132,7 +132,7 @@ WITH cut AS (
   SELECT SUM(CAST(round(c_acctbal * 1000000, 0) AS BIGINT)) / 1000000.0 / count(*) AS avg_bal
   FROM customer WHERE c_acctbal > 0.0)
 SELECT c.c_mktsegment, count(*) AS numcust,
-       round(SUM(CAST(round(c.c_acctbal * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS totacctbal
+       ((2 * SUM(CAST(round(c.c_acctbal * 1000000, 0) AS BIGINT)) + 10000) // 20000) / 100.0 AS totacctbal
 FROM customer c, cut
 WHERE c.c_acctbal > cut.avg_bal
 GROUP BY c.c_mktsegment
@@ -160,7 +160,7 @@ def subq_scalar_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(exact_sum(F.col("c_acctbal"), 6), 2).alias("totacctbal"),
+            exact_sum_at(F.col("c_acctbal"), 6, 2).alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
     )

@@ -256,7 +256,7 @@ WITH rev AS (
   GROUP BY n.n_name
 )
 SELECT n_name,
-       round(rev_units / 1000000.0, 2) AS revenue,
+       ((2 * rev_units + 10000) // 20000) / 100.0 AS revenue,
        round(CAST(rev_units AS DOUBLE) / SUM(rev_units) OVER (), 6) AS revenue_share
 FROM rev
 ORDER BY revenue_share DESC, n_name
@@ -285,10 +285,15 @@ def window_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev_units")
         )
     )
+    from wd2sql_spark.queries._determinism import _int_div
+
     w = Window.partitionBy()
+    # half-up on exact integers: the 4-decimal product sum rounded at 2
+    # can land on a half boundary where the engines' double rounds flip
+    rev_rounded = _int_div(F.lit(2) * F.col("rev_units") + F.lit(10_000), F.lit(20_000))
     return rev.select(
         "n_name",
-        F.round(F.col("rev_units") / 1_000_000.0, 2).alias("revenue"),
+        (rev_rounded / F.lit(100.0)).alias("revenue"),
         F.round(F.col("rev_units").cast("double") / F.sum("rev_units").over(w), 6).alias(
             "revenue_share"
         ),
