@@ -3,9 +3,9 @@
 The exact dot-product fold is bit-identical between Spark's
 ``aggregate``/``zip_with`` left-fold and DuckDB's sequential list fold
 (verified empirically), so brute-force cosine results can be
-hash-compared; ``round(·, 6)`` guards the residual boundary risk. The LSH
-variant is the scale path — Spark-only (rows-only driver check) but its
-recall is pinned against brute force in tests/test_llm_ops.py.
+hash-compared; ``round(·, 6)`` guards the residual boundary risk. Every query here has a
+full DuckDB oracle — including the LSH variant, whose md5-derived
+hyperplanes are inlined as SQL literals.
 """
 
 from __future__ import annotations
@@ -167,13 +167,38 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).orderBy("query_id", "rank")
 
 
-@query("sim_lsh_topk", oracle=None, category="llm-similarity")
+LSH_TOPK_ORACLE = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_cos('q', 'c')}, 6) AS cosine
+  FROM bucketed q JOIN bucketed c
+    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 3
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@query("sim_lsh_topk", oracle=LSH_TOPK_ORACLE, category="llm-similarity")
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH bucketing (r=4 → 16
     buckets): the 100 TB path where candidates come from the query's
-    bucket only. Deterministic (hyperplanes are md5-derived) but
-    non-SQL-expressible concisely → rows-only driver check; recall vs
-    brute force is asserted in tests/test_llm_ops.py."""
+    bucket only. Fully deterministic — the hyperplanes are a pure md5
+    function of (dim, r) with half-integer components, so the oracle
+    inlines the identical literals (same trick as sim_cosine_near_dup's
+    bucket twin) and the bucket ids and cosines hash-match bit-for-bit;
+    recall vs brute force is additionally asserted in
+    tests/test_llm_ops.py."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
     return S.lsh_topk(emb, queries, k=5, r=4, dim=64).orderBy("query_id", "rank")

@@ -82,13 +82,52 @@ def query(name: str, oracle: str | None = None, category: str = "misc") -> Calla
     return deco
 
 
-# Within the module order above, hand-pick the front of the line: the
-# driver's capped run should reach (a) at least one representative of
-# EVERY family that lacked a driver-green row in round 1 and (b) the two
-# aggregates whose round-1 rows were err/no_oracle — even if the cap cuts
-# mid-list. Names not listed keep their module-order position after these.
+# Within the module order above, hand-pick the front of the line for the
+# driver's capped (~50-entry) run. Round 3: (a) the two round-2 failures
+# first to confirm their fixes, (b) the 17 queries with no CORRECTNESS row
+# in any round (r1 ∪ r2) so every registered query ends the round with a
+# cumulative driver row, (c) sim_lsh_topk whose oracle is new this round,
+# (d) a rotation of earlier-green families to re-confirm under the
+# changed exact_sum_at arithmetic. Names not listed keep their
+# module-order position after these.
 _PRIORITY = (
-    # wikidata ETL goldens — the direct check of the reference's semantics
+    # round-2 failures, fixed this round — must re-verify
+    "sessionize_gap30m",
+    "scalar_array_fns",
+    # the 17 never-driver-checked queries (r1 ∪ r2 gap)
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_dedup_within_watermark",
+    "stream_stateful_streaks",
+    "stream_interval_join",
+    "retention_daily_cohorts",
+    "ts_downsample_hourly",
+    "anomaly_zscore_by_type",
+    "gapfill_daily_purchases",
+    "seq_error_then_purchase",
+    "multimodal_resize_thumbs",
+    "multimodal_frame_sample",
+    "sample_stratified_by_lang",
+    "sample_weighted_by_length",
+    "agg_percentiles_doc_length",
+    "dedup_canonical_pick",
+    # newly-oracled this round (was the last rows-only entry)
+    "sim_lsh_topk",
+    # re-confirm the families whose money-sum arithmetic changed this
+    # round (exact_sum_at): one representative per touched module
+    "agg_pricing_summary",
+    "join_multiway_local_supplier_volume",
+    "join_shipping_priority_topk",
+    "join_returned_item_ranking",
+    "join_skew_salted",
+    "join_basket_cooccurrence",
+    "subq_scalar_avg_part",
+    "subq_scalar_global_avg",
+    "window_revenue_share",
+    "window_rolling_7d_range",
+    "funnel_view_click_purchase",
+    # wikidata ETL goldens — keep the reference-semantics check in-cap
     "wd_id_codec",
     "wd_etl_meta",
     "wd_etl_string",
@@ -98,33 +137,9 @@ _PRIORITY = (
     "wd_etl_time",
     "wd_etl_presence",
     "wd_query_conjunctive",
-    # one-query families and round-1 orphans/failures
-    "setop_integrity_audit",
+    # iterative/curation one-query families
     "dedup_cluster_components",
     "curation_pipeline_summary",
-    "agg_ordered_array_topn",
-    "agg_approx_count_distinct",
-    # round-2 additions with no driver row yet
-    "agg_approx_percentiles",
-    "sim_quantized_topk",
-    "stream_quality_filter",
-    "quality_oov_vocab",
-    "quality_boilerplate_windows",
-    # representatives of the larger unverified families (full families
-    # follow in module order right after the priority block)
-    "stream_wd_etl_meta",
-    "stream_static_enrich",
-    "sessionize_gap30m",
-    "funnel_view_click_purchase",
-    "scalar_string_fns",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "sim_bruteforce_topk",
-    "sim_cosine_near_dup",
-    "text_token_stats",
-    "multimodal_decode_stats",
-    "sample_hash_reproducible",
-    "quality_repetition_metrics",
 )
 
 
