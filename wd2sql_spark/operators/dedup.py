@@ -82,7 +82,19 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, shingle) inverted-index relation."""
+    """(doc_id, shingle) inverted-index relation.
+
+    The tokenize+shingle explode is the CPU-dominant step of every
+    shingle-based dedup, and a small parquet input arrives as a handful
+    of scan partitions (one ~15 MB file → one task under the 128 MB split
+    size), serializing it on one core. When the scan is narrower than the
+    cluster, pre-spread the documents by id first — the shuffled payload
+    is one text row per doc, negligible next to the explode it
+    parallelizes. On a 100 TB corpus the scan already has thousands of
+    splits and the branch is a no-op."""
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism, F.col(id_col))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle"),
@@ -96,15 +108,30 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, max_doc_freq: int | None = None) 
     join linear when stop-phrases appear (dropped shingles lower recall
     only for boilerplate that matters least).
     Output: (d1, d2, jaccard DOUBLE) with d1 < d2.
+
+    The inverted index carries xxhash64(shingle), not the shingle text:
+    every downstream use (df cap, sizes, the pair self-join) is
+    equality-only, so an 8-byte key does the same work as a ~25-byte
+    string at a third of the shuffle volume — the same
+    shuffle-digests-not-text rule the exact-dedup path follows. Collision
+    risk merging two shingles is ~n²/2⁶⁵ (≈2e-9 at 10⁶ distinct
+    shingles per partition-of-comparison) and only perturbs one pair
+    count if the colliding shingles co-occur; the cross-engine sweep
+    would surface it deterministically.
     """
-    # Persist the RAW inverted index first: the df-filter pass and the
-    # filtered relation's build would otherwise each re-run the
-    # tokenize/shingle explode — the dominant CPU cost. The filtered
-    # relation is persisted too (it feeds THREE consumers: sizes and both
-    # join sides). MEMORY_AND_DISK (the persist() default) spills at
-    # scale, and both relations are (id, shingle) — a fraction of the
-    # corpus text.
-    sh = doc_shingles(docs, n).persist()
+    # Persist ONE relation — the final (df-capped) inverted index, which
+    # feeds three consumers (sizes and both self-join sides); without
+    # caching each would re-run the tokenize/shingle explode. The raw
+    # index is deliberately NOT cached: with a cap it appears twice in
+    # the filtered plan (df-count pass + semi-join probe), so the explode
+    # runs twice inside the first materialization — cheaper than the
+    # former raw-persist + eager-count + unpersist dance, which cost an
+    # extra blocking job per call and, before r2's ADVICE, leaked a
+    # duplicate (doc_id, shingle) cache into executor storage for the
+    # life of the session. MEMORY_AND_DISK (the persist() default)
+    # spills at scale, and the cached relation is (id, 8-byte hash) — a
+    # small fraction of the corpus text.
+    sh = doc_shingles(docs, n).select("doc_id", F.xxhash64("shingle").alias("shingle"))
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= max_doc_freq)
         sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
@@ -288,64 +315,77 @@ def connected_components(
     """Connected components by min-label propagation with pointer jumping.
 
     Returns (node, cluster_id) where cluster_id = the component's minimum
-    node id. Each iteration is two distributed joins: every node adopts
-    min(own label, neighbors' labels), then JUMPS to its label's label
-    (path halving, as in pointer-jumping PRAM algorithms / the
-    Kiveris-et-al star contractions) — so label distance to the component
-    minimum roughly halves per round ON TOP of the one-hop propagation,
-    and convergence is O(log diameter) instead of O(diameter). A 1024-node
-    chain converges in ~8 rounds rather than ~1024 — the property that
-    makes the operator safe on adversarial graphs at corpus scale, not
-    just on the shallow clusters of near-dup data. Convergence is checked
-    with a cheap limit(1) probe; ``localCheckpoint`` truncates the
-    per-iteration lineage so plan size stays constant (the classic
-    iterative-algorithm failure on Spark is an exponentially growing
-    logical plan, not the data).
+    node id. The label seed IS round 1: grouping the symmetrized edge
+    list by endpoint yields min(node, min neighbor) directly, fusing the
+    old distinct-nodes pre-job with the first adopt-min pass. Each loop
+    round then min-aggregates three candidate relations in ONE shuffle —
+    the node's own label, labels pushed across edges (adopt-min), and the
+    label's label (pointer jump / path halving, as in pointer-jumping
+    PRAM algorithms and the Kiveris-et-al star contractions) — so label
+    distance to the component minimum roughly halves per round on top of
+    the one-hop propagation, and convergence is O(log diameter) instead
+    of O(diameter). A 1024-node chain converges in ~8 rounds rather than
+    ~1024 — the property that makes the operator safe on adversarial
+    graphs at corpus scale, not just on the shallow clusters of near-dup
+    data.
+
+    Per-round exchanges: the edge⋈label join is exchange-FREE (both sides
+    stay hash-partitioned on the join key across ``localCheckpoint``,
+    which preserves outputPartitioning), the jump self-join re-shuffles
+    only the |nodes|-sized label relation, and the union's min-aggregate
+    is the single data-sized shuffle. Convergence is observed on the
+    aggregate itself by carrying each node's previous label through the
+    union (tagged leg + max-ignoring-nulls), so no separate old⋈new join
+    or probe job runs; the null-safe ``not changed`` check also exits
+    after one round on an empty edge relation, where the observed SUM is
+    NULL (ADVICE r2). ``localCheckpoint`` truncates per-iteration lineage
+    so plan size stays constant (the classic iterative-algorithm failure
+    on Spark is an exponentially growing logical plan, not the data).
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.repartition(F.col("a")).localCheckpoint(eager=True)
+    # The seed is round 1's adopt-min and stays a LAZY plan over the
+    # checkpointed edges: it appears three times in round 1's plan (one
+    # per union leg), but each occurrence is a small zero-exchange
+    # aggregate over the cached, pre-partitioned sym — cheaper at toy and
+    # cluster scale alike than materializing it as its own checkpoint
+    # job. From round 2 on, `labels` is always a checkpointed relation.
     labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn("lbl", F.col("node"))
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        nbr_min = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("min_nbr"))
+        .select(F.col("a").alias("node"), F.least(F.col("a"), F.col("min_nbr")).alias("lbl"))
+    )
+    lbl_type = labels.schema["lbl"].dataType.simpleString()
+    for _ in range(max_iter - 1):
+        own = labels.select("node", "lbl", F.col("lbl").alias("old_lbl"))
+        pushed = (
             sym.join(labels, sym["a"] == labels["node"])
-            .groupBy(F.col("b").alias("nb"))
-            .agg(F.min("lbl").alias("nbr_lbl"))
+            .select(F.col("b").alias("node"), "lbl")
+            .withColumn("old_lbl", F.lit(None).cast(lbl_type))
         )
-        stepped = (
-            labels.join(nbr_min, labels["node"] == nbr_min["nb"], "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
+        jumped = (
+            labels.join(
+                labels.select(F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")),
+                F.col("lbl") == F.col("p_node"),
             )
+            .select("node", F.col("p_lbl").alias("lbl"))
+            .withColumn("old_lbl", F.lit(None).cast(lbl_type))
         )
-        # Pointer jump: node.lbl ← lbl(node.lbl). Every label IS a node id
-        # present in `labels`, so the lookup join always hits; left join +
-        # coalesce guards the self-label identity rows all the same.
-        parent = stepped.select(F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl"))
-        new_labels = (
-            stepped.join(parent, stepped["lbl"] == parent["p_node"], "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("p_lbl"), F.col("lbl"))).alias("new_lbl"),
-            )
-        )
-        # Convergence check rides the checkpoint job itself: an Observation
-        # on the (new, old) label join counts changed labels while the
-        # eager localCheckpoint materializes the round — no separate probe
-        # job, no recomputation of the round's joins.
         obs = Observation()
-        merged = (
-            new_labels.join(labels.withColumnRenamed("lbl", "old_lbl"), "node")
+        new_labels = (
+            own.unionByName(pushed)
+            .unionByName(jumped)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"), F.max("old_lbl").alias("old_lbl"))
             .observe(
-                obs, F.sum((F.col("new_lbl") != F.col("old_lbl")).cast("int")).alias("changed")
+                obs,
+                F.sum((F.col("lbl") != F.col("old_lbl")).cast("int")).alias("changed"),
             )
-            .select("node", F.col("new_lbl").alias("lbl"))
+            .select("node", "lbl")
         )
-        labels = merged.localCheckpoint(eager=True)
-        if obs.get["changed"] == 0:
+        labels = new_labels.localCheckpoint(eager=True)
+        if not obs.get["changed"]:
             break
     return labels.select("node", F.col("lbl").alias("cluster_id"))
