@@ -128,3 +128,21 @@ def test_connected_components_long_chain_converges_fast(spark):
     rows = comp.collect()
     assert len(rows) == n
     assert {r["cluster_id"] for r in rows} == {0}
+
+
+def test_quantize_int8_zero_vector_yields_zeros(spark):
+    """An all-zero embedding has scale 0; x/0 is NaN and round(NaN)
+    .cast('int') aborts the job under ANSI mode (Spark 4 default). The
+    guard must quantize the degenerate vector to zeros instead of killing
+    the whole quantized_topk run (per-record tolerance, ADVICE r2)."""
+    df = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, [1.0, -2.0, 0.5, 0.0])], ["vec_id", "embedding"]
+    )
+    rows = {
+        r.vec_id: r.q8
+        for r in df.select(
+            "vec_id", S.quantize_int8(F.col("embedding")).alias("q8")
+        ).collect()
+    }
+    assert rows[1] == [0, 0, 0, 0]
+    assert rows[2][1] == -127  # max-magnitude component pins the scale

@@ -305,9 +305,16 @@ def quantize_int8(vec: Column) -> Column:
     billions of vectors). Cosine over quantized vectors needs NO dequant:
     the per-vector scale cancels in dot(q_a,q_b)/(|q_a||q_b|). All ops are
     round/division built-ins, so the quantized values — and therefore the
-    approximate cosines — are bit-reproducible in any engine."""
+    approximate cosines — are bit-reproducible in any engine.
+
+    An all-zero vector gives scale = 0 → x/scale = NaN, and round(NaN)
+    .cast('int') aborts the whole job under ANSI mode (Spark 4 default) —
+    one degenerate embedding must quantize to zeros instead, matching the
+    per-record-tolerance rule the rest of the repo follows (ADVICE r2)."""
     scale = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
-    return F.transform(vec, lambda x: F.round(x.cast("double") / scale, 0).cast("int"))
+    return F.when(
+        scale == 0, F.transform(vec, lambda x: F.lit(0).cast("int"))
+    ).otherwise(F.transform(vec, lambda x: F.round(x.cast("double") / scale, 0).cast("int")))
 
 
 def quantized_topk(

@@ -11,6 +11,7 @@ the driver a real hash-comparison for the ETL path (not just rows-only).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,17 +52,26 @@ def wd_id_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-session cache: the 7 wd_etl_* queries all project from the same
 # parsed-dump relation, so build (and persist) it once per SparkSession —
 # the dump is scanned + JSON-parsed a single time and every golden query
-# is a cheap cached-projection job. Keyed by id(session) so a fresh driver
-# session rebuilds cleanly.
-_ETL_CACHE: dict[int, dict[str, DataFrame]] = {}
+# is a cheap cached-projection job. The key holds a WEAK reference to the
+# session itself: a plain id(spark) key can be recycled by the allocator
+# after the session is stopped and GC'd, handing a new session cached
+# DataFrames bound to a dead SparkContext (ADVICE r2). A weakref match
+# guarantees the entry belongs to this live session object; dead entries
+# are swept on access.
+_ETL_CACHE: dict[int, tuple["weakref.ref[SparkSession]", dict[str, DataFrame]]] = {}
 
 
 def _etl_tables(spark: SparkSession) -> dict[str, DataFrame]:
+    for key, (ref, _) in list(_ETL_CACHE.items()):
+        if ref() is None:
+            del _ETL_CACHE[key]
     key = id(spark)
-    if key not in _ETL_CACHE:
-        entities = parse_entities(read_dump(spark, FIXTURE)).persist()
-        _ETL_CACHE[key] = transform(entities)
-    return _ETL_CACHE[key]
+    hit = _ETL_CACHE.get(key)
+    if hit is not None and hit[0]() is spark:
+        return hit[1]
+    entities = parse_entities(read_dump(spark, FIXTURE)).persist()
+    _ETL_CACHE[key] = (weakref.ref(spark), transform(entities))
+    return _ETL_CACHE[key][1]
 
 
 META_GOLDEN = """
