@@ -1,0 +1,109 @@
+"""Property-based cross-engine checks of the two hash primitives the
+round-3 oracles rest on (VERDICT r2 task 7):
+
+1. SimHash bit arithmetic — Spark's 32 conditional sums + sign
+   accumulator (operators/dedup.simhash_from_shingles) must produce the
+   same BIGINT as the DuckDB twin built by queries/llm_dedup._simhash_sql
+   for arbitrary shingle multisets. The dedup_simhash oracle assumes this.
+2. LSH bucket fold — Spark's per-plane zip_with/aggregate projection sign
+   pattern (operators/similarity.lsh_bucket) must produce the same bucket
+   id as queries/llm_similarity._lsh_bucket_sql for arbitrary finite
+   vectors. The sim_lsh_topk and sim_cosine_near_dup oracles assume this.
+
+Same harness shape as test_property_text.py: hypothesis drives both
+engines on identical inputs and asserts exact equality.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from wd2sql_spark.operators.dedup import simhash_from_shingles
+from wd2sql_spark.operators.similarity import hyperplanes, lsh_bucket
+from wd2sql_spark.queries.llm_similarity import _lsh_bucket_sql
+
+SHINGLE = st.text(
+    alphabet=st.sampled_from(list("abcXYZ 0.,!é中")), min_size=1, max_size=12
+)
+
+
+def _simhash_duck_sql() -> str:
+    """The sums+acc tail of llm_dedup._simhash_sql, over a registered
+    (doc_id, shingle) relation instead of the shingle CTE."""
+    bit_sums = ", ".join(
+        f"SUM(((strpos('0123456789abcdef', substr(md5(shingle), {1 + j // 4}, 1)) - 1) "
+        f"// {2 ** (3 - j % 4)}) % 2 * 2 - 1) AS s{j}"
+        for j in range(32)
+    )
+    acc = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)" for j in range(32)
+    )
+    return (
+        f"WITH sums AS (SELECT doc_id, {bit_sums} FROM sh GROUP BY doc_id) "
+        f"SELECT doc_id, {acc} AS simhash FROM sums"
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.lists(SHINGLE, min_size=1, max_size=20, unique=True),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_simhash_bits_match_oracle_form(spark, docs):
+    rows = [(i, s) for i, shingles in docs.items() for s in shingles]
+    sdf = spark.createDataFrame(rows, ["doc_id", "shingle"])
+    spark_out = {
+        r["doc_id"]: r["simhash"] for r in simhash_from_shingles(sdf).collect()
+    }
+    con = duckdb.connect()
+    con.register("sh", pd.DataFrame(rows, columns=["doc_id", "shingle"]))
+    duck_out = {r[0]: r[1] for r in con.execute(_simhash_duck_sql()).fetchall()}
+    con.close()
+    assert spark_out == duck_out
+
+
+DIM = 8
+PLANES = hyperplanes(DIM, 4)
+COMPONENT = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=32
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(COMPONENT, min_size=DIM, max_size=DIM), min_size=1, max_size=8
+    )
+)
+def test_lsh_bucket_fold_matches_oracle_form(spark, vecs):
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    sdf = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    spark_out = {
+        r["vec_id"]: r["bucket"]
+        for r in sdf.select(
+            "vec_id", lsh_bucket(F.col("embedding"), PLANES).alias("bucket")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}))
+    duck_out = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT vec_id, {_lsh_bucket_sql('embedding', r=4, dim=DIM)} AS b FROM t"
+        ).fetchall()
+    }
+    con.close()
+    assert spark_out == duck_out

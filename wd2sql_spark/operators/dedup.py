@@ -251,16 +251,16 @@ def hex_val(char_col: Column) -> Column:
     return F.instr(F.lit(HEX_DIGITS), char_col) - 1
 
 
-def simhash32(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash over distinct n-gram shingles.
+def simhash_from_shingles(sh: DataFrame) -> DataFrame:
+    """32-bit SimHash bit arithmetic over a (doc_id, shingle) relation.
 
     Bit j comes from hex digit j//4 of the shingle's md5 (bit 3-(j%4) of
     the nibble); the doc's bit is the sign of Σ(±1) over shingles. One
-    explode + one aggregation with 32 conditional sums — no UDF, fully
-    reproducible in SQL.
+    aggregation with 32 conditional sums — no UDF, fully reproducible in
+    SQL (twin: queries/llm_dedup._simhash_sql; cross-engine equality is
+    property-tested in tests/test_property_hash.py).
     Output: (doc_id, simhash BIGINT).
     """
-    sh = doc_shingles(docs, n, text_col, id_col)
     h = F.md5(F.col("shingle"))
     bit_sums = []
     for j in range(32):
@@ -272,6 +272,12 @@ def simhash32(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str =
     for j in range(32):
         acc = acc + F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0))
     return sums.select("doc_id", acc.alias("simhash"))
+
+
+def simhash32(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash over distinct n-gram shingles: shingle explode +
+    :func:`simhash_from_shingles`. Output: (doc_id, simhash BIGINT)."""
+    return simhash_from_shingles(doc_shingles(docs, n, text_col, id_col))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 6, n: int = 3) -> DataFrame:
