@@ -31,26 +31,51 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects by default; the legacy conf reads it as LongType
-    (nanoseconds since epoch). It is a runtime SQL conf, so setting it here
-    works under the driver's session too. Use :func:`events` to get a
-    proper timestamp column back.
+    Some generations of ``events.parquet`` carry TIMESTAMP(NANOS), which
+    Spark's parquet reader rejects by default; the legacy conf reads it as
+    LongType (nanoseconds since epoch) instead of erroring. It is a runtime
+    SQL conf, so setting it here works under the driver's session too, and
+    it is a no-op on µs-precision data. Use :func:`events` to get a proper
+    timestamp column back either way.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _ltz(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+
+
+def _ltz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP (LTZ).
+
+    The fixtures are written with ``isAdjustedToUTC=false`` (µs), which
+    Spark reads as TIMESTAMP_NTZ — a type several chronon functions
+    (``unix_micros``, …) reject. The session timezone is pinned to UTC
+    (session.py), so the NTZ→LTZ cast is value-identical, DuckDB sees the
+    same naive microseconds, and the battery keeps the TimestampType
+    semantics it was written (and hash-verified) against."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events stream fixture with ``ts`` converted nanos→timestamp
-    (microsecond precision, truncating — matches DuckDB's
-    TIMESTAMP_NS→TIMESTAMP cast)."""
+    """The events stream fixture with ``ts`` normalized to a timestamp.
+
+    Schema-adaptive: a nanos-era fixture surfaces ``ts`` as LongType under
+    ``nanosAsLong`` and is truncated ns→µs (matching DuckDB's
+    TIMESTAMP_NS→TIMESTAMP cast); a µs fixture already reads as a
+    timestamp and passes through untouched."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     raw = table(spark, sf_dir, "events")
-    # integer `div`, NOT `/`: float division of ns-scale longs (~1.7e18)
-    # exceeds double's 2^53 mantissa and lands ±1µs off.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        # integer `div`, NOT `/`: float division of ns-scale longs (~1.7e18)
+        # exceeds double's 2^53 mantissa and lands ±1µs off.
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -19,37 +19,31 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-# events.parquet carries TIMESTAMP(NANOS); under nanosAsLong the declared
-# streaming schema must type ts as LONG, converted to a timestamp after.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
+from pyspark.sql.types import LongType
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events fixture as a file-source stream with a proper event-time
-    column (ns → µs, truncating — matches DuckDB's cast)."""
+    column.
+
+    The stream source needs a declared schema; it is taken from a batch
+    read of the same file so the stream adapts to the fixture generation
+    (nanos-era files surface ``ts`` as LONG under ``nanosAsLong`` and are
+    truncated ns→µs, matching DuckDB's cast; µs files stream through as
+    timestamps untouched)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # glob, not the bare file path: the file-stream source requires a
     # directory or glob (it watches the parent for new files).
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events*.parquet")
-    # integer `div`, NOT `/`: float division of ns-scale longs loses µs.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(batch_schema).parquet(f"{sf_dir}/events*.parquet")
+    if isinstance(batch_schema["ts"].dataType, LongType):
+        # integer `div`, NOT `/`: float division of ns-scale longs loses µs.
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # NTZ→LTZ under the pinned-UTC session: value-identical, and keeps
+        # downstream chronon functions/watermarks on TimestampType (see
+        # catalog._ltz).
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 # Stateful operators create one state-store instance PER shuffle partition
