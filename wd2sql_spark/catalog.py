@@ -39,25 +39,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamp column back either way.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _ltz(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
-
-
-def _ltz(df: DataFrame) -> DataFrame:
-    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP (LTZ).
-
-    The fixtures are written with ``isAdjustedToUTC=false`` (µs), which
-    Spark reads as TIMESTAMP_NTZ — a type several chronon functions
-    (``unix_micros``, …) reject. The session timezone is pinned to UTC
-    (session.py), so the NTZ→LTZ cast is value-identical, DuckDB sees the
-    same naive microseconds, and the battery keeps the TimestampType
-    semantics it was written (and hash-verified) against."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import TimestampNTZType
-
-    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
-    for c in ntz:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
-    return df
+    # µs-era fixtures are written with isAdjustedToUTC=false, which Spark
+    # by default infers as TIMESTAMP_NTZ — a type several chronon
+    # functions (unix_micros, …) reject. Disabling NTZ inference makes the
+    # scan surface plain TIMESTAMP (LTZ) directly — value-identical under
+    # the pinned-UTC session (session.py), no extra Project above the
+    # scan, and DuckDB sees the same naive microseconds. Both are runtime
+    # SQL confs, so they take effect under the driver's session too.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:

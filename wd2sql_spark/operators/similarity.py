@@ -17,6 +17,8 @@ them, and the whole plan stays deterministic.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -229,14 +231,77 @@ def ivf_assign(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
     return -F.array_max(scored)["negcid"]
 
 
+# Per-session IVF index cache, keyed by (id(session), cache_key,
+# n_centroids) with a WEAK reference guard on the session (the id() of a
+# stopped+GC'd session can be recycled — same pattern as the wikidata ETL
+# cache, ADVICE r2). The entry holds the codebook plus the assigned+scored
+# corpus as a localCheckpoint: the checkpoint truncates the plan to a
+# LogicalRDD, so later invocations skip re-analyzing the ~n_centroids·dim
+# inlined codebook literals (0.5-1 s of driver time per plan) AND skip
+# re-scoring the corpus. This is the moral of IVF — the index is built
+# once, queries only probe — expressed at toy scale; at 100 TB the
+# checkpoint becomes a table written partitioned by cid (and the scores
+# array would be dropped from the stored relation, not carried per row).
+_IVF_INDEX_CACHE: dict[
+    tuple[int, str, int, str, str],
+    tuple["weakref.ref", list[tuple[int, list[float]]], DataFrame],
+] = {}
+
+
+def ivf_index(
+    corpus: DataFrame,
+    cache_key: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+    """Codebook + assigned/scored corpus relation for :func:`ivf_topk`'s
+    predicate form, built once per (session, cache_key) and reused.
+
+    The returned relation has columns (_id, cv, cn, scores, cid): the
+    vector, its norm, the per-centroid cosine array (probe source), and
+    the argmax list id. Bit-identical to building it inline — the cache
+    only changes WHEN the same deterministic plan runs."""
+    spark = corpus.sparkSession
+    for key, (ref, _, _) in list(_IVF_INDEX_CACHE.items()):
+        if ref() is None:
+            del _IVF_INDEX_CACHE[key]
+    key = (id(spark), cache_key, n_centroids, id_col, vec_col)
+    hit = _IVF_INDEX_CACHE.get(key)
+    if hit is not None and hit[0]() is spark:
+        return hit[1], hit[2]
+    centroids = collect_centroids(corpus, n_centroids, id_col, vec_col)
+    scored_arr = F.transform(
+        _centroid_struct_array(centroids),
+        lambda cc: F.struct(
+            cosine(F.col("cv"), cc["cv"], na=F.col("cn")).alias("score"),
+            (-cc["cid"]).alias("negcid"),
+        ),
+    )
+    base = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).alias("cv"),
+            l2_norm(F.col(vec_col)).alias("cn"),
+        )
+        .withColumn("scores", scored_arr)
+        .withColumn("cid", -F.array_max(F.col("scores"))["negcid"])
+        .localCheckpoint(eager=True)
+    )
+    _IVF_INDEX_CACHE[key] = (weakref.ref(spark), centroids, base)
+    return centroids, base
+
+
 def ivf_topk(
     corpus: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | None = None,
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_pred: Column | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Approximate top-k via an inverted-file index (IVF): corpus vectors
     are binned by nearest codebook centroid (narrow map, zero shuffle);
@@ -245,39 +310,94 @@ def ivf_topk(
     and every later query prunes (n_centroids/nprobe)× of the data at the
     scan. Output shape matches :func:`brute_force_topk`; self-matches
     excluded.
+
+    Pass EITHER ``queries`` (an arbitrary query DataFrame) or
+    ``query_pred`` (a predicate selecting query rows out of the corpus).
+    The predicate form computes the per-centroid score array ONCE on the
+    corpus scan and derives both the inverted lists (argmax) and the
+    query probes (explode + rank) from it — one codebook literal in the
+    plan instead of two, and the per-vector norm is computed once instead
+    of once per centroid. Scores are the same IEEE ops either way, so
+    results are bit-identical between the two forms.
     """
-    centroids = collect_centroids(corpus, n_centroids, id_col, vec_col)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        l2_norm(F.col(vec_col)).alias("cn"),
-        ivf_assign(F.col(vec_col), centroids).alias("cid"),
-    )
-    # Probe lists: explode the codebook per query (n_queries × n_centroids
-    # rows — trivially small), rank by the same cosine, keep nprobe.
-    q_scored = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            l2_norm(F.col(vec_col)).alias("qn"),
+    if (queries is None) == (query_pred is None):
+        raise ValueError("ivf_topk: pass exactly one of queries / query_pred")
+    if query_pred is not None:
+        # ``query_pred`` may reference only ``id_col`` (the index relation
+        # keeps the id under its original name; the vector is renamed).
+        if cache_key is not None:
+            _, base = ivf_index(corpus, cache_key, n_centroids, id_col, vec_col)
+        else:
+            centroids = collect_centroids(corpus, n_centroids, id_col, vec_col)
+            scored_arr = F.transform(
+                _centroid_struct_array(centroids),
+                lambda cc: F.struct(
+                    cosine(F.col("cv"), cc["cv"], na=F.col("cn")).alias("score"),
+                    (-cc["cid"]).alias("negcid"),
+                ),
+            )
+            base = (
+                corpus.select(
+                    F.col(id_col),
+                    F.col(vec_col).alias("cv"),
+                    l2_norm(F.col(vec_col)).alias("cn"),
+                )
+                .withColumn("scores", scored_arr)
+                .withColumn("cid", -F.array_max(F.col("scores"))["negcid"])
+            )
+        c = base.select(
+            F.col(id_col).alias("neighbor_id"), "cv", "cn", "cid"
         )
-        .select(
-            "query_id", "qv", "qn", F.explode(_centroid_struct_array(centroids)).alias("c")
+        # Top-nprobe of the 16 scores is row-local: a DESCENDING struct
+        # sort orders by score desc then negcid desc (= cid ASC — the
+        # exact ROW_NUMBER tie-break), so slice + explode replaces the
+        # rank window and the probe side needs no shuffle at all.
+        probes = (
+            base.filter(query_pred)
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col("cv").alias("qv"),
+                F.col("cn").alias("qn"),
+                F.explode(
+                    F.slice(F.sort_array(F.col("scores"), asc=False), 1, nprobe)
+                ).alias("s"),
+            )
+            .select("query_id", "qv", "qn", (-F.col("s.negcid")).alias("cid"))
         )
-        .select(
-            "query_id",
-            "qv",
-            "qn",
-            F.col("c.cid").alias("cid"),
-            cosine(F.col("qv"), F.col("c.cv"), na=F.col("qn")).alias("cscore"),
+    else:
+        centroids = collect_centroids(corpus, n_centroids, id_col, vec_col)
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            l2_norm(F.col(vec_col)).alias("cn"),
+            ivf_assign(F.col(vec_col), centroids).alias("cid"),
         )
-    )
-    pw = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(), F.col("cid"))
-    probes = (
-        q_scored.withColumn("rn", F.row_number().over(pw))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "qn", "cid")
-    )
+        # Probe lists: explode the codebook per query (n_queries ×
+        # n_centroids rows — trivially small), rank by the same cosine,
+        # keep nprobe.
+        q_scored = (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"),
+                l2_norm(F.col(vec_col)).alias("qn"),
+            )
+            .select(
+                "query_id", "qv", "qn", F.explode(_centroid_struct_array(centroids)).alias("c")
+            )
+            .select(
+                "query_id",
+                "qv",
+                "qn",
+                F.col("c.cid").alias("cid"),
+                cosine(F.col("qv"), F.col("c.cv"), na=F.col("qn")).alias("cscore"),
+            )
+        )
+        pw = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(), F.col("cid"))
+        probes = (
+            q_scored.withColumn("rn", F.row_number().over(pw))
+            .filter(F.col("rn") <= nprobe)
+            .select("query_id", "qv", "qn", "cid")
+        )
     scored = (
         F.broadcast(probes)
         .join(c, "cid")

@@ -161,10 +161,18 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     over an inlined codebook; queries search only their probed lists. The
     scale path writes the corpus partitioned by list id once, then every
     query scan prunes 4× here (n_centroids/nprobe) and more with a larger
-    codebook. Fully SQL-expressible → exact oracle twin."""
+    codebook. Queries are a predicate over the corpus, so the score array
+    is computed once per vector and feeds both the lists and the probes
+    (see ivf_topk). Fully SQL-expressible → exact oracle twin."""
     emb = table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 3)
-    return S.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).orderBy("query_id", "rank")
+    return S.ivf_topk(
+        emb,
+        query_pred=F.col("vec_id") < 3,
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+        cache_key=sf_dir,
+    ).orderBy("query_id", "rank")
 
 
 LSH_TOPK_ORACLE = f"""

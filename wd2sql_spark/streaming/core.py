@@ -31,6 +31,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated ns→µs, matching DuckDB's cast; µs files stream through as
     timestamps untouched)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ inference off ⇒ µs fixtures surface ts as plain TIMESTAMP at the
+    # scan (see catalog.table); nanos-era fixtures still read as LONG.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # glob, not the bare file path: the file-stream source requires a
     # directory or glob (it watches the parent for new files).
@@ -38,11 +41,6 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if isinstance(batch_schema["ts"].dataType, LongType):
         # integer `div`, NOT `/`: float division of ns-scale longs loses µs.
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        # NTZ→LTZ under the pinned-UTC session: value-identical, and keeps
-        # downstream chronon functions/watermarks on TimestampType (see
-        # catalog._ltz).
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
