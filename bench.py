@@ -45,6 +45,8 @@ HEADLINE = (
     "sim_ivf_topk",
     "dedup_cluster_components",
     "curation_pipeline_summary",
+    "decontam_ngram_overlap",
+    "scrub_pii_stats",
 )
 
 

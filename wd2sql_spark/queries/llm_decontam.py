@@ -1,0 +1,217 @@
+"""Benchmark decontamination and PII scrubbing over ``documents`` — two
+curation stages every training-data pipeline runs before a corpus ships.
+
+Decontamination flags corpus documents that share word n-grams with a
+held-out evaluation set (the standard 13-gram overlap check, scaled to
+the fixture's ~40-token documents with n=5); PII scrubbing redacts
+email/phone/IP patterns and reports per-source redaction stats. Both are
+pure Catalyst expressions with full DuckDB oracles; the reference has no
+analog (its surface is the wikidata ETL, README.md:103-157) — these are
+the LLM-pipeline extensions the battery exists to cover.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wd2sql_spark.catalog import table
+from wd2sql_spark.operators import dedup as D
+from wd2sql_spark.queries.registry import query
+
+# Every doc_id ≡ 0 (mod EVAL_MOD) plays the held-out benchmark; the rest
+# are the training corpus. Deterministic, so both engines pick the same
+# split without any stored eval table.
+EVAL_MOD = 23
+DECONTAM_N = 5  # word n-gram width of the overlap check
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# distinct word 5-gram shingles per doc — the n=5 twin of llm_dedup's
+# 3-gram CTE (same normalize + slice construction).
+_SHINGLES5_CTE = f"""
+tok AS (SELECT doc_id, string_split({_NORM}, ' ') AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest([array_to_string(list_slice(ts, i, i+{DECONTAM_N - 1}), ' ')
+                   FOR i IN range(1, greatest(len(ts)-{DECONTAM_N - 1}, 0)+1)]) AS shingle
+    FROM tok)
+)
+"""
+
+DECONTAM_ORACLE = f"""
+WITH {_SHINGLES5_CTE},
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+marked AS (
+  SELECT c.doc_id, c.shingle, ev.shingle AS hit
+  FROM sh c LEFT JOIN ev ON c.shingle = ev.shingle
+  WHERE c.doc_id % {EVAL_MOD} <> 0
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_sh, COUNT(hit) AS n_hit
+  FROM marked GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_sh AS BIGINT) AS n_sh,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       round(CAST(n_hit AS DOUBLE) / n_sh, 6) AS contam_ratio,
+       CASE WHEN CAST(n_hit AS DOUBLE) / n_sh >= 0.5 THEN 'drop' ELSE 'review' END AS verdict
+FROM agg
+WHERE n_hit > 0
+ORDER BY contam_ratio DESC, doc_id
+"""
+
+
+@query("decontam_ngram_overlap", oracle=DECONTAM_ORACLE, category="llm-decontam")
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing 5-gram
+    shingles with the held-out eval split (doc_id % 23 == 0), with the
+    contaminated-shingle ratio and a drop/review verdict.
+
+    Plan shape for 100 TB: the eval side is a benchmark suite — MBs, not
+    TBs — so its distinct-shingle set is BROADCAST onto the corpus
+    shingle explode (no shuffle for the membership probe), and the
+    per-doc tally is ONE hash aggregate: the broadcast join is a LEFT
+    join with a hit marker, so total and matched shingles come out of the
+    same groupBy (COUNT(*) vs COUNT(hit)) instead of two aggregations
+    plus a re-join. The only corpus-sized shuffle is that single
+    doc_id aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    # Filter BEFORE shingling so the split predicate rides the scan and
+    # each side only tokenizes its own documents.
+    ev = (
+        D.doc_shingles(docs.filter(is_eval), n=DECONTAM_N)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus_sh = D.doc_shingles(docs.filter(~is_eval), n=DECONTAM_N)
+    agg = (
+        corpus_sh.join(F.broadcast(ev), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"), F.count("_hit").alias("n_hit"))
+        .filter(F.col("n_hit") > 0)
+    )
+    ratio = F.col("n_hit").cast("double") / F.col("n_sh")
+    return agg.select(
+        F.col("doc_id").cast("bigint"),
+        F.col("n_sh").cast("bigint"),
+        F.col("n_hit").cast("bigint"),
+        F.round(ratio, 6).alias("contam_ratio"),
+        F.when(ratio >= 0.5, "drop").otherwise("review").alias("verdict"),
+    ).orderBy(F.col("contam_ratio").desc(), "doc_id")
+
+
+# PII patterns — intersection of Java-regex and RE2 syntax (character
+# classes and bounded repetition only; no \b, no lookaround), so Spark
+# and DuckDB match the same spans.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+IP_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+# The fixture text is synthetic word soup with no PII, so the query
+# plants deterministic PII in a subset of docs first (mod-keyed, mirrored
+# in the oracle) — the operator under test is the redaction pass, and
+# planting makes its effect visible and hash-checkable at every SF.
+_PLANT_SQL = f"""
+  text
+  || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4567' ELSE '' END
+  || CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.99' ELSE '' END
+"""
+
+SCRUB_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id, source, {_PLANT_SQL} AS text2 FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, source, text2,
+         len(regexp_extract_all(text2, '{EMAIL_RE}')) AS n_email,
+         len(regexp_extract_all(text2, '{PHONE_RE}')) AS n_phone,
+         len(regexp_extract_all(text2, '{IP_RE}')) AS n_ip,
+         regexp_replace(regexp_replace(regexp_replace(text2,
+             '{EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PHONE_RE}', '<PHONE>', 'g'),
+             '{IP_RE}', '<IP>', 'g') AS redacted
+  FROM planted
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS n_emails,
+       CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+       CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+       CAST(SUM(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_redacted,
+       CAST(SUM(length(text2) - length(redacted)) AS BIGINT) AS chars_removed
+FROM scrubbed
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("scrub_pii_stats", oracle=SCRUB_ORACLE, category="llm-scrub")
+def scrub_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: redact email/phone/IPv4 patterns and report
+    per-source match counts, affected docs, and characters removed
+    (negative when a placeholder is longer than the span it replaced).
+
+    Entirely narrow — regex extraction and replacement are per-row
+    Catalyst expressions inside whole-stage codegen, and the only shuffle
+    is the final tiny per-source aggregate (map-side partials reduce each
+    executor to |sources| rows first). At 100 TB this is the shape you
+    want: the expensive regex scan parallelizes with the input and
+    nothing corpus-sized moves."""
+    d = table(spark, sf_dir, "documents")
+    # Deterministic PII planting — textual twin of _PLANT_SQL.
+    plant = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-4567"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".99")),
+        ).otherwise(""),
+    )
+    t2 = d.select("doc_id", "source", plant.alias("text2"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text2"), EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IP_RE,
+        "<IP>",
+    )
+    scrubbed = t2.select(
+        "source",
+        F.size(F.regexp_extract_all(F.col("text2"), F.lit(EMAIL_RE), F.lit(0))).alias("n_email"),
+        F.size(F.regexp_extract_all(F.col("text2"), F.lit(PHONE_RE), F.lit(0))).alias("n_phone"),
+        F.size(F.regexp_extract_all(F.col("text2"), F.lit(IP_RE), F.lit(0))).alias("n_ip"),
+        (F.length("text2") - F.length(redacted)).alias("delta"),
+    )
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("n_emails"),
+            F.sum("n_phone").cast("bigint").alias("n_phones"),
+            F.sum("n_ip").cast("bigint").alias("n_ips"),
+            F.sum(
+                F.when(F.col("n_email") + F.col("n_phone") + F.col("n_ip") > 0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_docs_redacted"),
+            F.sum("delta").cast("bigint").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )

@@ -177,3 +177,64 @@ def sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+MIX_ORACLE = """
+WITH per AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources FROM per)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+       round((1.0 / n_sources) / (CAST(n_tokens AS DOUBLE) / total_tokens), 6) AS weight,
+       CAST(round(CAST(n_tokens AS DOUBLE)
+                  * ((1.0 / n_sources) / (CAST(n_tokens AS DOUBLE) / total_tokens)), 0)
+            AS BIGINT) AS expected_tokens
+FROM per CROSS JOIN tot
+ORDER BY source
+"""
+
+
+@query("mix_domain_weights", oracle=MIX_ORACLE, category="llm_sampling")
+def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture weighting: per-source token counts and the sampling
+    weight that re-balances the corpus to a UNIFORM token share per
+    source (the Pile/DoReMi-style mixture step with a uniform target;
+    any target vector drops in the same way).
+
+    One corpus-sized aggregation (map-side partial count/sum per source),
+    then a broadcast of the 1-row total onto the |sources|-row relation —
+    nothing else moves. ``weight = target_share / actual_share``;
+    ``expected_tokens`` previews the post-weighting contribution. At
+    100 TB the token count per source is exactly this plan; the weights
+    then feed the hash-sampler (sample_hash_reproducible) as per-source
+    thresholds."""
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total_tokens"), F.count(F.lit(1)).alias("n_sources")
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    weight = (F.lit(1.0) / F.col("n_sources")) / share
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint"),
+            F.col("n_tokens").cast("bigint"),
+            F.round(share, 6).alias("token_share"),
+            F.round(weight, 6).alias("weight"),
+            F.round(F.col("n_tokens").cast("double") * weight, 0)
+            .cast("bigint")
+            .alias("expected_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -48,6 +48,7 @@ _MODULES = (
     "wd2sql_spark.queries.llm_multimodal",
     "wd2sql_spark.queries.llm_sampling",
     "wd2sql_spark.queries.llm_quality",
+    "wd2sql_spark.queries.llm_decontam",
     "wd2sql_spark.queries.streaming_q",
     "wd2sql_spark.queries.sessionization",
     "wd2sql_spark.queries.graph",
@@ -114,6 +115,10 @@ _PRIORITY = (
     "dedup_canonical_pick",
     # newly-oracled this round (was the last rows-only entry)
     "sim_lsh_topk",
+    # new round-3 curation operators — need first driver rows
+    "decontam_ngram_overlap",
+    "scrub_pii_stats",
+    "mix_domain_weights",
     # re-confirm the families whose money-sum arithmetic changed this
     # round (exact_sum_at): one representative per touched module
     "agg_pricing_summary",
