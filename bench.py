@@ -108,6 +108,12 @@ def main() -> None:
                 "etl": etl,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "notes": {
+                    "fixtures": (
+                        "testdata regenerated for r3 (timestamps now "
+                        "TIMESTAMP(MICROS) NTZ, embeddings corpus differs), so "
+                        "absolute r2->r3 per-query deltas are not like-for-like; "
+                        "compare within-round against the sub-second standard"
+                    ),
                     "scalar_json_fns": (
                         "r2 flagged 0.30->0.47s; re-measured n=6 at 0.28-0.40s and "
                         "A/B'd get_json_object vs from_json (identical within noise) "

@@ -146,3 +146,77 @@ def test_quantize_int8_zero_vector_yields_zeros(spark):
     }
     assert rows[1] == [0, 0, 0, 0]
     assert rows[2][1] == -127  # max-magnitude component pins the scale
+
+
+def test_kmeans_partitions_whole_corpus(spark, emb):
+    from wd2sql_spark.queries.llm_cluster import K, cluster_kmeans_embeddings
+
+    stats = cluster_kmeans_embeddings(spark, SF).collect()
+    assert 1 <= len(stats) <= K
+    assert sum(r.n_members for r in stats) == emb.count()
+    assert all(r.inertia >= 0 for r in stats)
+
+
+def test_kmeans_update_reduces_inertia(spark, emb):
+    """One Lloyd update must not increase total inertia (each step of
+    assign→update is non-increasing for squared-L2 k-means; the half-up
+    integer rounding of centroids perturbs by <1 quantization unit per
+    dim, far below the inertia scale)."""
+    from pyspark.sql import functions as F
+    from wd2sql_spark.queries.llm_cluster import K, _assign, _iv, _update
+
+    vecs = emb.select("vec_id", _iv(F.col("embedding")).alias("iv"))
+    seeds = (
+        emb.orderBy("vec_id").limit(K)
+        .select(F.col("vec_id").alias("cid"), _iv(F.col("embedding")).alias("c"))
+    )
+    a1 = _assign(vecs, seeds)
+    i1 = a1.agg(F.sum("dist")).collect()[0][0]
+    a2 = _assign(vecs, _update(a1))
+    i2 = a2.agg(F.sum("dist")).collect()[0][0]
+    assert i2 <= i1
+
+
+def test_decontam_flags_planted_duplicate(spark, docs):
+    """A corpus doc that IS an eval doc's text must be flagged with
+    contam_ratio 1.0 — plant one and run the same pipeline."""
+    from pyspark.sql import functions as F
+    from wd2sql_spark.operators import dedup as DD
+    from wd2sql_spark.queries.llm_decontam import DECONTAM_N, EVAL_MOD
+
+    eval_text = docs.filter(F.col("doc_id") % EVAL_MOD == 0).orderBy("doc_id").first().text
+    planted = docs.union(
+        docs.sparkSession.createDataFrame(
+            [(999_999, eval_text, "en", "plant", len(eval_text))], docs.schema.fieldNames()
+        )
+    )
+    ev = (
+        DD.doc_shingles(planted.filter(F.col("doc_id") % EVAL_MOD == 0), n=DECONTAM_N)
+        .select("shingle").distinct().withColumn("_hit", F.lit(1))
+    )
+    hits = (
+        DD.doc_shingles(planted.filter(F.col("doc_id") == 999_999), n=DECONTAM_N)
+        .join(F.broadcast(ev), "shingle", "left")
+        .agg(F.count(F.lit(1)).alias("n_sh"), F.count("_hit").alias("n_hit"))
+        .collect()[0]
+    )
+    assert hits.n_sh == hits.n_hit and hits.n_sh > 0
+
+
+def test_scrub_redacts_all_planted_pii(spark):
+    """Every planted email/phone/IP must be matched by its pattern: docs
+    with doc_id % 7 == 0 contribute exactly one email each, etc."""
+    from wd2sql_spark.queries.llm_decontam import scrub_pii_stats
+    import duckdb
+
+    rows = scrub_pii_stats(spark, SF).collect()
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""SELECT SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END)
+            FROM read_parquet('{SF}/documents.parquet')"""
+    ).fetchone()
+    assert sum(r.n_emails for r in rows) == exp[0]
+    assert sum(r.n_phones for r in rows) == exp[1]
+    assert sum(r.n_ips for r in rows) == exp[2]

@@ -49,6 +49,7 @@ _MODULES = (
     "wd2sql_spark.queries.llm_sampling",
     "wd2sql_spark.queries.llm_quality",
     "wd2sql_spark.queries.llm_decontam",
+    "wd2sql_spark.queries.llm_cluster",
     "wd2sql_spark.queries.streaming_q",
     "wd2sql_spark.queries.sessionization",
     "wd2sql_spark.queries.graph",
@@ -119,6 +120,7 @@ _PRIORITY = (
     "decontam_ngram_overlap",
     "scrub_pii_stats",
     "mix_domain_weights",
+    "cluster_kmeans_embeddings",
     # re-confirm the families whose money-sum arithmetic changed this
     # round (exact_sum_at): one representative per touched module
     "agg_pricing_summary",
