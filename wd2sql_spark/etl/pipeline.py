@@ -48,7 +48,15 @@ def read_dump(spark: SparkSession, dump_path: str) -> DataFrame:
     """Source: the dump file/directory as raw lines (2-A#1). ``read.text``
     splits large files by range, so a single 1.5 TB dump parallelizes
     across executors (vs the reference's sequential BufReader,
-    main.rs:122-137)."""
+    main.rs:122-137).
+
+    A round-robin pre-spread when the dump has fewer splits than cores
+    was tried and REJECTED: at toy scale the text shuffle + the 32-way
+    fan-out of tiny dynamic-partition output files cost more than the
+    parse parallelism bought (~4.3 s vs 2.9 s warm on the 18 MB fixture),
+    and at real dump sizes the scan already has more splits than cores —
+    so the respread would only ever fire where it hurts. It would also
+    break the staged plan's zero-Exchange guarantee."""
     return spark.read.text(dump_path)
 
 
@@ -410,13 +418,26 @@ def wd2spark(
         # Explicit schema: robust to an all-empty store and skips footer
         # inference; `table` resolves as the partition column.
         store = spark.read.schema(uf.schema).parquet(stage_p)
-        for name, cols in _FINAL_COLS.items():
+
+        # The 9 rewrites are independent partition-pruned projections —
+        # submit them CONCURRENTLY (Spark's scheduler accepts jobs from
+        # multiple threads) so their fixed per-job latency overlaps
+        # instead of summing. Each job is small; on a cluster the
+        # scheduler interleaves their tasks across executors exactly like
+        # one bigger job.
+        def _rewrite(item: tuple[str, tuple[str, ...]]) -> tuple[str, str]:
+            name, cols = item
             p = os.path.join(out_path, name)
             df = store.filter(F.col("table") == name).select(*cols)
             if name == "time":
                 df = df.withColumnRenamed("time_precision", "precision")
             df.write.mode(mode).parquet(p)
-            paths[name] = p
+            return name, p
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(_FINAL_COLS)) as pool:
+            paths.update(pool.map(_rewrite, _FINAL_COLS.items()))
     else:
         meta_p = os.path.join(out_path, "meta")
         meta_table(entities).write.mode(mode).parquet(meta_p)
