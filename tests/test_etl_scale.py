@@ -93,13 +93,13 @@ def _claim(i: int) -> dict:
     return {"mainsnak": snak, "rank": rank}
 
 
-def _write_dump(root: str) -> int:
-    """8 shard files, wrapped in [ ] with trailing commas (dump framing).
+def _write_dump(root: str, n: int = N, shards: int = SHARDS) -> int:
+    """Shard files, wrapped in [ ] with trailing commas (dump framing).
     Returns total bytes."""
     os.makedirs(root)
-    per = N // SHARDS
+    per = n // shards
     total = 0
-    for s in range(SHARDS):
+    for s in range(shards):
         path = os.path.join(root, f"shard-{s}.json")
         with open(path, "w") as f:
             f.write("[\n")
