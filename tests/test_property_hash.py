@@ -107,3 +107,33 @@ def test_lsh_bucket_fold_matches_oracle_form(spark, vecs):
     }
     con.close()
     assert spark_out == duck_out
+
+
+# ---------------------------------------------------------------------------
+# Half-up integer division — the (2N+M) div (2M) primitive that
+# exact_avg_at / exact_sum_at (queries/_determinism.py) and the k-means
+# centroid update (queries/llm_cluster._update) rest on. Spark's `div`
+# truncates toward zero and DuckDB's `//` floors; the battery only ever
+# applies the pattern to NON-NEGATIVE operands, where the two agree and
+# both equal round-half-up(N/M). This pins all three facts.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**40),
+    st.integers(min_value=1, max_value=2**20),
+)
+def test_halfup_int_division_matches_across_engines(spark, n, m):
+    from fractions import Fraction
+
+    sdf = spark.createDataFrame([(n, m)], ["n", "m"])
+    got_spark = sdf.select(
+        F.call_function(
+            "div", F.lit(2) * F.col("n") + F.col("m"), F.lit(2) * F.col("m")
+        ).alias("r")
+    ).collect()[0].r
+    got_duck = duckdb.sql(f"SELECT (2*{n}::BIGINT + {m}) // (2*{m}) AS r").fetchone()[0]
+    # round-half-up on the exact rational
+    expect = int((Fraction(2 * n + m, 2 * m)).__floor__())
+    assert got_spark == got_duck == expect
