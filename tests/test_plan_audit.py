@@ -211,3 +211,50 @@ def test_quality_family_plans(reports):
         assert r.read_columns == {"doc_id", "text"}, n
         assert not r.python_eval and not r.pandas_eval, n
         assert r.shuffles <= budget, (n, r.shuffles)
+
+
+def test_decontam_broadcasts_eval_set(reports):
+    """Decontamination: the eval shingle set ships broadcast (a benchmark
+    suite is MBs — never shuffle the corpus for the membership probe);
+    both scans are pruned to (doc_id, text); the corpus pays one doc_id
+    aggregate, plus the eval distinct / pre-spread / output sort."""
+    r = reports["decontam_ngram_overlap"]
+    assert r.broadcasts >= 1
+    assert r.shuffles <= 4
+    for s in r.scans:
+        assert set(s["columns"]) <= {"doc_id", "text"}, s
+
+
+def test_scrub_is_narrow_single_agg(reports):
+    """PII scrub: per-row regex work stays in whole-stage codegen; the
+    only exchanges are the tiny per-source aggregate and the output
+    sort. Nothing corpus-sized moves."""
+    r = reports["scrub_pii_stats"]
+    assert not r.python_eval and not r.pandas_eval
+    assert r.broadcasts == 0
+    assert r.shuffles <= 2
+    for s in r.scans:
+        assert set(s["columns"]) <= {"doc_id", "text", "source"}, s
+
+
+def test_mix_weights_broadcasts_total(reports):
+    """Domain mixing: the 1-row grand total broadcasts onto the
+    |sources|-row relation; budget covers the two per-source aggregates
+    (the total re-derives its input branch) and the output sort."""
+    r = reports["mix_domain_weights"]
+    assert r.broadcasts >= 1
+    assert r.shuffles <= 4
+
+
+def test_kmeans_assignment_is_rowlocal(reports):
+    """K-means: each assignment ships the codebook as ONE broadcast row
+    (argmin via array_min — no join/window/shuffle per vector); shuffles
+    are only the per-update (cid, dim) aggregates + collects, the final
+    stats aggregate, and the output sort. Budget 8 for the 2-iteration
+    unroll — a creeping per-vector exchange would blow straight past it."""
+    r = reports["cluster_kmeans_embeddings"]
+    assert not r.python_eval and not r.pandas_eval
+    assert r.broadcasts >= 2
+    assert r.shuffles <= 8
+    for s in r.scans:
+        assert set(s["columns"]) <= {"vec_id", "embedding"}, s
