@@ -237,13 +237,15 @@ def test_scrub_is_narrow_single_agg(reports):
         assert set(s["columns"]) <= {"doc_id", "text", "source"}, s
 
 
-def test_mix_weights_broadcasts_total(reports):
-    """Domain mixing: the 1-row grand total broadcasts onto the
-    |sources|-row relation; budget covers the two per-source aggregates
-    (the total re-derives its input branch) and the output sort."""
+def test_mix_weights_single_scan(reports):
+    """Domain mixing: ONE corpus scan feeds the per-source aggregate; the
+    grand total is a full-frame window over the tiny result (an agg+join
+    total would re-derive the aggregate's input and scan the corpus
+    twice). Exchanges: the per-source aggregate and the single-partition
+    window."""
     r = reports["mix_domain_weights"]
-    assert r.broadcasts >= 1
-    assert r.shuffles <= 4
+    assert len(r.scans) == 1
+    assert r.shuffles <= 3
 
 
 def test_kmeans_assignment_is_rowlocal(reports):
@@ -256,5 +258,8 @@ def test_kmeans_assignment_is_rowlocal(reports):
     assert not r.python_eval and not r.pandas_eval
     assert r.broadcasts >= 2
     assert r.shuffles <= 8
+    # the persisted quantized working set means the corpus is scanned ONCE
+    # no matter how many iterations unroll.
+    assert len(r.scans) == 1
     for s in r.scans:
         assert set(s["columns"]) <= {"vec_id", "embedding"}, s

@@ -163,11 +163,16 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan scales (row-local broadcast assignment, one (cid, dim)
     aggregate per update)."""
     emb = table(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", _iv(F.col("embedding")).alias("iv"))
+    # The quantized working set feeds BOTH assignments (and the seed
+    # branch); persist it so iterations hit cache instead of re-scanning
+    # and re-quantizing the corpus — the standard Spark iterative-ML
+    # pattern (the relation is (id, 64 longs): a fraction of the raw
+    # corpus, MEMORY_AND_DISK spills if it ever outgrows memory).
+    vecs = emb.select("vec_id", _iv(F.col("embedding")).alias("iv")).persist()
     seeds = (
-        emb.orderBy("vec_id")
+        vecs.orderBy("vec_id")
         .limit(K)
-        .select(F.col("vec_id").alias("cid"), _iv(F.col("embedding")).alias("c"))
+        .select(F.col("vec_id").alias("cid"), F.col("iv").alias("c"))
     )
     a1 = _assign(vecs, seeds)
     c1 = _update(a1)

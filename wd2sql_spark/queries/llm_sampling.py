@@ -207,26 +207,30 @@ def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     source (the Pile/DoReMi-style mixture step with a uniform target;
     any target vector drops in the same way).
 
-    One corpus-sized aggregation (map-side partial count/sum per source),
-    then a broadcast of the 1-row total onto the |sources|-row relation —
-    nothing else moves. ``weight = target_share / actual_share``;
-    ``expected_tokens`` previews the post-weighting contribution. At
-    100 TB the token count per source is exactly this plan; the weights
-    then feed the hash-sampler (sample_hash_reproducible) as per-source
-    thresholds."""
+    ONE corpus-sized aggregation (map-side partial count/sum per source);
+    the grand total is a full-frame window over the resulting
+    |sources|-row relation — a single-partition exchange of a tiny
+    relation, NOT a second corpus scan (an ``agg``-then-join total would
+    re-derive the aggregate's whole input branch, scanning the corpus
+    twice at 100 TB). ``weight = target_share / actual_share``;
+    ``expected_tokens`` previews the post-weighting contribution. The
+    weights then feed the hash-sampler (sample_hash_reproducible) as
+    per-source thresholds."""
     d = table(spark, sf_dir, "documents")
     per = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
     )
-    tot = per.agg(
-        F.sum("n_tokens").alias("total_tokens"), F.count(F.lit(1)).alias("n_sources")
+    w_all = Window.partitionBy()
+    per = per.select(
+        "*",
+        F.sum("n_tokens").over(w_all).alias("total_tokens"),
+        F.count(F.lit(1)).over(w_all).alias("n_sources"),
     )
     share = F.col("n_tokens").cast("double") / F.col("total_tokens")
     weight = (F.lit(1.0) / F.col("n_sources")) / share
     return (
-        per.crossJoin(F.broadcast(tot))
-        .select(
+        per.select(
             "source",
             F.col("n_docs").cast("bigint"),
             F.col("n_tokens").cast("bigint"),
