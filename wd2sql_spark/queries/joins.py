@@ -435,3 +435,71 @@ def join_basket_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "p1", "p2")
         .limit(20)
     )
+
+
+NATION_PAIR_ORACLE = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       ((2 * SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) + 10000) // 20000) / 100.0 AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("join_nation_pair_volume", oracle=NATION_PAIR_ORACLE, category="joins")
+def join_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year. The nation-pair disjunction spans both join sides, so neither
+    filter alone can be pushed into the fact — but each side's CNF hull
+    (supplier nation ∈ {A,B}, customer nation ∈ {A,B}) CAN: both dim
+    chains (supplier⋈nation, customer⋈nation) pre-reduce to the two
+    nations and BROADCAST onto the facts, shrinking the one genuine
+    shuffle (lineitem⋈orders) to ~(2/|nations|)² of the data before the
+    full disjunction is applied post-join. Revenue uses the exact
+    integer-units money sum (queries/_determinism.py)."""
+    pair = ("NATION_1", "NATION_2")
+    n1 = table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    n2 = table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    s2 = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c2 = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .select("c_custkey", "cust_nation")
+    )
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return (
+        l.join(F.broadcast(s2), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c2), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate")).cast("int").alias("l_year"),
+        )
+        .agg(
+            exact_sum_at(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6, 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )

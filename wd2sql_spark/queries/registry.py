@@ -121,6 +121,8 @@ _PRIORITY = (
     "scrub_pii_stats",
     "mix_domain_weights",
     "cluster_kmeans_embeddings",
+    "join_nation_pair_volume",
+    "subq_sole_fault_suppliers",
     # re-confirm the families whose money-sum arithmetic changed this
     # round (exact_sum_at): one representative per touched module
     "agg_pricing_summary",

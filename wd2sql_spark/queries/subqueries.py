@@ -211,3 +211,56 @@ def subq_max_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+WAITING_ORACLE = """
+SELECT s.s_name,
+       CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+@query("subq_sole_fault_suppliers", oracle=WAITING_ORACLE, category="subqueries")
+def subq_sole_fault_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE returner on
+    multi-supplier orders (the fixture has no receipt/commit dates, so
+    ``l_returnflag = 'R'`` plays the "kept waiting" role).
+
+    The two correlated subqueries — EXISTS (another supplier in the
+    order) and NOT EXISTS (another supplier ALSO at fault) — decorrelate
+    into ONE grouped aggregate over the fact: per order, the distinct
+    supplier count and the distinct at-fault supplier count. The pair of
+    conditions becomes ``n_supp >= 2 AND n_fault_supp = 1``, turning two
+    correlated re-scans of lineitem into a single shuffle on l_orderkey
+    that the main join reuses. At 100 TB this is the difference between
+    one pass and three."""
+    l = table(spark, sf_dir, "lineitem")
+    ord_stats = l.groupBy("l_orderkey").agg(
+        F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_fault_supp"),
+    )
+    faults = l.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    s = table(spark, sf_dir, "supplier")
+    return (
+        faults.join(ord_stats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_fault_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count_distinct(F.col("l_orderkey")).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
