@@ -83,3 +83,44 @@ def test_dot_fold_bit_identical_across_engines(spark, pairs):
         duck_dot,
         spark_dot - duck_dot,
     )
+
+
+# ---------------------------------------------------------------------------
+# PII regex parity — the scrub_pii_stats oracle assumes Java regex (Spark)
+# and RE2 (DuckDB) find the SAME spans for the three patterns. They are
+# written in the dialect intersection (character classes + bounded
+# repetition, no \b / lookaround); hypothesis drives adversarial text —
+# near-misses, embedded matches, pattern fragments — through both engines
+# and asserts identical match lists AND identical redacted strings.
+# ---------------------------------------------------------------------------
+
+PII_CHUNK = st.sampled_from(
+    [
+        "user@example.com", "a.b-c_d%e+f@ex-ample.co.uk", "u@e.c",  # near-miss: 1-char TLD
+        "@nope", "x@y.", "555-123-4567", "55-123-4567", "555-1234-567",
+        "10.0.3.99", "1.2.3", "999.999.999.999", "a1.2.3.4b", " ", "word",
+        "x@@y.com", "..", "-", "0" * 12,
+    ]
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(PII_CHUNK, min_size=1, max_size=12))
+def test_pii_regexes_match_identically_across_engines(spark, chunks):
+    from wd2sql_spark.queries.llm_decontam import EMAIL_RE, IP_RE, PHONE_RE
+
+    text = "".join(chunks)
+    sdf = spark.createDataFrame([(text,)], ["t"])
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"t": [text]}))
+    for pat in (EMAIL_RE, PHONE_RE, IP_RE):
+        s_matches, s_red = sdf.select(
+            F.regexp_extract_all(F.col("t"), F.lit(pat), F.lit(0)).alias("m"),
+            F.regexp_replace(F.col("t"), pat, "<X>").alias("r"),
+        ).collect()[0]
+        d_matches, d_red = con.execute(
+            f"SELECT regexp_extract_all(t, '{pat}'), regexp_replace(t, '{pat}', '<X>', 'g') FROM t"
+        ).fetchone()
+        assert list(s_matches) == list(d_matches), (pat, text)
+        assert s_red == d_red, (pat, text)
+    con.close()
