@@ -123,6 +123,7 @@ _PRIORITY = (
     "cluster_kmeans_embeddings",
     "join_nation_pair_volume",
     "subq_sole_fault_suppliers",
+    "curation_pipeline_decontam",
     # re-confirm the families whose money-sum arithmetic changed this
     # round (exact_sum_at): one representative per touched module
     "agg_pricing_summary",
