@@ -142,7 +142,7 @@ def _bench_etl(spark) -> dict:
     import shutil
     import tempfile
 
-    from tests.test_etl_scale import N, _write_dump
+    from wd2sql_spark.etl.synthdump import N, write_dump as _write_dump
     from wd2sql_spark.etl.pipeline import parse_entities, read_dump, unified_rows, wd2spark
     from wd2sql_spark.plans.audit import plan_report
 
@@ -158,7 +158,10 @@ def _bench_etl(spark) -> dict:
         nbytes = _write_dump(dump, n=4 * N, shards=32)
 
         rep = plan_report(unified_rows(parse_entities(read_dump(spark, dump))))
-        assert rep.shuffles == 0, f"staged ETL plan gained a shuffle:\n{rep.text}"
+        # RuntimeError, not assert: `python -O bench.py` must not silently
+        # strip the zero-shuffle guarantee the published numbers assume.
+        if rep.shuffles != 0:
+            raise RuntimeError(f"staged ETL plan gained a shuffle:\n{rep.text}")
 
         # Untimed warmup on a small dump: compiles the ETL plan's codegen
         # once so the timed run measures sustained throughput, matching

@@ -92,9 +92,13 @@ def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: st
     is one text row per doc, negligible next to the explode it
     parallelizes. On a 100 TB corpus the scan already has thousands of
     splits and the branch is a no-op."""
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism:
-        docs = docs.repartition(parallelism, F.col(id_col))
+    # `.rdd` is unsupported on streaming plans (and forces an extra
+    # driver-side physical planning pass even on batch); the pre-spread is
+    # a batch-only input fix-up, so streaming relations skip it.
+    if not docs.isStreaming:
+        parallelism = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < parallelism:
+            docs = docs.repartition(parallelism, F.col(id_col))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle"),

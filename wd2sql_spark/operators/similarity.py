@@ -17,8 +17,6 @@ them, and the whole plan stays deterministic.
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -231,21 +229,50 @@ def ivf_assign(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
     return -F.array_max(scored)["negcid"]
 
 
-# Per-session IVF index cache, keyed by (id(session), cache_key,
-# n_centroids) with a WEAK reference guard on the session (the id() of a
-# stopped+GC'd session can be recycled — same pattern as the wikidata ETL
-# cache, ADVICE r2). The entry holds the codebook plus the assigned+scored
-# corpus as a localCheckpoint: the checkpoint truncates the plan to a
-# LogicalRDD, so later invocations skip re-analyzing the ~n_centroids·dim
-# inlined codebook literals (0.5-1 s of driver time per plan) AND skip
-# re-scoring the corpus. This is the moral of IVF — the index is built
-# once, queries only probe — expressed at toy scale; at 100 TB the
-# checkpoint becomes a table written partitioned by cid (and the scores
-# array would be dropped from the stored relation, not carried per row).
-_IVF_INDEX_CACHE: dict[
-    tuple[int, str, int, str, str],
-    tuple["weakref.ref", list[tuple[int, list[float]]], DataFrame],
-] = {}
+def _scored_base(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cv, cn, scores, cid): each vector with its norm, its
+    per-centroid cosine array, and the argmax list id. The ONE definition
+    shared by the cached index and the inline predicate path, so the
+    "bit-identical either way" claim is structural, not maintained by
+    hand."""
+    scored_arr = F.transform(
+        _centroid_struct_array(centroids),
+        lambda cc: F.struct(
+            cosine(F.col("cv"), cc["cv"], na=F.col("cn")).alias("score"),
+            (-cc["cid"]).alias("negcid"),
+        ),
+    )
+    return (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).alias("cv"),
+            l2_norm(F.col(vec_col)).alias("cn"),
+        )
+        .withColumn("scores", scored_arr)
+        .withColumn("cid", -F.array_max(F.col("scores"))["negcid"])
+    )
+
+
+# Per-session IVF index cache (see session_cache.SessionCache for the
+# weakref-keying rationale). The entry holds the codebook plus the
+# assigned+scored corpus as a localCheckpoint: the checkpoint truncates
+# the plan to a LogicalRDD, so later invocations skip re-analyzing the
+# ~n_centroids·dim inlined codebook literals (0.5-1 s of driver time per
+# plan) AND skip re-scoring the corpus. This is the moral of IVF — the
+# index is built once, queries only probe — expressed at toy scale.
+# KNOWN LIMITS of the toy-scale expression: (a) localCheckpoint blocks
+# live in executor storage, so on a cluster that loses executors the
+# cached index dies with them (no lineage to recompute) — at 100 TB the
+# index is a TABLE written partitioned by cid, which has neither problem
+# (and would not carry the scores array per row); (b) the cache key is
+# the caller's string, so it assumes the underlying corpus at that key is
+# immutable for the session (true for the read-only fixtures).
+_IVF_INDEX_CACHE = None  # initialized lazily to avoid import cycles
 
 
 def ivf_index(
@@ -257,39 +284,22 @@ def ivf_index(
 ) -> tuple[list[tuple[int, list[float]]], DataFrame]:
     """Codebook + assigned/scored corpus relation for :func:`ivf_topk`'s
     predicate form, built once per (session, cache_key) and reused.
+    Bit-identical to building it inline — the cache only changes WHEN the
+    same deterministic plan runs."""
+    global _IVF_INDEX_CACHE
+    if _IVF_INDEX_CACHE is None:
+        from wd2sql_spark.session_cache import SessionCache
 
-    The returned relation has columns (_id, cv, cn, scores, cid): the
-    vector, its norm, the per-centroid cosine array (probe source), and
-    the argmax list id. Bit-identical to building it inline — the cache
-    only changes WHEN the same deterministic plan runs."""
-    spark = corpus.sparkSession
-    for key, (ref, _, _) in list(_IVF_INDEX_CACHE.items()):
-        if ref() is None:
-            del _IVF_INDEX_CACHE[key]
-    key = (id(spark), cache_key, n_centroids, id_col, vec_col)
-    hit = _IVF_INDEX_CACHE.get(key)
-    if hit is not None and hit[0]() is spark:
-        return hit[1], hit[2]
-    centroids = collect_centroids(corpus, n_centroids, id_col, vec_col)
-    scored_arr = F.transform(
-        _centroid_struct_array(centroids),
-        lambda cc: F.struct(
-            cosine(F.col("cv"), cc["cv"], na=F.col("cn")).alias("score"),
-            (-cc["cid"]).alias("negcid"),
-        ),
+        _IVF_INDEX_CACHE = SessionCache()
+
+    def build() -> tuple[list[tuple[int, list[float]]], DataFrame]:
+        centroids = collect_centroids(corpus, n_centroids, id_col, vec_col)
+        base = _scored_base(corpus, centroids, id_col, vec_col).localCheckpoint(eager=True)
+        return centroids, base
+
+    return _IVF_INDEX_CACHE.get_or_build(
+        corpus.sparkSession, (cache_key, n_centroids, id_col, vec_col), build
     )
-    base = (
-        corpus.select(
-            F.col(id_col),
-            F.col(vec_col).alias("cv"),
-            l2_norm(F.col(vec_col)).alias("cn"),
-        )
-        .withColumn("scores", scored_arr)
-        .withColumn("cid", -F.array_max(F.col("scores"))["negcid"])
-        .localCheckpoint(eager=True)
-    )
-    _IVF_INDEX_CACHE[key] = (weakref.ref(spark), centroids, base)
-    return centroids, base
 
 
 def ivf_topk(
@@ -329,22 +339,7 @@ def ivf_topk(
             _, base = ivf_index(corpus, cache_key, n_centroids, id_col, vec_col)
         else:
             centroids = collect_centroids(corpus, n_centroids, id_col, vec_col)
-            scored_arr = F.transform(
-                _centroid_struct_array(centroids),
-                lambda cc: F.struct(
-                    cosine(F.col("cv"), cc["cv"], na=F.col("cn")).alias("score"),
-                    (-cc["cid"]).alias("negcid"),
-                ),
-            )
-            base = (
-                corpus.select(
-                    F.col(id_col),
-                    F.col(vec_col).alias("cv"),
-                    l2_norm(F.col(vec_col)).alias("cn"),
-                )
-                .withColumn("scores", scored_arr)
-                .withColumn("cid", -F.array_max(F.col("scores"))["negcid"])
-            )
+            base = _scored_base(corpus, centroids, id_col, vec_col)
         c = base.select(
             F.col(id_col).alias("neighbor_id"), "cv", "cn", "cid"
         )

@@ -27,19 +27,28 @@ DECONTAM_N = 5  # word n-gram width of the overlap check
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
-# distinct word 5-gram shingles per doc — the n=5 twin of llm_dedup's
-# 3-gram CTE (same normalize + slice construction).
-_SHINGLES5_CTE = f"""
-tok AS (SELECT doc_id, string_split({_NORM}, ' ') AS ts FROM documents),
-sh AS (
+
+def shingles5_sql(src: str, out: str) -> str:
+    """CTE pair ``{out}tok, {out}`` producing the distinct word 5-gram
+    shingles of relation ``src`` (which must expose doc_id, text) — the
+    n=5 twin of llm_dedup's 3-gram CTE (same normalize + slice
+    construction). ONE definition serves this module's oracle and the
+    composed curation pipeline's, so the two can't drift."""
+    n1 = DECONTAM_N - 1
+    return f"""
+{out}tok AS (SELECT doc_id, string_split({_NORM}, ' ') AS ts FROM {src}),
+{out} AS (
   SELECT DISTINCT doc_id, shingle
   FROM (
     SELECT doc_id,
-           unnest([array_to_string(list_slice(ts, i, i+{DECONTAM_N - 1}), ' ')
-                   FOR i IN range(1, greatest(len(ts)-{DECONTAM_N - 1}, 0)+1)]) AS shingle
-    FROM tok)
+           unnest([array_to_string(list_slice(ts, i, i+{n1}), ' ')
+                   FOR i IN range(1, greatest(len(ts)-{n1}, 0)+1)]) AS shingle
+    FROM {out}tok)
 )
 """
+
+
+_SHINGLES5_CTE = shingles5_sql("documents", "sh").strip().rstrip()
 
 DECONTAM_ORACLE = f"""
 WITH {_SHINGLES5_CTE},

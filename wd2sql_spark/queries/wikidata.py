@@ -11,7 +11,6 @@ the driver a real hash-comparison for the ETL path (not just rows-only).
 from __future__ import annotations
 
 import os
-import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -19,6 +18,7 @@ from pyspark.sql import functions as F
 from wd2sql_spark.etl.pipeline import parse_entities, read_dump, transform
 from wd2sql_spark.functions.ids import ENCODE_WID_SQL_CASE, encode_wid
 from wd2sql_spark.queries.registry import query
+from wd2sql_spark.session_cache import SessionCache
 
 FIXTURE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "..", "..", "tests", "fixtures", "wd_dump.ndjson"
@@ -52,26 +52,17 @@ def wd_id_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-session cache: the 7 wd_etl_* queries all project from the same
 # parsed-dump relation, so build (and persist) it once per SparkSession —
 # the dump is scanned + JSON-parsed a single time and every golden query
-# is a cheap cached-projection job. The key holds a WEAK reference to the
-# session itself: a plain id(spark) key can be recycled by the allocator
-# after the session is stopped and GC'd, handing a new session cached
-# DataFrames bound to a dead SparkContext (ADVICE r2). A weakref match
-# guarantees the entry belongs to this live session object; dead entries
-# are swept on access.
-_ETL_CACHE: dict[int, tuple["weakref.ref[SparkSession]", dict[str, DataFrame]]] = {}
+# is a cheap cached-projection job. Session keying (weakref guard against
+# id() recycling, ADVICE r2) lives in session_cache.SessionCache.
+_ETL_CACHE = SessionCache()
 
 
 def _etl_tables(spark: SparkSession) -> dict[str, DataFrame]:
-    for key, (ref, _) in list(_ETL_CACHE.items()):
-        if ref() is None:
-            del _ETL_CACHE[key]
-    key = id(spark)
-    hit = _ETL_CACHE.get(key)
-    if hit is not None and hit[0]() is spark:
-        return hit[1]
-    entities = parse_entities(read_dump(spark, FIXTURE)).persist()
-    _ETL_CACHE[key] = (weakref.ref(spark), transform(entities))
-    return _ETL_CACHE[key][1]
+    return _ETL_CACHE.get_or_build(
+        spark,
+        ("wd_etl_tables",),
+        lambda: transform(parse_entities(read_dump(spark, FIXTURE)).persist()),
+    )
 
 
 META_GOLDEN = """
