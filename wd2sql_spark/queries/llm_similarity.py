@@ -338,3 +338,69 @@ def sim_centroid_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+LSH_RECALL_ORACLE = f"""
+WITH brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({_cos('q', 'c')}, 6) DESC, c.vec_id) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 3) t WHERE rank <= 5
+),
+bucketed AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({_cos('q', 'c')}, 6) DESC, c.vec_id) AS rank
+    FROM bucketed q JOIN bucketed c
+      ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < 3) t WHERE rank <= 5
+)
+SELECT b.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_brute,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+       round(CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*), 6) AS recall
+FROM brute b
+LEFT JOIN approx a
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+ORDER BY b.query_id
+"""
+
+
+@query("sim_lsh_recall_audit", oracle=LSH_RECALL_ORACLE, category="llm-similarity")
+def sim_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of LSH top-5 against exact brute-force top-5, per query —
+    the audit every approximate operator needs shipped NEXT TO it
+    ("measure, don't guess": the recall/cost trade of the bucketed path
+    is a number you monitor, not a hope). Composes the two existing
+    judged operators and joins their result sets; at 100 TB this audit
+    runs on a sampled query set while production traffic uses the
+    approximate path."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    brute = S.brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = S.lsh_topk(emb, queries, k=5, r=4, dim=64).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    return (
+        brute.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_brute"),
+            F.count("a_nid").cast("bigint").alias("n_hit"),
+            F.round(F.count("a_nid").cast("double") / F.count(F.lit(1)), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

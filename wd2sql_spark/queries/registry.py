@@ -124,6 +124,7 @@ _PRIORITY = (
     "join_nation_pair_volume",
     "subq_sole_fault_suppliers",
     "curation_pipeline_decontam",
+    "sim_lsh_recall_audit",
     # re-confirm the families whose money-sum arithmetic changed this
     # round (exact_sum_at): one representative per touched module
     "agg_pricing_summary",
