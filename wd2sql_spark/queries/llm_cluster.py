@@ -152,6 +152,148 @@ ORDER BY cid
 """
 
 
+_sd = {"scale": 1000, "k": 8, "pct": 20, "t_num": 16}  # 16·dot² ≥ na²·nb² ⇔ cos ≥ 0.25
+
+SEMDEDUP_ORACLE = f"""
+WITH samp AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {_sd['scale']}, 0) AS BIGINT)) AS iv
+  FROM embeddings
+  WHERE CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < {_sd['pct']}
+),
+seeds AS (
+  SELECT vec_id AS cid, iv AS c FROM samp
+  WHERE vec_id IN (SELECT vec_id FROM samp ORDER BY vec_id LIMIT {_sd['k']})
+),
+assigned AS (
+  SELECT vec_id, iv, cid FROM (
+    SELECT s.vec_id, s.iv, d.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY {_SQDIST.format(a='s.iv', b='d.c', dim=DIM)}, d.cid) AS rn
+    FROM samp s CROSS JOIN seeds d) z
+  WHERE rn = 1
+),
+norms AS (
+  SELECT vec_id, iv, cid,
+         CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS n2
+  FROM assigned
+),
+dups AS (
+  SELECT a.cid, a.vec_id AS d1, b.vec_id AS d2,
+         CAST(list_sum(list_transform(range(1, {DIM} + 1),
+                                      k -> a.iv[k] * b.iv[k])) AS BIGINT) AS dot
+  FROM norms a JOIN norms b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(range(1, {DIM} + 1), k -> a.iv[k] * b.iv[k])) > 0
+    AND {_sd['t_num']}
+        * list_sum(list_transform(range(1, {DIM} + 1), k -> a.iv[k] * b.iv[k]))
+        * list_sum(list_transform(range(1, {DIM} + 1), k -> a.iv[k] * b.iv[k]))
+        >= a.n2 * b.n2
+),
+per AS (
+  SELECT cid,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+         CAST(COUNT(DISTINCT d2) AS BIGINT) AS n_dropped,
+         CAST(SUM(dot) AS BIGINT) AS sum_dot
+  FROM dups GROUP BY cid
+)
+SELECT CAST(m.cid AS BIGINT) AS cid,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       COALESCE(ANY_VALUE(p.n_dup_pairs), 0) AS n_dup_pairs,
+       COALESCE(ANY_VALUE(p.n_dropped), 0) AS n_dropped,
+       COALESCE(ANY_VALUE(p.sum_dot), 0) AS sum_dot
+FROM assigned m LEFT JOIN per p ON m.cid = p.cid
+GROUP BY m.cid
+ORDER BY cid
+"""
+
+
+@query("semdedup_cluster_prune", oracle=SEMDEDUP_ORACLE, category="llm-cluster")
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 pattern, from public description):
+    cluster the corpus, then prune documents whose embeddings are
+    near-parallel WITHIN a cluster — pairwise comparison is confined to
+    cluster blocks, so the pair space is Σ|cluster|², never |corpus|².
+    Run here on a deterministic 20% md5 sample (the audit-sized slice a
+    production pass would tune thresholds on), with k=8 seed centroids
+    and a cosine cutoff of 0.25 (the fixture corpus tops out at ≈0.42;
+    real near-dup corpora use ≈0.95 — the threshold is a knob, the plan
+    is the point).
+
+    Determinism: quantized components (round(x·10³) — no offset; distance
+    and dot tolerate negatives, and there is no centroid-update division
+    to need sign handling), integer squared distances for the argmin, and
+    the cosine test done as 16·dot² ≥ |a|²·|b|² in exact int64 — both
+    engines take identical branches, so per-cluster members / dup pairs /
+    dropped counts / Σdot hash-match bit-for-bit.
+
+    Plan: one broadcast-assignment (zero-shuffle, as in k-means), one
+    self-join shuffled on cid, one aggregate. At 100 TB the cluster count
+    grows with the corpus so blocks stay bounded; the sample filter is a
+    narrow predicate on the scan."""
+    emb = table(spark, sf_dir, "embeddings")
+    samp = emb.filter(
+        (
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100
+        )
+        < _sd["pct"]
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * _sd["scale"], 0).cast("long"),
+        ).alias("iv"),
+    )
+    seeds = (
+        samp.orderBy("vec_id")
+        .limit(_sd["k"])
+        .select(F.col("vec_id").alias("cid"), F.col("iv").alias("c"))
+    )
+    assigned = _assign(samp, seeds).drop("dist")
+    norms = assigned.withColumn(
+        "n2",
+        F.aggregate(F.col("iv"), F.lit(0).cast("long"), lambda a, v: a + v * v),
+    )
+    a, b = norms.alias("a"), norms.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.iv"), F.col("b.iv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cid").alias("cid"),
+            F.col("b.vec_id").alias("d2"),
+            dot.alias("dot"),
+            (F.col("a.n2") * F.col("b.n2")).alias("nn"),
+        )
+        .filter((F.col("dot") > 0) & (F.lit(_sd["t_num"]) * F.col("dot") * F.col("dot") >= F.col("nn")))
+    )
+    per = dups.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"),
+        F.count_distinct(F.col("d2")).cast("bigint").alias("n_dropped"),
+        F.sum("dot").cast("bigint").alias("sum_dot"),
+    )
+    members = assigned.groupBy("cid").agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    return (
+        members.join(per, "cid", "left")
+        .select(
+            F.col("cid").cast("bigint"),
+            "n_members",
+            F.coalesce(F.col("n_dup_pairs"), F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("bigint").alias("n_dropped"),
+            F.coalesce(F.col("sum_dot"), F.lit(0)).cast("bigint").alias("sum_dot"),
+        )
+        .orderBy("cid")
+    )
+
+
 @query("cluster_kmeans_embeddings", oracle=KMEANS_ORACLE, category="llm-cluster")
 def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two unrolled Lloyd iterations of k-means (k=4, seeds = the K

@@ -50,6 +50,7 @@ _MODULES = (
     "wd2sql_spark.queries.llm_quality",
     "wd2sql_spark.queries.llm_decontam",
     "wd2sql_spark.queries.llm_cluster",
+    "wd2sql_spark.queries.llm_packing",
     "wd2sql_spark.queries.streaming_q",
     "wd2sql_spark.queries.sessionization",
     "wd2sql_spark.queries.graph",
@@ -89,9 +90,10 @@ def query(name: str, oracle: str | None = None, category: str = "misc") -> Calla
 # first to confirm their fixes, (b) the 17 queries with no CORRECTNESS row
 # in any round (r1 ∪ r2) so every registered query ends the round with a
 # cumulative driver row, (c) sim_lsh_topk whose oracle is new this round,
-# (d) a rotation of earlier-green families to re-confirm under the
-# changed exact_sum_at arithmetic. Names not listed keep their
-# module-order position after these.
+# (d) the operators new in round 3 (curation/joins/chunking/packing/
+# semdedup) needing first rows, (e) a rotation of earlier-green families
+# to re-confirm under the changed exact_sum_at arithmetic. Names not
+# listed keep their module-order position after these.
 _PRIORITY = (
     # round-2 failures, fixed this round — must re-verify
     "sessionize_gap30m",
@@ -125,15 +127,15 @@ _PRIORITY = (
     "subq_sole_fault_suppliers",
     "curation_pipeline_decontam",
     "sim_lsh_recall_audit",
+    "chunk_docs_overlap",
+    "pack_sequences_bins",
+    "semdedup_cluster_prune",
     # re-confirm the families whose money-sum arithmetic changed this
     # round (exact_sum_at): one representative per touched module
     "agg_pricing_summary",
     "join_multiway_local_supplier_volume",
     "join_shipping_priority_topk",
-    "join_returned_item_ranking",
     "join_skew_salted",
-    "join_basket_cooccurrence",
-    "subq_scalar_avg_part",
     "subq_scalar_global_avg",
     "window_revenue_share",
     "window_rolling_7d_range",
