@@ -47,6 +47,9 @@ HEADLINE = (
     "curation_pipeline_summary",
     "decontam_ngram_overlap",
     "scrub_pii_stats",
+    "chunk_docs_overlap",
+    "pack_sequences_bins",
+    "semdedup_cluster_prune",
 )
 
 

@@ -220,3 +220,60 @@ def test_scrub_redacts_all_planted_pii(spark):
     assert sum(r.n_emails for r in rows) == exp[0]
     assert sum(r.n_phones for r in rows) == exp[1]
     assert sum(r.n_ips for r in rows) == exp[2]
+
+
+def test_chunking_reconstructs_documents(spark, docs):
+    """The non-overlapping prefix of each chunk (the first STRIDE chars)
+    concatenated in chunk order must reproduce the document exactly —
+    the invariant that makes overlapping chunks safe to de-overlap
+    downstream. Checked via content md5s joined back to the corpus."""
+    from wd2sql_spark.queries.llm_packing import STRIDE, chunk_docs_overlap
+
+    chunks = chunk_docs_overlap(spark, SF)
+    rebuilt = (
+        chunks.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "text",
+            F.expr(f"substring(text, chunk_start + 1, {STRIDE})").alias("piece"),
+            "chunk_idx",
+        )
+        .groupBy("doc_id", "text")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "piece"))),
+                    lambda t: t["piece"],
+                ),
+            ).alias("rebuilt")
+        )
+    )
+    assert rebuilt.filter(F.col("rebuilt") != F.col("text")).count() == 0
+
+
+def test_packing_invariants(spark):
+    """Per shard: the window budget must cover the token stream
+    (n_bins·CONTEXT ≥ total_tokens > (n_bins−1)·CONTEXT), utilization in
+    (0, 1], and split docs can't exceed interior bin boundaries."""
+    from wd2sql_spark.queries.llm_packing import CONTEXT, pack_sequences_bins
+
+    for r in pack_sequences_bins(spark, SF).collect():
+        assert r.n_bins * CONTEXT >= r.total_tokens > (r.n_bins - 1) * CONTEXT
+        assert 0.0 < r.utilization <= 1.0
+        assert r.n_split_docs <= r.n_bins - 1
+        assert r.n_split_docs <= r.n_docs
+
+
+def test_semdedup_prune_bounded_by_membership(spark):
+    """Dropped docs are a strict subset of cluster members (the kept
+    representative never drops), pair counts respect the block size, and
+    every sampled vector lands in exactly one cluster."""
+    from wd2sql_spark.queries.llm_cluster import semdedup_cluster_prune
+
+    rows = semdedup_cluster_prune(spark, SF).collect()
+    assert rows, "sample produced no clusters"
+    for r in rows:
+        assert 0 <= r.n_dropped < r.n_members
+        assert r.n_dup_pairs <= r.n_members * (r.n_members - 1) // 2
+        assert (r.sum_dot > 0) == (r.n_dup_pairs > 0)

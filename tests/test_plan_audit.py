@@ -263,3 +263,41 @@ def test_kmeans_assignment_is_rowlocal(reports):
     assert len(r.scans) == 1
     for s in r.scans:
         assert set(s["columns"]) <= {"vec_id", "embedding"}, s
+
+
+def test_chunking_is_narrow(reports):
+    """Chunking must behave like a projection: sequence/posexplode/
+    substring all run inside codegen with no exchange — the only
+    shuffle allowed is the presentation ORDER BY. A second shuffle
+    would mean the fan-out started moving data."""
+    r = reports["chunk_docs_overlap"]
+    assert not r.python_eval and not r.pandas_eval
+    assert r.shuffles <= 1 and r.broadcasts == 0
+    assert len(r.scans) == 1
+    for s in r.scans:
+        assert set(s["columns"]) <= {"doc_id", "text", "n_chars"}, s
+
+
+def test_packing_single_shard_exchange(reports):
+    """Per-shard packing pays ONE data exchange (hash by shard for the
+    running-sum window); the per-shard aggregate must reuse that
+    partitioning, leaving only the presentation sort."""
+    r = reports["pack_sequences_bins"]
+    assert not r.python_eval and not r.pandas_eval
+    assert r.shuffles <= 2, r.shuffles
+    assert len(r.scans) == 1
+    for s in r.scans:
+        assert set(s["columns"]) <= {"doc_id", "text"}, s
+
+
+def test_semdedup_blocks_by_cluster(reports):
+    """SemDeDup's centroid assignment is the k-means row-local broadcast
+    (no per-vector exchange); the pairwise stage may shuffle only on the
+    cluster block key plus the roll-up joins/sort. All arithmetic stays
+    JVM-side."""
+    r = reports["semdedup_cluster_prune"]
+    assert not r.python_eval and not r.pandas_eval
+    assert r.broadcasts >= 1
+    assert r.shuffles <= 5, r.shuffles
+    for s in r.scans:
+        assert set(s["columns"]) <= {"vec_id", "embedding"}, s
