@@ -442,3 +442,92 @@ def agg_ordered_array_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+CUSTDIST_ORACLE = """
+WITH c_orders AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("agg_customer_order_distribution", oracle=CUSTDIST_ORACLE, category="aggregates")
+def agg_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: count-of-counts distribution — how many customers
+    placed k qualifying orders, including k=0 (the outer join keeps
+    order-less customers; the priority predicate lives IN the join
+    condition, not a post-filter, or the k=0 class would vanish).
+
+    Scale shape: one shuffle on custkey shared by the outer join and the
+    per-customer count (partial+final agg), then a second ~|distinct k|-row
+    aggregate — trivially small. No fact is scanned twice."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "4-NOT SPECIFIED"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+PROMO_ORACLE = """
+SELECT round(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)
+                  ELSE 0 END) AS DOUBLE)
+             / SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)),
+             6) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-07-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+"""
+
+
+@query("agg_promo_revenue_ratio", oracle=PROMO_ORACLE, category="aggregates")
+def agg_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue as a percentage of total revenue in
+    a ship-date window — a conditional-sum ratio collapsing to ONE row.
+
+    Scale shape: the date filter pushes to the lineitem scan; part (key +
+    type only) broadcasts; the global aggregate is partial per partition
+    then a 1-row final — no keyed shuffle at all. Both conditional and
+    total sums use identical integer revenue units, so the ratio divides
+    bit-identical operands in both engines (window_revenue_share idiom)."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1_000_000), 0
+    ).cast("long")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .select(
+            F.when(F.col("p_type") == "PROMO", rev_units).otherwise(F.lit(0)).alias("pu"),
+            rev_units.alias("ru"),
+        )
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum("pu").cast("double") / F.sum("ru"), 6
+            ).alias("promo_revenue_pct")
+        )
+    )

@@ -503,3 +503,172 @@ def join_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+MARKET_SHARE_ORACLE = """
+WITH flat AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT) AS rev_units,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+)
+SELECT o_year,
+       round(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_units ELSE 0 END) AS DOUBLE)
+             / SUM(rev_units), 6) AS mkt_share
+FROM flat
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("join_market_share", oracle=MARKET_SHARE_ORACLE, category="joins")
+def join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue sold into
+    ASIA customers, by order year. The tiny dim chains (part-type filter,
+    supplier→nation tag, nation⋈region) pre-reduce and BROADCAST; the
+    ASIA-customer key set is customer-sized, so it is a left-SEMI join the
+    optimizer is free to execute as shuffle or (at small SF, via AQE)
+    broadcast — never a forced broadcast of a fact-scaled relation. The
+    genuine shuffles are lineitem⋈orders and the semi-join, both pre-pruned
+    by the pushed part filter. The share is a conditional-sum ratio over
+    the SAME integer revenue units in both engines (window_revenue_share
+    idiom), so the division and 6-decimal round see bit-identical
+    operands."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    asia = (
+        table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    cust_asia = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(asia), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    supp_n = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev_units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1_000_000), 0
+    ).cast("long")
+    flat = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(cust_asia, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_n), l["l_suppkey"] == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev_units.alias("rev_units"),
+            "supp_nation",
+        )
+    )
+    return (
+        flat.groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("rev_units")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nation_units"),
+            F.sum("rev_units").alias("all_units"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("nation_units").cast("double") / F.col("all_units"), 6
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+PROFIT_ORACLE = """
+SELECT sn.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       (SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT))
+        - SUM(CAST(round(p.p_retailprice * l.l_quantity * 0.1 * 1000000, 0) AS BIGINT)))
+       / 1000000.0 AS profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+GROUP BY nation, o_year
+ORDER BY nation, o_year
+"""
+
+
+@query("join_profit_by_nation_year", oracle=PROFIT_ORACLE, category="joins")
+def join_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'widget' parts by supplier nation and
+    order year, with a 10%-of-retail cost proxy standing in for
+    ps_supplycost (the fixtures carry no partsupp table). part (LIKE
+    filter applied BEFORE the join) and supplier⋈nation broadcast; the one
+    genuine shuffle is lineitem⋈orders, pre-pruned by the part semi-join.
+
+    Determinism: per-line profit can be negative, and integer `div`
+    truncation differs from floor there — so instead of rounding a signed
+    sum, revenue and cost are summed as separate NON-NEGATIVE integer-unit
+    sums and differenced exactly; the single final division by 10^6 is one
+    IEEE op on identical integers in both engines (no rounding step at
+    all)."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp_n = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    rev_units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1_000_000), 0
+    ).cast("long")
+    cost_units = F.round(
+        F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1) * F.lit(1_000_000), 0
+    ).cast("long")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(supp_n), l["l_suppkey"] == F.col("s_suppkey"))
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(rev_units).alias("ru"),
+            F.sum(cost_units).alias("cu"),
+        )
+        .select(
+            "nation",
+            "o_year",
+            ((F.col("ru") - F.col("cu")) / F.lit(1_000_000.0)).alias("profit"),
+        )
+        .orderBy("nation", "o_year")
+    )

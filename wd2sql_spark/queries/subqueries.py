@@ -264,3 +264,75 @@ def subq_sole_fault_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
+
+
+SALES_OPPORTUNITY_ORACLE = """
+WITH cutoff AS (
+  SELECT CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+         / (COUNT(*) * 100.0) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment,
+       COUNT(*) AS numcust,
+       SUM(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) / 100.0 AS totacctbal
+FROM customer c, cutoff
+WHERE c.c_acctbal > cutoff.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@query(
+    "subq_sales_opportunity_antijoin",
+    oracle=SALES_OPPORTUNITY_ORACLE,
+    category="subqueries",
+)
+def subq_sales_opportunity_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (fixtures carry no c_phone, so the country-code
+    IN-list becomes the market segment): rich customers with no URGENT
+    order — a global scalar AVG cutoff + correlated NOT EXISTS,
+    decorrelated to a 1-row broadcast cross join + left-ANTI join against
+    the custkeys of urgent orders (the priority filter pushes to the
+    orders scan BEFORE the anti-join).
+
+    Scale shape: the cutoff aggregate is partial+final over customer (one
+    scan, 1-row result broadcast); the anti-join projects orders to its
+    custkey column only, so the shuffle moves 8 bytes/row; the final
+    segment aggregate is ~|segments| rows. The cutoff comparison divides
+    identical integer sums in both engines, and acctbal carries exactly 2
+    decimals so its rounded integer-cents sum is exact (rule 1,
+    _determinism.py)."""
+    c = table(spark, sf_dir, "customer")
+    cutoff = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.round(F.col("c_acctbal") * F.lit(100), 0).cast("long")).cast(
+                    "double"
+                )
+                / (F.count(F.lit(1)) * F.lit(100.0))
+            ).alias("avg_bal")
+        )
+    )
+    o_keys = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o_keys, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (
+                F.sum(F.round(F.col("c_acctbal") * F.lit(100), 0).cast("long"))
+                / F.lit(100.0)
+            ).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
