@@ -130,6 +130,12 @@ _PRIORITY = (
     "chunk_docs_overlap",
     "pack_sequences_bins",
     "semdedup_cluster_prune",
+    # TPC-H shapes new in round 3 — need first driver rows
+    "join_market_share",
+    "join_profit_by_nation_year",
+    "agg_customer_order_distribution",
+    "agg_promo_revenue_ratio",
+    "subq_sales_opportunity_antijoin",
     # re-confirm the families whose money-sum arithmetic changed this
     # round (exact_sum_at): one representative per touched module
     "agg_pricing_summary",
@@ -140,14 +146,13 @@ _PRIORITY = (
     "window_revenue_share",
     "window_rolling_7d_range",
     "funnel_view_click_purchase",
-    # wikidata ETL goldens — keep the reference-semantics check in-cap
+    # wikidata ETL goldens — keep the most semantically-loaded four in-cap
+    # (ID codec, meta path, deprecated-rank drop, query surface); the five
+    # typed-table goldens (string/entity/coordinates/quantity/time) are
+    # r2-green, unchanged, and re-verified by the local sf0.01 sweep, so
+    # they rotate out to make cap room for the round-3 TPC-H shapes.
     "wd_id_codec",
     "wd_etl_meta",
-    "wd_etl_string",
-    "wd_etl_entity",
-    "wd_etl_coordinates",
-    "wd_etl_quantity",
-    "wd_etl_time",
     "wd_etl_presence",
     "wd_query_conjunctive",
     # iterative/curation one-query families
