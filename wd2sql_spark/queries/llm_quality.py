@@ -253,3 +253,91 @@ def quality_boilerplate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+SEG_N = 10  # tokens per dedup segment (the "line" unit; fixtures have no \n)
+
+SEGMENT_DEDUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+segs AS (
+  SELECT doc_id, i.i AS idx,
+         array_to_string(ts[i.i : i.i + {SEG_N - 1}], ' ') AS seg
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts), {SEG_N})) AS i) i
+),
+freq AS (
+  SELECT md5(seg) AS seg_hash, COUNT(DISTINCT doc_id) AS df
+  FROM segs GROUP BY md5(seg)
+),
+j AS (
+  SELECT s.doc_id, s.idx, s.seg, f.df
+  FROM segs s JOIN freq f ON f.seg_hash = md5(s.seg)
+)
+SELECT doc_id,
+       COUNT(*) AS n_segs,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(string_agg(CASE WHEN df = 1 THEN seg END, ' ' ORDER BY idx)) AS rebuilt_md5
+FROM j
+GROUP BY doc_id
+HAVING SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) > 0
+ORDER BY doc_id
+"""
+
+
+@query(
+    "quality_segment_dedup_rebuild",
+    oracle=SEGMENT_DEDUP_ORACLE,
+    category="llm-quality",
+)
+def quality_segment_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide span REMOVAL (the destructive twin of
+    quality_boilerplate_windows' detection): cut each document into
+    consecutive {SEG_N}-token segments, drop every segment whose exact
+    content occurs in ≥2 distinct documents, and REBUILD the surviving
+    text in original order (md5 of the rebuilt text is the verified
+    value). Documents left with zero unique segments drop out entirely —
+    mirroring C4's removal of fully-boilerplate pages.
+
+    Scale shape: segment frequency is a digest-only aggregate (32-byte
+    md5 keys shuffle, never text); the digest⋈segment join and the
+    per-document rebuild each move the text exactly once — the
+    irreducible cost of an operator whose OUTPUT is text. Order
+    restoration is array_sort over (idx, seg) structs inside the
+    aggregate, not a window, so one doc_id shuffle carries the whole
+    rebuild."""
+    d = table(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(1), F.size(ts), F.lit(SEG_N))
+    segs = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("idx"),
+                    F.concat_ws(" ", F.slice(ts, i, SEG_N)).alias("seg"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.idx").alias("idx"), F.col("s.seg").alias("seg"))
+    freq = (
+        segs.select("doc_id", F.md5("seg").alias("seg_hash"))
+        .groupBy("seg_hash")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    joined = segs.withColumn("seg_hash", F.md5("seg")).join(freq, "seg_hash")
+    kept_sorted = F.filter(
+        F.array_sort(F.collect_list(F.struct("idx", "seg", "df"))),
+        lambda s: s["df"] == 1,
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.md5(
+                F.concat_ws(" ", F.transform(kept_sorted, lambda s: s["seg"]))
+            ).alias("rebuilt_md5"),
+        )
+        .filter(F.col("n_kept") > 0)
+        .orderBy("doc_id")
+    )

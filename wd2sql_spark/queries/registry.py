@@ -136,6 +136,7 @@ _PRIORITY = (
     "agg_customer_order_distribution",
     "agg_promo_revenue_ratio",
     "subq_sales_opportunity_antijoin",
+    "quality_segment_dedup_rebuild",
     # re-confirm the families whose money-sum arithmetic changed this
     # round (exact_sum_at): one representative per touched module
     "agg_pricing_summary",
@@ -146,14 +147,12 @@ _PRIORITY = (
     "window_revenue_share",
     "window_rolling_7d_range",
     "funnel_view_click_purchase",
-    # wikidata ETL goldens — keep the most semantically-loaded four in-cap
-    # (ID codec, meta path, deprecated-rank drop, query surface); the five
-    # typed-table goldens (string/entity/coordinates/quantity/time) are
-    # r2-green, unchanged, and re-verified by the local sf0.01 sweep, so
-    # they rotate out to make cap room for the round-3 TPC-H shapes.
+    # wikidata ETL goldens — keep the most semantically-loaded three in-cap
+    # (ID codec, meta path, query surface); the typed-table and presence
+    # goldens are r2-green, unchanged, and re-verified by the local sf0.01
+    # sweep, so they rotate out to make cap room for the round-3 shapes.
     "wd_id_codec",
     "wd_etl_meta",
-    "wd_etl_presence",
     "wd_query_conjunctive",
     # iterative/curation one-query families
     "dedup_cluster_components",
