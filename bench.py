@@ -50,6 +50,9 @@ HEADLINE = (
     "chunk_docs_overlap",
     "pack_sequences_bins",
     "semdedup_cluster_prune",
+    "join_market_share",
+    "agg_customer_order_distribution",
+    "quality_segment_dedup_rebuild",
 )
 
 

@@ -301,3 +301,63 @@ def test_semdedup_blocks_by_cluster(reports):
     assert r.shuffles <= 5, r.shuffles
     for s in r.scans:
         assert set(s["columns"]) <= {"vec_id", "embedding"}, s
+
+
+def test_market_share_dims_broadcast(reports):
+    """Q8 shape: part/nation/region/supplier chains broadcast; the shuffle
+    budget covers lineitem⋈orders + the customer semi-join + the year agg
+    + the output sort — never a fact-fact exchange beyond those."""
+    r = reports["join_market_share"]
+    assert any("EqualTo(p_type,PROMO)" in f for f in r.pushed_filters)
+    assert any("EqualTo(r_name,ASIA)" in f for f in r.pushed_filters)
+    assert r.broadcasts >= 4
+    assert r.shuffles <= 4, r.shuffles
+
+
+def test_profit_like_filter_prunes_before_join(reports):
+    """Q9 shape: the p_name LIKE filter must reach the part scan (as a
+    Contains pushdown) so the fact join sees a pre-pruned dim; two
+    exchanges max (group agg + output sort)."""
+    r = reports["join_profit_by_nation_year"]
+    assert any("StringContains(p_name,widget)" in f for f in r.pushed_filters)
+    assert r.shuffles <= 2, r.shuffles
+    assert not r.python_eval and not r.pandas_eval
+
+
+def test_custdist_priority_filter_pushed_into_join_side(reports):
+    """Q13 shape: the priority predicate lives in the OUTER JOIN condition
+    but must still push to the orders scan; two aggregate exchanges
+    (custkey, c_count) plus the sort."""
+    r = reports["agg_customer_order_distribution"]
+    assert any("Not(EqualTo(o_orderpriority,4-NOT SPECIFIED))" in f for f in r.pushed_filters)
+    assert r.shuffles <= 3, r.shuffles
+
+
+def test_promo_ratio_no_keyed_shuffle(reports):
+    """Q14 shape: a global conditional-sum ratio needs NO keyed exchange —
+    partial per partition, single-partition final only. Date window pushed
+    to the lineitem scan."""
+    r = reports["agg_promo_revenue_ratio"]
+    assert any("l_shipdate" in f and "GreaterThanOrEqual" in f for f in r.pushed_filters)
+    assert r.shuffles <= 1, r.shuffles
+    assert r.broadcasts >= 1  # part dim ships to the fact
+
+
+def test_sales_opportunity_anti_join_prefiltered(reports):
+    """Q22 shape: the urgent-priority filter pushes to the orders scan
+    BEFORE the anti-join; the 1-row cutoff broadcasts; orders contributes
+    only o_custkey to the join."""
+    r = reports["subq_sales_opportunity_antijoin"]
+    assert any("EqualTo(o_orderpriority,1-URGENT)" in f for f in r.pushed_filters)
+    assert r.broadcasts >= 2  # scalar cutoff + anti-join key set (at test SF)
+    assert r.shuffles <= 3, r.shuffles
+
+
+def test_segment_dedup_text_in_scan_only(reports):
+    """The C4-style removal operator reads exactly (doc_id, text), keeps
+    all hashing JVM-side, and pays at most: digest frequency agg, the
+    digest⋈segment join, the doc_id rebuild agg, and the output sort."""
+    r = reports["quality_segment_dedup_rebuild"]
+    assert r.read_columns == {"doc_id", "text"}
+    assert not r.python_eval and not r.pandas_eval
+    assert r.shuffles <= 4, r.shuffles
