@@ -404,3 +404,83 @@ def sim_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+IVF_RECALL_ORACLE = f"""
+WITH brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({_cos('q', 'c')}, 6) DESC, c.vec_id) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 3) t WHERE rank <= 5
+),
+cent AS (
+  SELECT vec_id AS cid, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding, c.cid, {_cos_expr('e.embedding', 'c.cv')} AS score
+  FROM embeddings e CROSS JOIN cent c),
+assign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT vec_id, embedding, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+    FROM assign_scored) t WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+    SELECT vec_id, embedding, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+    FROM assign_scored WHERE vec_id < 3) t WHERE rn <= 4),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+                              ORDER BY round({_cos_expr('p.qv', 'a.embedding')}, 6) DESC, a.vec_id) AS rank
+    FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id) t
+  WHERE rank <= 5
+)
+SELECT b.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_brute,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+       round(CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*), 6) AS recall
+FROM brute b
+LEFT JOIN approx a
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+ORDER BY b.query_id
+"""
+
+
+@query("sim_ivf_recall_audit", oracle=IVF_RECALL_ORACLE, category="llm-similarity")
+def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of IVF(nprobe=4/16) top-5 against exact brute-force top-5,
+    per query — the IVF twin of sim_lsh_recall_audit, so BOTH approximate
+    ANN paths ship with a recall number next to them. The probe-pruning
+    knob (nprobe/n_centroids) is exactly what this audit tunes at scale:
+    raise nprobe until recall clears the product bar, no guessing."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    brute = S.brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = S.ivf_topk(
+        emb,
+        query_pred=F.col("vec_id") < 3,
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+        cache_key=sf_dir,
+    ).select(F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid"))
+    return (
+        brute.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_brute"),
+            F.count("a_nid").cast("bigint").alias("n_hit"),
+            F.round(F.count("a_nid").cast("double") / F.count(F.lit(1)), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
