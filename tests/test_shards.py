@@ -86,3 +86,86 @@ def test_hash_shards_membership_is_pure_function(spark, tmp_path):
     # a single-shard read prunes to that partition directory
     one = spark.read.parquet(out).filter(F.col("shard") == 3)
     assert one.count() == rd.filter(expected == 3).count()
+
+
+def test_zvalue_interleaves_bits(spark):
+    from wd2sql_spark.sinks.shards import zvalue
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "a long, b long"
+    )
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", zvalue(F.col("a"), F.col("b")).alias("z")).collect()
+    }
+    assert got == {
+        (0, 0): 0,
+        (1, 0): 1,
+        (0, 1): 2,
+        (3, 5): 39,  # a=011 -> bits 0,2; b=101 -> bits 1,5
+        (65535, 65535): 2**32 - 1,
+    }
+
+
+def _per_file_spans(spark, path, col):
+    man = shard_manifest(spark, path, col).collect()
+    return [r["max_key"] - r["min_key"] for r in man]
+
+
+def test_zorder_bounds_both_dimensions(spark, tmp_path):
+    """The locality claim itself: single-column sorting leaves the
+    SECONDARY column's per-file range at ~the global range, Z-ordering
+    bounds BOTH columns' per-file ranges well below it."""
+    from wd2sql_spark.sinks.shards import write_zordered_shards
+
+    docs = table(spark, SF, "documents").select("doc_id", "n_chars", "text")
+    glob = docs.agg(
+        (F.max("doc_id") - F.min("doc_id")).alias("did_span"),
+        (F.max("n_chars") - F.min("n_chars")).alias("nc_span"),
+    ).collect()[0]
+
+    sorted_out = str(tmp_path / "single-sort")
+    write_sorted_shards(
+        docs, sorted_out, order_col="doc_id", tiebreak_col="n_chars", n_shards=16
+    )
+    z_out = str(tmp_path / "zorder")
+    write_zordered_shards(
+        docs, z_out, col_a="doc_id", col_b="n_chars", n_shards=16
+    )
+
+    import statistics
+
+    # single sort: secondary column unbounded per file (~ global span)
+    sec = statistics.mean(_per_file_spans(spark, sorted_out, "n_chars"))
+    assert sec > 0.8 * glob["nc_span"], (sec, glob["nc_span"])
+    # z-order: both columns bounded per file
+    za = statistics.mean(_per_file_spans(spark, z_out, "doc_id"))
+    zb = statistics.mean(_per_file_spans(spark, z_out, "n_chars"))
+    assert za <= 0.75 * glob["did_span"], (za, glob["did_span"])
+    assert zb <= 0.75 * glob["nc_span"], (zb, glob["nc_span"])
+    assert zb < sec
+    # and nothing was lost in the rewrite
+    assert spark.read.parquet(z_out).count() == docs.count()
+
+
+def test_zorder_single_exchange(spark):
+    from wd2sql_spark.sinks.shards import zvalue
+
+    docs = table(spark, SF, "documents").select("doc_id", "n_chars")
+    stats = docs.agg(
+        F.min("doc_id").alias("amin"),
+        F.max("doc_id").alias("amax"),
+        F.min("n_chars").alias("bmin"),
+        F.max("n_chars").alias("bmax"),
+    )
+    plan = (
+        docs.join(F.broadcast(stats))
+        .withColumn("_z", zvalue(F.col("doc_id") - F.col("amin"), F.col("n_chars") - F.col("bmin")))
+        .repartitionByRange(16, F.col("_z"))
+        .sortWithinPartitions("_z")
+    )
+    rep = plan_report(plan)
+    # the min/max side is a broadcast of a 1-row aggregate; the data pays
+    # exactly one range exchange
+    assert rep.shuffles <= 2, rep.text  # 1-row agg exchange + range exchange
+    assert rep.broadcasts == 1

@@ -100,3 +100,82 @@ def shard_manifest(spark: SparkSession, path: str, order_col: str) -> DataFrame:
         )
         .orderBy("min_key", "file")
     )
+
+
+def zvalue(col_a: F.Column, col_b: F.Column, *, bits: int = 16) -> F.Column:
+    """Morton (Z-order) interleave of two already-quantized non-negative
+    integer columns (each in [0, 2^bits)): bit i of ``col_a`` lands at
+    z-bit 2i, bit i of ``col_b`` at 2i+1. Pure Catalyst bit arithmetic
+    (shift/and/sum over a literal bit range) — no UDF, whole-stage
+    codegen keeps it in the scan stage."""
+    a = col_a.cast("long")
+    b = col_b.cast("long")
+    # shiftleft()'s shift amount must be a literal int in the Python API,
+    # so shifts are written as exact power-of-two multiplies (2^k is exact
+    # in long arithmetic for k < 63; here k ≤ 2·bits+1).
+    def _bit(src: F.Column, i: int) -> F.Column:
+        return F.shiftright(src, i).bitwiseAND(F.lit(1))
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + _bit(a, i) * F.lit(1 << (2 * i)) + _bit(b, i) * F.lit(1 << (2 * i + 1))
+    return z
+
+
+def write_zordered_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    col_a: str,
+    col_b: str,
+    n_shards: int,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` range-sharded and sorted on the Z-value of
+    ``(col_a, col_b)`` — multi-dimensional locality, so parquet row-group
+    min/max stats prune scans filtered on EITHER column (a single-column
+    sort gives its secondary column the full value range in every file;
+    Z-ordering bounds both). This is the OPTIMIZE ZORDER layout of the
+    Delta/Iceberg world, expressed as plain Spark:
+
+    1. one tiny 1-row aggregate computes both columns' min/max
+       (broadcast back — no shuffle of the data),
+    2. each value quantizes to a ``bits``-bit rank by linear scaling
+       (rank, not exact order — ties are fine, locality is the goal),
+    3. one range exchange on the interleaved z-value + in-partition sort.
+
+    Total cost: the same single exchange as write_sorted_shards."""
+    stats = df.agg(
+        F.min(col_a).alias("amin"),
+        F.max(col_a).alias("amax"),
+        F.min(col_b).alias("bmin"),
+        F.max(col_b).alias("bmax"),
+    )
+    top = float(2**bits - 1)
+
+    def _quant(col: str, lo: F.Column, hi: F.Column) -> F.Column:
+        span = (hi - lo).cast("double")
+        frac = F.when(span > 0, (F.col(col) - lo).cast("double") / span).otherwise(
+            F.lit(0.0)
+        )
+        return F.floor(frac * F.lit(top)).cast("long")
+
+    withz = (
+        df.join(F.broadcast(stats))
+        .withColumn(
+            "_z",
+            zvalue(
+                _quant(col_a, F.col("amin"), F.col("amax")),
+                _quant(col_b, F.col("bmin"), F.col("bmax")),
+                bits=bits,
+            ),
+        )
+        .drop("amin", "amax", "bmin", "bmax")
+    )
+    (
+        withz.repartitionByRange(n_shards, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
