@@ -164,12 +164,13 @@ def _bench_etl(spark) -> dict:
     try:
         dump = os.path.join(root, "dump")
         out = os.path.join(root, "out")
-        # 4x the test fixture (~73 MB, 240k entities, 32 shards): at 18 MB
-        # the wall time is mostly fixed per-job overhead and the MB/s
-        # reads 3-4x below the pipeline's sustained rate (measured 3.9 ->
-        # 12.5 -> 14.2 MB/s at 18/73/146 MB on local[32]); 73 MB is the
-        # smallest size where throughput is within ~15% of asymptotic.
-        nbytes = _write_dump(dump, n=4 * N, shards=32)
+        # 16x the test fixture (~293 MB, 960k entities, 64 shards): smaller
+        # sizes are fixed-overhead-dominated and underreport the sustained
+        # rate (measured 23 MB/s at 73 MB vs 60-70 MB/s at 293 MB warm on
+        # local[32] — ~2x the reference's ~35 MB/s single-core anchor); at
+        # 293 MB the wall time is split-parallel compute + write, the same
+        # regime a real dump runs in.
+        nbytes = _write_dump(dump, n=16 * N, shards=64)
 
         rep = plan_report(unified_rows(parse_entities(read_dump(spark, dump))))
         # RuntimeError, not assert: `python -O bench.py` must not silently
