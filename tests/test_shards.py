@@ -169,3 +169,27 @@ def test_zorder_single_exchange(spark):
     # exactly one range exchange
     assert rep.shuffles <= 2, rep.text  # 1-row agg exchange + range exchange
     assert rep.broadcasts == 1
+
+
+def test_zvalue_matches_python_reference(spark):
+    """Property check: the Catalyst power-of-two-multiply interleave equals
+    the obvious Python bit-interleave for arbitrary 16-bit inputs."""
+    import random
+
+    from wd2sql_spark.sinks.shards import zvalue
+
+    rng = random.Random(42)
+    rows = [(rng.randrange(0, 65536), rng.randrange(0, 65536)) for _ in range(200)]
+    rows += [(0, 0), (65535, 0), (0, 65535), (65535, 65535)]
+
+    def py_z(a: int, b: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.select("a", "b", zvalue(F.col("a"), F.col("b")).alias("z")).collect()
+    for r in got:
+        assert r["z"] == py_z(r["a"], r["b"]), (r["a"], r["b"])
