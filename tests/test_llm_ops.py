@@ -277,3 +277,19 @@ def test_semdedup_prune_bounded_by_membership(spark):
         assert 0 <= r.n_dropped < r.n_members
         assert r.n_dup_pairs <= r.n_members * (r.n_members - 1) // 2
         assert (r.sum_dot > 0) == (r.n_dup_pairs > 0)
+
+
+def test_assign_contiguous_ids_dense_and_ordered(spark):
+    """Ids are a dense 1..N permutation following the key order, for a
+    partition count both smaller and larger than the data spread."""
+    from wd2sql_spark.catalog import table
+    from wd2sql_spark.operators.ids_assign import assign_contiguous_ids
+
+    d = table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "n_chars")
+    n = d.count()
+    for parts in (4, 64):
+        out = assign_contiguous_ids(d, ["n_chars", "doc_id"], n_partitions=parts)
+        rows = out.orderBy("global_id").collect()
+        assert [r["global_id"] for r in rows] == list(range(1, n + 1))
+        keys = [(r["n_chars"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys)

@@ -242,3 +242,27 @@ def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+IDS_ORACLE = """
+SELECT doc_id, n_chars,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS global_id
+FROM documents
+ORDER BY global_id
+"""
+
+
+@query("ids_contiguous_global", oracle=IDS_ORACLE, category="llm-sampling")
+def ids_contiguous_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 1-based sample ids in (n_chars, doc_id) order WITHOUT a
+    global window: range-repartition + per-partition counts prefix-summed
+    on the driver (one long per partition — bounded like the inlined IVF
+    codebook) + an in-partition row_number. The oracle is the global
+    ROW_NUMBER the naive single-partition plan would compute; the ids
+    match because key-disjoint sorted partitions concatenated in
+    partition order ARE the total order (operators/ids_assign.py)."""
+    from wd2sql_spark.operators.ids_assign import assign_contiguous_ids
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = assign_contiguous_ids(d, ["n_chars", "doc_id"], n_partitions=16)
+    return out.select("doc_id", "n_chars", "global_id").orderBy("global_id")
