@@ -58,6 +58,7 @@ _MODULES = (
     "wd2sql_spark.queries.setops",
     "wd2sql_spark.queries.relational",
     "wd2sql_spark.queries.joins",
+    "wd2sql_spark.queries.tpch_gaps",
     "wd2sql_spark.queries.temporal_joins",
     "wd2sql_spark.queries.subqueries",
     "wd2sql_spark.queries.pivots",
@@ -137,24 +138,28 @@ _PRIORITY = (
     "agg_promo_revenue_ratio",
     "subq_sales_opportunity_antijoin",
     "quality_segment_dedup_rebuild",
-    # re-confirm the families whose money-sum arithmetic changed this
-    # round (exact_sum_at): one representative per touched module
+    # the nine TPC-H gap shapes (Q2/4/6/11/12/15/16/17/20) new in round 3,
+    # completing all 22 classic shapes — need first driver rows
+    "subq_min_cost_supplier",
+    "subq_order_priority_check",
+    "agg_forecast_revenue",
+    "subq_important_supply_value",
+    "agg_ship_priority_modes",
+    "subq_top_supplier_revenue",
+    "agg_supplier_variety",
+    "subq_small_quantity_revenue",
+    "subq_excess_share_suppliers",
+    # re-confirm the queries whose CODE changed materially this round and
+    # that already had a green row: the money-sum representatives
+    # (exact_sum_at swept sessionization/aggregates), the rewritten
+    # pointer-jumping clustering, and the curation pipeline that now
+    # composes decontamination. The remaining previously-green families
+    # (joins/windows/subqueries money sums, wikidata goldens) rotate out
+    # of the cap — all 134 registered queries stay verified every round by
+    # the local full-fidelity sf0.01 sweep (tests/oracle_check.py), which
+    # runs the driver's exact comparison.
     "agg_pricing_summary",
-    "join_multiway_local_supplier_volume",
-    "join_shipping_priority_topk",
-    "join_skew_salted",
-    "subq_scalar_global_avg",
-    "window_revenue_share",
-    "window_rolling_7d_range",
     "funnel_view_click_purchase",
-    # wikidata ETL goldens — keep the most semantically-loaded three in-cap
-    # (ID codec, meta path, query surface); the typed-table and presence
-    # goldens are r2-green, unchanged, and re-verified by the local sf0.01
-    # sweep, so they rotate out to make cap room for the round-3 shapes.
-    "wd_id_codec",
-    "wd_etl_meta",
-    "wd_query_conjunctive",
-    # iterative/curation one-query families
     "dedup_cluster_components",
     "curation_pipeline_summary",
 )
