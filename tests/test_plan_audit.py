@@ -361,3 +361,82 @@ def test_segment_dedup_text_in_scan_only(reports):
     assert r.read_columns == {"doc_id", "text"}
     assert not r.python_eval and not r.pandas_eval
     assert r.shuffles <= 4, r.shuffles
+
+
+def test_forecast_revenue_pure_scan_agg(reports):
+    """Q6 shape: every predicate (date window, discount band, quantity
+    cap) reaches the parquet scan, no join anywhere, and the only
+    exchange is the single-partition final aggregate."""
+    r = reports["agg_forecast_revenue"]
+    assert any("l_shipdate" in f and "GreaterThanOrEqual" in f for f in r.pushed_filters)
+    assert any("l_discount" in f and "LessThanOrEqual" in f for f in r.pushed_filters)
+    assert any("LessThan(l_quantity,24" in f for f in r.pushed_filters)
+    assert r.shuffles <= 1 and r.broadcasts == 0, (r.shuffles, r.broadcasts)
+
+
+def test_priority_check_quarter_pushed_to_orders(reports):
+    """Q4 shape: the quarter window pushes to the orders scan; the EXISTS
+    becomes one semi-join (the filtered quarter broadcasts at test SF) and
+    the tiny priority histogram adds at most one keyed exchange + sort."""
+    r = reports["subq_order_priority_check"]
+    assert any("o_orderdate" in f and "GreaterThanOrEqual" in f for f in r.pushed_filters)
+    assert r.shuffles <= 2, r.shuffles
+
+
+def test_supply_value_single_fact_pass(reports):
+    """Q11 shape: ONE pass over lineitem (nation agg); the global total
+    re-aggregates the tiny per-nation relation — the lazy plan shows the
+    branch twice but ReusedExchange collapses it at runtime. Budget:
+    nation agg ×2 branches + 1-row agg + output sort."""
+    r = reports["subq_important_supply_value"]
+    assert r.broadcasts >= 3  # supplier, nation, 1-row total
+    assert r.shuffles <= 4, r.shuffles
+
+
+def test_ship_priority_modes_single_join_shuffle(reports):
+    """Q12 shape: date window pushed to the lineitem scan; the
+    orders⋈lineitem join plus the two-group CASE-count agg fit in two
+    exchanges."""
+    r = reports["agg_ship_priority_modes"]
+    assert any("l_shipdate" in f and "LessThan" in f for f in r.pushed_filters)
+    assert r.shuffles <= 2, r.shuffles
+
+
+def test_top_supplier_exchange_budget(reports):
+    """Q15 shape: revenue agg (reused across the argmax branch at
+    runtime), the 1-row MAX broadcast, supplier broadcast, output sort."""
+    r = reports["subq_top_supplier_revenue"]
+    assert any("l_shipdate" in f and "GreaterThanOrEqual" in f for f in r.pushed_filters)
+    assert r.broadcasts >= 2
+    assert r.shuffles <= 4, r.shuffles
+
+
+def test_supplier_variety_filters_reach_part_scan(reports):
+    """Q16 shape: brand/type/size predicates push into the part scan; the
+    excluded supplier set is a broadcast anti-join (no shuffle); distinct
+    count pays its two-phase exchange + sort."""
+    r = reports["agg_supplier_variety"]
+    assert any(f.startswith("In(p_size") for f in r.pushed_filters)
+    assert any("Not(EqualTo(p_brand,Brand#1))" in f for f in r.pushed_filters)
+    assert r.shuffles <= 3, r.shuffles
+
+
+def test_small_quantity_stats_broadcast_back(reports):
+    """Q17 shape: the per-part (sum_qty, cnt) stats aggregate once on
+    l_partkey and broadcast back into a single lineitem pass; the global
+    revenue agg is the only other exchange."""
+    r = reports["subq_small_quantity_revenue"]
+    assert any("EqualTo(p_brand,Brand#3)" in f for f in r.pushed_filters)
+    assert r.broadcasts >= 2
+    assert r.shuffles <= 2, r.shuffles
+
+
+def test_excess_share_single_aggregation_chain(reports):
+    """Q20 shape: the part-name prefix pushes to the part scan; ONE
+    (suppkey, partkey) aggregation feeds both the share numerator and the
+    re-aggregated per-part total (ReusedExchange at runtime); distinct +
+    sort close the budget."""
+    r = reports["subq_excess_share_suppliers"]
+    assert any("StringStartsWith(p_name,blue)" in f for f in r.pushed_filters)
+    assert r.broadcasts >= 3
+    assert r.shuffles <= 5, r.shuffles
