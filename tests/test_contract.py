@@ -30,3 +30,21 @@ def test_every_query_runs_at_smoke_sf(spark, sf_dir):
     for name, fn in qs.items():
         df = fn(spark, sf_dir)
         assert df.count() >= 0, name
+
+
+def test_no_unhashable_result_columns(spark, sf_dir):
+    """The driver's value-hasher factorizes result cells with pandas,
+    which raises ``unhashable type`` on list/dict cells — the exact
+    failure that cost scalar_array_fns its round-2 row (and
+    agg_ordered_array_topn its round-1 row). Guard the whole registry:
+    every query's RESULT schema must be scalar-only. Array/map/struct
+    machinery stays exercised INSIDE queries; results stringify
+    (array_join / to_json) at the boundary."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
+    offenders = []
+    for name, fn in entry_mod.queries().items():
+        for f in fn(spark, sf_dir).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType, BinaryType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert offenders == [], offenders
