@@ -149,19 +149,21 @@ _PRIORITY = (
     "agg_supplier_variety",
     "subq_small_quantity_revenue",
     "subq_excess_share_suppliers",
-    # re-confirm the queries whose CODE changed materially this round and
-    # that already had a green row: the money-sum representatives
-    # (exact_sum_at swept sessionization/aggregates), the rewritten
-    # pointer-jumping clustering, and the curation pipeline that now
-    # composes decontamination. The remaining previously-green families
-    # (joins/windows/subqueries money sums, wikidata goldens) rotate out
-    # of the cap — all 134 registered queries stay verified every round by
-    # the local full-fidelity sf0.01 sweep (tests/oracle_check.py), which
-    # runs the driver's exact comparison.
+    # the remaining two queries with no driver row in any round — with
+    # these, every one of the 143 registered queries has a cumulative
+    # CORRECTNESS row after r3
+    "sim_ivf_recall_audit",
+    "ids_contiguous_global",
+    # re-confirm the two highest-risk changed-code queries that already
+    # had a green row: the Q1 money-sum flagship (exact_sum_at swept its
+    # arithmetic) and the rewritten pointer-jumping clustering. The other
+    # changed-but-previously-green queries are covered by in-cap proxies
+    # (sessionize_gap30m re-proves the exact_sum_at fix funnel shares;
+    # curation_pipeline_decontam exercises the recomposed pipeline) and
+    # by the local full-fidelity sf0.01 sweep (tests/oracle_check.py),
+    # which runs the driver's exact comparison over all 143 every round.
     "agg_pricing_summary",
-    "funnel_view_click_purchase",
     "dedup_cluster_components",
-    "curation_pipeline_summary",
 )
 
 
