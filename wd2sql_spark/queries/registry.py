@@ -171,7 +171,10 @@ def load_all_modules() -> dict[str, Query]:
     for mod in _MODULES:
         importlib.import_module(mod)
     ordered = {name: REGISTRY[name] for name in _PRIORITY if name in REGISTRY}
-    for name, q in REGISTRY.items():
+    # Sort the non-priority tail by name: REGISTRY's insertion order depends
+    # on which module was imported first in this process (pytest files import
+    # query modules directly), and the driver/docs need a stable ordering.
+    for name in sorted(REGISTRY):
         if name not in ordered:
-            ordered[name] = q
+            ordered[name] = REGISTRY[name]
     return ordered
