@@ -214,9 +214,15 @@ def run_all(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None
 if __name__ == "__main__":
     import sys
 
-    only = sys.argv[1:] or None
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    if "--sf" in args:
+        i = args.index("--sf")
+        sf_dir = args[i + 1]
+        del args[i : i + 2]
+    only = args or None
     bad = 0
-    for r in run_all(only=only):
+    for r in run_all(sf_dir=sf_dir, only=only):
         status = "OK " if r.ok else "FAIL"
         extra = f" dev={r.max_float_dev:.2e}" if r.max_float_dev else ""
         print(f"{status} {r.name} rows={r.row_count}{extra}")
