@@ -1,0 +1,199 @@
+"""Scale experiment: measure how the heavy operators scale with data size.
+
+The correctness battery runs at toy scale; the 100 TB claim rests on the
+SHAPE of each plan (linear scans, bucketed candidate generation, no
+all-pairs joins). This tool turns that claim into a measurement: it
+replicates the sf0.1 fixtures 8x and 64x as *distinct* data (remapped
+keys, word-salted documents, noise-perturbed embeddings — NOT verbatim
+copies, which would degenerate dedup into giant duplicate groups and
+overstate pair counts quadratically), runs the heavy operators at each
+size, and fits a per-query scaling exponent
+
+    e = log(t_64x / t_8x) / log(8)
+
+so e ~ 1 reads "scan/shuffle-linear" and e >> 1 reads "candidate blowup".
+Results land in SCALE.md. Usage:
+
+    PYTHONPATH=/root/repo python tools/scale_experiment.py [--scales 1,8,64]
+
+Replication model (per replica r of N):
+
+- TPC-H keys get ``key + r * 10^9`` so replicas join only within
+  themselves and key-joined cardinalities scale exactly Nx — the same way
+  TPC-H SF scales facts and big dims while nation/region stay fixed.
+- events: user_id/event_id offset the same way — Nx users, constant
+  sessions/user, so sessionization work scales Nx.
+- documents: every token gets a ``~r`` suffix for r > 0, so shingle /
+  minhash / simhash similarity ACROSS replicas is ~0 and near-dup
+  candidate sets scale Nx (the "more distinct data" model of growth);
+  n_chars is recomputed from the salted text.
+- embeddings: vectors for r > 0 get deterministic per-component noise
+  (xxhash64-derived, +-0.1) so ANN bucket/list occupancy grows the way a
+  larger real corpus's would instead of stacking N identical points on
+  every centroid; query vectors (vec_id < 3) stay replica-0 only, so
+  top-k probes run against an Nx corpus.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+OUT_ROOT = "/tmp/scale"
+KEY_CAP = 10**9  # > any base key; 64 replicas stay far under int64
+
+# int64 key columns to offset per replica (int32 dim keys — nationkey,
+# regionkey — are shared dimensions and must NOT be remapped).
+KEY_COLS = {
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+FIXED_DIMS = ("region", "nation")
+
+# One representative per heavy family: scan-bound aggregate, shuffle joins,
+# window, sessionization/funnel, the dedup battery, ANN, and the composed
+# curation pass. Chosen to cover every shape whose 100x behavior the plan
+# audit argues about.
+SCALE_QUERIES = (
+    "agg_pricing_summary",
+    "join_multiway_local_supplier_volume",
+    "window_topk_per_group",
+    "sessionize_gap30m",
+    "funnel_view_click_purchase",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_cluster_components",
+    "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "curation_pipeline_summary",
+)
+
+
+def _salted_documents(df: DataFrame) -> DataFrame:
+    """Suffix every token with ``~r`` for replicas r > 0 (keeps replica 0
+    bit-identical to the base corpus) and recompute n_chars."""
+    salted = F.when(F.col("rep") == 0, F.col("text")).otherwise(
+        F.regexp_replace(
+            F.col("text"), r"(\S+)", F.concat(F.lit("$1~"), F.col("rep").cast("string"))
+        )
+    )
+    return df.withColumn("text", salted).withColumn("n_chars", F.length("text").cast("long"))
+
+
+def _perturbed_embeddings(df: DataFrame) -> DataFrame:
+    """Add deterministic per-component noise in [-0.1, 0.1) to replicas
+    r > 0 so the copies are distinct points, not N-high stacks."""
+    noise = lambda i: (  # noqa: E731
+        F.pmod(F.xxhash64(F.col("vec_id"), i, F.col("rep")), F.lit(2000)).cast("double")
+        / 10000.0
+        - 0.1
+    )
+    perturbed = F.transform(
+        "embedding",
+        lambda x, i: F.when(F.col("rep") == 0, x).otherwise((x + noise(i)).cast("float")),
+    )
+    return df.withColumn("embedding", perturbed)
+
+
+def generate(spark: SparkSession, out_dir: str, n: int) -> None:
+    """Write an ``n``-times-replicated copy of every fixture into
+    ``out_dir`` (single Generate per table — one scan, no shuffle)."""
+    from wd2sql_spark.catalog import TABLES, table
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        dest = os.path.join(out_dir, f"{t}.parquet")
+        df = table(spark, BASE, t)
+        if t not in FIXED_DIMS:
+            df = df.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+            for k in KEY_COLS.get(t, ()):
+                df = df.withColumn(k, F.col(k) + F.col("rep") * F.lit(KEY_CAP))
+            if t == "documents":
+                df = _salted_documents(df)
+            if t == "embeddings":
+                df = _perturbed_embeddings(df)
+            df = df.drop("rep")
+            # a few output files per table so downstream scans get splits
+            # without relying on row-group splitting of one giant file
+            df = df.repartition(min(32, max(1, n)))
+        df.write.mode("overwrite").parquet(dest)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,8,64")
+    ap.add_argument("--queries", default=None, help="comma-separated subset")
+    ap.add_argument("--json-out", default="/tmp/scale/results.json")
+    args = ap.parse_args()
+    scales = tuple(int(s) for s in args.scales.split(","))
+    names = tuple(args.queries.split(",")) if args.queries else SCALE_QUERIES
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    from wd2sql_spark.catalog import TABLES, table
+    from wd2sql_spark.queries import load_all_modules
+    from wd2sql_spark.session import get_spark
+
+    spark = get_spark("wd2sql_spark-scale")
+    registry = load_all_modules()
+
+    for n in scales:
+        d = os.path.join(OUT_ROOT, f"x{n}")
+        marker = os.path.join(d, "_DONE")
+        if os.path.exists(marker):
+            print(f"[gen] x{n}: cached", flush=True)
+            continue
+        t0 = time.perf_counter()
+        generate(spark, d, n)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+        print(f"[gen] x{n}: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    results: dict[str, dict[int, float]] = {q: {} for q in names}
+    rows: dict[int, dict[str, int]] = {}
+    for n in scales:
+        d = os.path.join(OUT_ROOT, f"x{n}")
+        rows[n] = {t: table(spark, d, t).count() for t in TABLES}
+        for q in names:
+            fn = registry[q].fn
+            fn(spark, d).count()  # cold: analysis + codegen + cache builds
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            results[q][n] = round(best, 3)
+            print(f"[run] x{n} {q}: {results[q][n]}s", flush=True)
+        # per-sf_dir persisted relations (shingles, IVF index) must not
+        # occupy executor storage while the next, larger scale runs
+        spark.catalog.clearCache()
+
+    os.makedirs(os.path.dirname(args.json_out), exist_ok=True)
+    with open(args.json_out, "w") as fh:
+        json.dump({"scales": scales, "rows": rows, "queries": results}, fh, indent=2)
+    for q in names:
+        t = results[q]
+        if scales[-1] in t and scales[-2] in t and t[scales[-2]] > 0:
+            e = math.log(t[scales[-1]] / t[scales[-2]]) / math.log(scales[-1] / scales[-2])
+            print(f"[exp] {q}: e={e:.2f}  {t}", flush=True)
+    print(f"[done] wrote {args.json_out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
