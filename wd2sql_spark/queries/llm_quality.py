@@ -161,12 +161,17 @@ def quality_oov_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     join over the token relation."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
-    wv = Window.orderBy(F.col("cnt").desc(), "token")
+    # top-K via orderBy+limit, NOT a global row_number window: the limit
+    # compiles to TakeOrderedAndProject (per-partition top-K, driver merge
+    # of K-row heads), while an unpartitioned window would sort the entire
+    # distinct-token relation on ONE partition — a real bottleneck at a
+    # 100 TB corpus's vocabulary size. (cnt desc, token) is a total order,
+    # so the selected set is identical.
     vocab = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") <= VOCAB_K)
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(VOCAB_K)
         .select("token")
     )
     flags = tok.join(
