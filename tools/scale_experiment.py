@@ -124,7 +124,11 @@ def generate(spark: SparkSession, out_dir: str, n: int) -> None:
         if t not in FIXED_DIMS:
             df = df.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
             for k in KEY_COLS.get(t, ()):
-                df = df.withColumn(k, F.col(k) + F.col("rep") * F.lit(KEY_CAP))
+                # rep and the literal are int32; the product overflows under
+                # ANSI mode — do the offset arithmetic in LONG
+                df = df.withColumn(
+                    k, F.col(k) + F.col("rep").cast("long") * F.lit(KEY_CAP).cast("long")
+                )
             if t == "documents":
                 df = _salted_documents(df)
             if t == "embeddings":
