@@ -40,6 +40,7 @@ HEADLINE = (
     "filter_predicates",
     "sort_limit_topk",
     "sessionize_gap30m",
+    "sessionize_gap30m_skewsafe",
     "funnel_view_click_purchase",
     "dedup_minhash_lsh",
     "sim_ivf_topk",

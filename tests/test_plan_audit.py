@@ -158,6 +158,20 @@ def test_sessionize_single_data_shuffle(reports):
         assert set(s["columns"]) <= {"user_id", "ts", "event_id", "event_type", "value"}, s
 
 
+def test_sessionize_skewsafe_bounded_exchanges(reports):
+    """Two-level sessionization: the ONE fact-sized exchange is on
+    (user_id, day) — skew bounded by events/user/day. Everything after
+    moves per-bucket or per-session partials: the tiny user_id bucket
+    window, the part↔bucket join, the final (user, session) merge agg,
+    and the presentation sort. Budget: ≤5 exchanges total (vs ≤2 for the
+    plain form, whose single exchange is unbounded per user), and the
+    same pruned scan column set."""
+    r = reports["sessionize_gap30m_skewsafe"]
+    assert r.shuffles <= 5, r.shuffles
+    for s in r.scans:
+        assert set(s["columns"]) <= {"user_id", "ts", "event_id", "event_type", "value"}, s
+
+
 def test_funnel_single_data_shuffle(reports):
     """Both nested window passes and the per-user aggregate share
     HashPartitioning(user_id); the trailing single-row global agg moves

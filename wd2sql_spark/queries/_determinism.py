@@ -107,7 +107,16 @@ def exact_sum_at(
     / 100.0``.
     """
     s = F.sum(F.round(expr * F.lit(10**scale), 0).cast("long"))
-    num = s * F.lit(10 ** max(out_scale - scale, 0))
+    return round_units_at(s, scale, out_scale, div)
+
+
+def round_units_at(units: Column, scale: int = 6, out_scale: int = 2, div: int = 1) -> Column:
+    """Half-up rounding of an ALREADY-SUMMED integer-units total — the
+    merge-side counterpart of :func:`exact_sum_at` for two-level (partial →
+    final) aggregations, where each partial carries an exact long sum in
+    10^-scale units and the final stage sums the partials before rounding.
+    Same integer arithmetic, same SQL twin."""
+    num = units * F.lit(10 ** max(out_scale - scale, 0))
     den = F.lit(div * 10 ** max(scale - out_scale, 0))
     rounded = _int_div(F.lit(2) * num + den, F.lit(2) * den)
     return rounded / F.lit(float(10**out_scale))

@@ -98,6 +98,106 @@ def sessionize_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sessionize_gap30m_skewsafe", oracle=SESSIONIZE_ORACLE, category="sessionization")
+def sessionize_gap30m_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level gap sessionization — identical answers to
+    :func:`sessionize_gap30m` (it shares the SAME DuckDB oracle, so the
+    equivalence is hash-checked), but skew-bounded for the hyperactive-user
+    case the single-window form cannot survive at 100 TB.
+
+    The plain formulation partitions ONE window by ``user_id``: a bot
+    account with 10^9 events serializes an entire executor. Here the
+    fact-sized work partitions by ``(user_id, day)`` — skew is bounded by
+    events-per-user-per-DAY — in three steps:
+
+    1. lag→flag→running-sum sessionize WITHIN each (user, day) bucket,
+       then reduce to per-(user, day, local_seq) partial aggregates
+       (min/max ts, counts, exact integer value units). Window and
+       partial aggregate share the one fact-sized (user_id, day) exchange
+       (HashPartitioning(user, day) satisfies the grouping's clustered
+       distribution).
+    2. per-bucket summaries (n_sessions, first/last event ts) — one row
+       per user-day — get a tiny user_id window that decides, per bucket,
+       whether its first local session CONTINUES the previous bucket's
+       last session (boundary gap ≤ threshold) and the running count of
+       distinct sessions before it. The bucket width (1 day) exceeds the
+       gap (30 min), so only time-adjacent buckets can merge and chains
+       of any length telescope through the prefix sum:
+       ``global_seq = prefix + local_seq - merge_flag``.
+    3. merge the partials per (user, global session): sums of exact
+       integer units re-round with the same half-up integer arithmetic
+       (round_units_at), so the money total is bit-identical to the
+       one-shot exact_sum_at.
+
+    The only full-data shuffle is the (user, day) exchange of step 1;
+    steps 2-3 move per-bucket and per-session partials."""
+    from wd2sql_spark.queries._determinism import round_units_at
+
+    gap_us = GAP_MIN * 60 * 1_000_000
+    e = events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    wb = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    prev_ts = F.lag(F.unix_micros(F.col("ts"))).over(wb)
+    flagged = e.withColumn(
+        "is_start",
+        F.when(
+            prev_ts.isNull() | (F.unix_micros(F.col("ts")) - prev_ts > gap_us), 1
+        ).otherwise(0),
+    )
+    local = flagged.withColumn(
+        "lseq",
+        F.sum("is_start").over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    part = local.groupBy("user_id", "day", "lseq").agg(
+        F.min("ts").alias("p_start"),
+        F.max("ts").alias("p_end"),
+        F.count(F.lit(1)).alias("p_n"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("p_clicks"),
+        F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).alias("p_units"),
+    )
+    wday = Window.partitionBy("user_id").orderBy("day")
+    bucket = (
+        part.groupBy("user_id", "day")
+        .agg(
+            F.max("lseq").alias("n_sessions"),
+            F.min("p_start").alias("b_first"),
+            F.max("p_end").alias("b_last"),
+        )
+        .withColumn("prev_last", F.lag("b_last").over(wday))
+        .withColumn(
+            "m",
+            F.when(
+                F.col("prev_last").isNotNull()
+                & (F.unix_micros("b_first") - F.unix_micros("prev_last") <= gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "prefix",
+            F.coalesce(
+                F.sum(F.col("n_sessions") - F.col("m")).over(
+                    wday.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("user_id", "day", "m", "prefix")
+    )
+    merged = part.join(bucket, ["user_id", "day"]).withColumn(
+        "session_seq", (F.col("prefix") + F.col("lseq") - F.col("m")).cast("long")
+    )
+    return (
+        merged.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("p_start").alias("session_start"),
+            F.max("p_end").alias("session_end"),
+            F.sum("p_n").alias("n_events"),
+            F.sum("p_clicks").alias("n_clicks"),
+            round_units_at(F.sum("p_units"), 6, 2).alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
 RETENTION_ORACLE = """
 WITH firsted AS (
   SELECT user_id, ts,
