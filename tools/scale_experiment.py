@@ -140,10 +140,109 @@ def generate(spark: SparkSession, out_dir: str, n: int) -> None:
         df.write.mode("overwrite").parquet(dest)
 
 
+def bench_etl_scaling(spark: SparkSession, mults: tuple[int, ...] = (16, 64)) -> dict:
+    """Warm ETL wall time at several dump sizes → sustained MB/s per size.
+
+    Flat MB/s across a 4x size step reads "the staged single-pass plan is
+    scan-linear"; a dropping rate would expose a super-linear stage
+    (bench.py measures one size per round — this measures the slope)."""
+    import shutil
+    import tempfile
+
+    from wd2sql_spark.etl.pipeline import wd2spark
+    from wd2sql_spark.etl.synthdump import N, write_dump
+
+    out: dict[str, dict[str, float]] = {}
+    root = tempfile.mkdtemp(prefix="scale-etl-")
+    try:
+        # one small untimed run compiles the plan's codegen
+        wdump = os.path.join(root, "warm-dump")
+        write_dump(wdump, n=N // 4, shards=8)
+        wd2spark(spark, wdump, os.path.join(root, "warm-out"), staged=True, layout="store")
+        for m in mults:
+            dump = os.path.join(root, f"dump-x{m}")
+            nbytes = write_dump(dump, n=m * N, shards=64)
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            wd2spark(spark, dump, os.path.join(root, f"out-x{m}"), staged=True, layout="store")
+            cold = time.perf_counter() - t0
+            # min-of-3: this host's co-tenant load inflates single samples
+            # up to 3x (see bench.py methodology); noise only adds time
+            warm = float("inf")
+            for i in range(3):
+                t0 = time.perf_counter()
+                wd2spark(
+                    spark, dump, os.path.join(root, f"out{i + 2}-x{m}"), staged=True, layout="store"
+                )
+                warm = min(warm, time.perf_counter() - t0)
+                shutil.rmtree(os.path.join(root, f"out{i + 2}-x{m}"), ignore_errors=True)
+            mb = nbytes / 1e6
+            out[f"x{m}"] = {
+                "input_mb": round(mb, 1),
+                "warm_s": round(warm, 2),
+                "cold_s": round(cold, 2),
+                "warm_mb_per_s": round(mb / warm, 1),
+            }
+            print(f"[etl] x{m}: {mb:.0f} MB warm {warm:.1f}s = {mb/warm:.1f} MB/s", flush=True)
+            shutil.rmtree(dump, ignore_errors=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def bench_skew(spark: SparkSession, base_scale: int = 64, frac_mod: int = 4) -> dict:
+    """Hyperactive-user skew demo: remap 1/frac_mod of ALL events to one
+    user, then time plain vs two-level sessionization on uniform and
+    skewed inputs. The plain form's user_id window must sort the whole
+    hot user's history in ONE task; the two-level form bounds that task
+    at events/user/day."""
+    from wd2sql_spark.catalog import TABLES
+    from wd2sql_spark.queries import load_all_modules
+
+    registry = load_all_modules()
+    src = os.path.join(OUT_ROOT, f"x{base_scale}")
+    skew = os.path.join(OUT_ROOT, f"x{base_scale}skew")
+    if not os.path.exists(os.path.join(skew, "_DONE")):
+        os.makedirs(skew, exist_ok=True)
+        for t in TABLES:
+            dst = os.path.join(skew, f"{t}.parquet")
+            if t == "events":
+                ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+                ev = ev.withColumn(
+                    "user_id",
+                    F.when(F.pmod(F.xxhash64("event_id"), F.lit(frac_mod)) == 0, F.lit(0)).otherwise(
+                        F.col("user_id")
+                    ),
+                )
+                ev.write.mode("overwrite").parquet(dst)
+            elif not os.path.exists(dst):
+                os.symlink(os.path.join(src, f"{t}.parquet"), dst)
+        with open(os.path.join(skew, "_DONE"), "w") as fh:
+            fh.write("ok\n")
+
+    out: dict[str, dict[str, float]] = {}
+    for variant, d in (("uniform", src), ("skewed", skew)):
+        for q in ("sessionize_gap30m", "sessionize_gap30m_skewsafe"):
+            fn = registry[q].fn
+            fn(spark, d).count()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            out.setdefault(q, {})[variant] = round(best, 3)
+            print(f"[skew] {variant} {q}: {best:.2f}s", flush=True)
+        spark.catalog.clearCache()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,8,64")
     ap.add_argument("--queries", default=None, help="comma-separated subset")
+    ap.add_argument("--etl", action="store_true", help="also measure ETL throughput scaling")
+    ap.add_argument("--etl-only", action="store_true")
+    ap.add_argument("--skew-only", action="store_true")
     ap.add_argument("--json-out", default="/tmp/scale/results.json")
     args = ap.parse_args()
     scales = tuple(int(s) for s in args.scales.split(","))
@@ -156,6 +255,22 @@ def main() -> None:
 
     spark = get_spark("wd2sql_spark-scale")
     registry = load_all_modules()
+
+    if args.skew_only:
+        res = bench_skew(spark)
+        path = args.json_out.replace(".json", "-skew.json")
+        with open(path, "w") as fh:
+            json.dump(res, fh, indent=2)
+        print(f"[done] wrote {path}", flush=True)
+        return
+
+    if args.etl_only:
+        etl = bench_etl_scaling(spark)
+        path = args.json_out.replace(".json", "-etl.json")
+        with open(path, "w") as fh:
+            json.dump(etl, fh, indent=2)
+        print(f"[done] wrote {path}", flush=True)
+        return
 
     for n in scales:
         d = os.path.join(OUT_ROOT, f"x{n}")
@@ -188,9 +303,12 @@ def main() -> None:
         # occupy executor storage while the next, larger scale runs
         spark.catalog.clearCache()
 
+    payload: dict = {"scales": scales, "rows": rows, "queries": results}
+    if args.etl:
+        payload["etl"] = bench_etl_scaling(spark)
     os.makedirs(os.path.dirname(args.json_out), exist_ok=True)
     with open(args.json_out, "w") as fh:
-        json.dump({"scales": scales, "rows": rows, "queries": results}, fh, indent=2)
+        json.dump(payload, fh, indent=2)
     for q in names:
         t = results[q]
         if scales[-1] in t and scales[-2] in t and t[scales[-2]] > 0:
