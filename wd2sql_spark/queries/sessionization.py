@@ -154,6 +154,11 @@ def sessionize_gap30m_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("p_clicks"),
         F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).alias("p_units"),
     )
+    # part feeds BOTH the bucket summary and the final merge; without a
+    # persist the physical plan recomputes the fact-sized scan→window→
+    # partial pipeline once per consumer (measured 2x the whole operator's
+    # cost). The cached relation is one small row per session-bucket.
+    part = part.persist()
     wday = Window.partitionBy("user_id").orderBy("day")
     bucket = (
         part.groupBy("user_id", "day")
