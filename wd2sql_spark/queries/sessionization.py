@@ -496,6 +496,138 @@ def gapfill_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INTERP_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events
+),
+spine AS (
+  SELECT t.event_type, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds b, (SELECT DISTINCT event_type FROM events) t
+),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         COUNT(*) AS n,
+         CAST((2 * SUM(CAST(round(value * 1000000, 0) AS BIGINT)) + 100 * COUNT(*))
+              // (200 * COUNT(*)) AS BIGINT) AS units
+  FROM events GROUP BY 1, 2
+),
+joined AS (
+  SELECT s.event_type, s.bucket, h.n, h.units,
+         epoch_us(s.bucket) // 3600000000 AS hr
+  FROM spine s LEFT JOIN hourly h USING (event_type, bucket)
+),
+filled AS (
+  SELECT *,
+         last_value(units IGNORE NULLS) OVER w AS p_units,
+         last_value(CASE WHEN units IS NOT NULL THEN hr END IGNORE NULLS) OVER w AS p_hr,
+         first_value(units IGNORE NULLS) OVER wf AS f_units,
+         first_value(CASE WHEN units IS NOT NULL THEN hr END IGNORE NULLS) OVER wf AS f_hr
+  FROM joined
+  WINDOW w  AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+       CASE
+         WHEN units IS NOT NULL THEN units
+         WHEN p_units IS NOT NULL AND f_units IS NOT NULL
+           THEN p_units + ((f_units - p_units) * (hr - p_hr)) // (f_hr - p_hr)
+         ELSE NULL END / 10000.0 AS avg_value,
+       CASE WHEN units IS NULL AND p_units IS NOT NULL AND f_units IS NOT NULL
+            THEN 1 ELSE 0 END AS interpolated
+FROM filled
+ORDER BY event_type, bucket
+"""
+
+
+@query("ts_gapfill_interpolate", oracle=INTERP_ORACLE, category="sessionization")
+def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-series downsample with LINEAR INTERPOLATION across empty
+    buckets — the "hypertable interpolate" sibling of the zero-fill
+    (gapfill_daily_purchases): charts and feature pipelines want a dense,
+    smooth series, not zeros, through observation gaps.
+
+    Dense spine (sequence+explode over observed bounds) × series keys,
+    left-joined to the hourly aggregate; previous/next known points via
+    last/first IGNORE NULLS windows per series; then the interpolation is
+    computed ENTIRELY in integer arithmetic — per-bucket avg as half-up
+    1e-4 units (exact_avg_at's integer core) and
+    ``prev + (next−prev)·Δt // span`` on an hour-index time axis — so the
+    filled values are bit-identical in both engines (a double-domain
+    interpolation could land on rounding half-boundaries; an hour index
+    keeps the product far under 2^63). Buckets before a series' first or
+    after its last observation stay NULL, flagged by ``interpolated``.
+
+    Scale: the fact-sized work is one partial+final hash aggregate; the
+    windows run over the tiny (series × hour) spine, partitioned by the
+    series key (here event_type; a real deployment partitions by
+    sensor/series id — thousands of independent partitions)."""
+    from wd2sql_spark.queries._determinism import _int_div
+
+    e = events(spark, sf_dir)
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    n = F.count(F.lit(1))
+    s = F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long"))
+    hourly = e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
+        n.alias("n"),
+        _int_div(F.lit(2) * s + F.lit(100) * n, F.lit(200) * n).alias("units"),
+    )
+    joined = spine.join(hourly, ["event_type", "bucket"], "left").withColumn(
+        "hr", F.expr("unix_micros(bucket) div 3600000000")
+    )
+    known_hr = F.when(F.col("units").isNotNull(), F.col("hr"))
+    wp = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    filled = (
+        joined.withColumn("p_units", F.last("units", ignorenulls=True).over(wp))
+        .withColumn("p_hr", F.last(known_hr, ignorenulls=True).over(wp))
+        .withColumn("f_units", F.first("units", ignorenulls=True).over(wf))
+        .withColumn("f_hr", F.first(known_hr, ignorenulls=True).over(wf))
+    )
+    interp = F.col("p_units") + _int_div(
+        (F.col("f_units") - F.col("p_units")) * (F.col("hr") - F.col("p_hr")),
+        F.col("f_hr") - F.col("p_hr"),
+    )
+    return filled.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        (
+            F.when(F.col("units").isNotNull(), F.col("units"))
+            .when(F.col("p_units").isNotNull() & F.col("f_units").isNotNull(), interp)
+            / 10000.0
+        ).alias("avg_value"),
+        F.when(
+            F.col("units").isNull()
+            & F.col("p_units").isNotNull()
+            & F.col("f_units").isNotNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("interpolated"),
+    ).orderBy("event_type", "bucket")
+
+
 ADJACENCY_ORACLE = """
 WITH seq AS (
   SELECT user_id, ts, event_id, event_type,
