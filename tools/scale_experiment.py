@@ -236,6 +236,36 @@ def bench_skew(spark: SparkSession, base_scale: int = 64, frac_mod: int = 4) -> 
     return out
 
 
+def bench_streaming(spark: SparkSession, scales: tuple[int, ...] = (8, 64)) -> dict:
+    """Structured Streaming ingest rate: the watermarked 1-hour tumbling
+    aggregation (stream_tumbling_counts) run to completion with
+    availableNow over the scaled events fixtures. Wall time includes the
+    full micro-batch lifecycle (state store, checkpoint, memory sink), so
+    rows/s is an honest end-to-end streaming number, not a batch rate."""
+    from wd2sql_spark.catalog import table
+    from wd2sql_spark.queries import load_all_modules
+
+    registry = load_all_modules()
+    out: dict[str, dict[str, float]] = {}
+    for n in scales:
+        d = os.path.join(OUT_ROOT, f"x{n}")
+        rows = table(spark, d, "events").count()
+        fn = registry["stream_tumbling_counts"].fn
+        fn(spark, d).count()  # cold: plan + state-store + codegen setup
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, d).count()
+            best = min(best, time.perf_counter() - t0)
+        out[f"x{n}"] = {
+            "events": rows,
+            "warm_s": round(best, 2),
+            "events_per_s": round(rows / best),
+        }
+        print(f"[stream] x{n}: {rows} events in {best:.2f}s = {rows / best:,.0f}/s", flush=True)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,8,64")
@@ -243,6 +273,7 @@ def main() -> None:
     ap.add_argument("--etl", action="store_true", help="also measure ETL throughput scaling")
     ap.add_argument("--etl-only", action="store_true")
     ap.add_argument("--skew-only", action="store_true")
+    ap.add_argument("--stream-only", action="store_true")
     ap.add_argument("--json-out", default="/tmp/scale/results.json")
     args = ap.parse_args()
     scales = tuple(int(s) for s in args.scales.split(","))
@@ -255,6 +286,14 @@ def main() -> None:
 
     spark = get_spark("wd2sql_spark-scale")
     registry = load_all_modules()
+
+    if args.stream_only:
+        res = bench_streaming(spark)
+        path = args.json_out.replace(".json", "-stream.json")
+        with open(path, "w") as fh:
+            json.dump(res, fh, indent=2)
+        print(f"[done] wrote {path}", flush=True)
+        return
 
     if args.skew_only:
         res = bench_skew(spark)
