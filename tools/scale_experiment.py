@@ -50,6 +50,17 @@ from pyspark.sql import functions as F  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 OUT_ROOT = "/tmp/scale"
+
+
+def force(df) -> None:
+    """Fully materialize every output column via the noop sink.
+
+    ``count()`` is NOT a faithful forcing function: Catalyst prunes
+    projected expressions a count doesn't need, and eliminates a left
+    join to an aggregated (unique-key) relation outright — semdedup's
+    entire pairwise stage vanished under count() (2.8 s "measured",
+    347 s real). The noop write evaluates every column of every row."""
+    df.write.format("noop").mode("overwrite").save()
 KEY_CAP = 10**9  # > any base key; 64 replicas stay far under int64
 
 # int64 key columns to offset per replica (int32 dim keys — nationkey,
@@ -83,6 +94,15 @@ SCALE_QUERIES = (
     "sim_bruteforce_topk",
     "sim_ivf_topk",
     "curation_pipeline_summary",
+    "sessionize_gap30m_skewsafe",
+    "text_keywords_tfidf",
+    "quality_segment_dedup_rebuild",
+    "chunk_docs_overlap",
+    "pack_sequences_bins",
+    "semdedup_cluster_prune",
+    "cluster_kmeans_embeddings",
+    "decontam_ngram_overlap",
+    "join_market_share",
 )
 
 
@@ -224,11 +244,11 @@ def bench_skew(spark: SparkSession, base_scale: int = 64, frac_mod: int = 4) -> 
     for variant, d in (("uniform", src), ("skewed", skew)):
         for q in ("sessionize_gap30m", "sessionize_gap30m_skewsafe"):
             fn = registry[q].fn
-            fn(spark, d).count()
+            force(fn(spark, d))
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
-                fn(spark, d).count()
+                force(fn(spark, d))
                 best = min(best, time.perf_counter() - t0)
             out.setdefault(q, {})[variant] = round(best, 3)
             print(f"[skew] {variant} {q}: {best:.2f}s", flush=True)
@@ -330,11 +350,11 @@ def main() -> None:
         rows[n] = {t: table(spark, d, t).count() for t in TABLES}
         for q in names:
             fn = registry[q].fn
-            fn(spark, d).count()  # cold: analysis + codegen + cache builds
+            force(fn(spark, d))  # cold: analysis + codegen + cache builds
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
-                fn(spark, d).count()
+                force(fn(spark, d))
                 best = min(best, time.perf_counter() - t0)
             results[q][n] = round(best, 3)
             print(f"[run] x{n} {q}: {results[q][n]}s", flush=True)
