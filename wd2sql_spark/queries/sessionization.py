@@ -66,6 +66,10 @@ def sessionize_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lag → boundary flag → running sum = session id; then aggregate per
     (user_id, session_seq). Single shuffle (see module docstring).
+    Skew caveat: the window partitions by user_id alone, so one
+    hyperactive user serializes a task (measured 3.8× degradation with a
+    25% hot key, SCALE.md) — :func:`sessionize_gap30m_skewsafe` is the
+    identical-answer two-level form bounded at events/user/day.
 
     Driver-hash notes (both bitten in r2): the oracle's windowed SUM is a
     DuckDB HUGEINT, which pandas renders float64 ("1.0" vs Spark's "1") —
