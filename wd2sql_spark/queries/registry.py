@@ -99,6 +99,11 @@ _PRIORITY = (
     # round-2 failures, fixed this round — must re-verify
     "sessionize_gap30m",
     "scalar_array_fns",
+    # rewritten this round (fused pointer-jumping rounds) — its r2 green row
+    # was for the OLD implementation, so the hash must be re-proved in-cap
+    "dedup_cluster_components",
+    # newly-oracled this round (was the last rows-only entry)
+    "sim_lsh_topk",
     # the 17 never-driver-checked queries (r1 ∪ r2 gap)
     "stream_tumbling_counts",
     "stream_sliding_counts",
@@ -117,8 +122,6 @@ _PRIORITY = (
     "sample_weighted_by_length",
     "agg_percentiles_doc_length",
     "dedup_canonical_pick",
-    # newly-oracled this round (was the last rows-only entry)
-    "sim_lsh_topk",
     # new round-3 curation operators — need first driver rows
     "decontam_ngram_overlap",
     "scrub_pii_stats",
@@ -149,21 +152,20 @@ _PRIORITY = (
     "agg_supplier_variety",
     "subq_small_quantity_revenue",
     "subq_excess_share_suppliers",
-    # the remaining two queries with no driver row in any round — with
-    # these, every one of the 143 registered queries has a cumulative
-    # CORRECTNESS row after r3
+    # the remaining never-checked queries — with these, every one of the
+    # 145 registered queries has a cumulative CORRECTNESS row after r3.
+    # ts_gapfill_interpolate is a genuinely new output shape; skewsafe
+    # goes LAST because it shares SESSIONIZE_ORACLE (and the exact output)
+    # with in-cap sessionize_gap30m, so if the driver's ~50-entry cap cuts
+    # anything, it loses the least. Previously-green queries whose code
+    # changed this round (exact_sum_at arithmetic, recomposed curation)
+    # are covered by in-cap proxies and by the local full-fidelity sweeps
+    # (tests/oracle_check.py — the driver's exact comparison over all 145
+    # at three SFs, recorded in SWEEPS.json).
     "sim_ivf_recall_audit",
     "ids_contiguous_global",
-    # re-confirm the two highest-risk changed-code queries that already
-    # had a green row: the Q1 money-sum flagship (exact_sum_at swept its
-    # arithmetic) and the rewritten pointer-jumping clustering. The other
-    # changed-but-previously-green queries are covered by in-cap proxies
-    # (sessionize_gap30m re-proves the exact_sum_at fix funnel shares;
-    # curation_pipeline_decontam exercises the recomposed pipeline) and
-    # by the local full-fidelity sf0.01 sweep (tests/oracle_check.py),
-    # which runs the driver's exact comparison over all 143 every round.
-    "agg_pricing_summary",
-    "dedup_cluster_components",
+    "ts_gapfill_interpolate",
+    "sessionize_gap30m_skewsafe",
 )
 
 
