@@ -283,3 +283,116 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", "tf", F.col("df").cast("bigint"), F.round("score", 6).alias("score"), "rn")
         .orderBy("doc_id", "rn")
     )
+
+
+# BM25 retrieval scoring: fixed query terms (all present in the synthetic
+# vocabulary), standard k1/b. The idf factor is the RATIONAL core of the
+# BM25 idf — (N - df + 0.5)/(df + 0.5) WITHOUT the log: log is a libm
+# call whose last ulp differs between engines, while the rational form is
+# a division of identical doubles (and log is monotone, so rankings are
+# preserved) — the same substitution text_keywords_tfidf makes for tf-idf.
+# The three per-term components are summed in FIXED textual order, so the
+# doubles go through identical IEEE ops on both sides.
+BM25_TERMS = ("spark", "query", "join")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+_BM25_TF = ",\n       ".join(
+    f"CAST(len(list_filter(ts, x -> x = '{t}')) AS BIGINT) AS tf_{t}" for t in BM25_TERMS
+)
+_BM25_DF = ",\n         ".join(
+    f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in BM25_TERMS
+)
+_BM25_PART = (
+    "(CAST(g.n AS DOUBLE) - df_{t} + 0.5) / (df_{t} + 0.5)"
+    " * (tf_{t} * {k1c}) / (tf_{t} + {k1} * (1.0 - {b} + {b} * dl / g.avgdl))"
+)
+_BM25_SCORE = " + ".join(
+    _BM25_PART.format(t=t, k1=BM25_K1, k1c=BM25_K1 + 1.0, b=BM25_B) for t in BM25_TERMS
+)
+
+BM25_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+),
+tf AS (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+       {_BM25_TF}
+  FROM t
+),
+g AS (
+  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         {_BM25_DF}
+  FROM tf
+),
+scored AS (
+  SELECT doc_id, dl, {", ".join(f"tf_{t}" for t in BM25_TERMS)},
+         {_BM25_SCORE} AS score
+  FROM tf CROSS JOIN g
+)
+SELECT doc_id, dl, {", ".join(f"tf_{t}" for t in BM25_TERMS)},
+       round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn FROM scored) z
+WHERE rn <= {BM25_TOPK}
+ORDER BY rn
+"""
+
+
+@query("text_bm25_topk", oracle=BM25_ORACLE, category="llm-text")
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BM25_TOPK} documents by BM25 relevance to a fixed 3-term query
+    — the retrieval-scoring shape of a decontamination / RAG-curation
+    pass (score training docs against an eval query, drop or route the
+    closest).
+
+    Shape: one narrow projection computes per-doc token list, length, and
+    the three term frequencies (no explode — ``list_filter`` counts
+    in-place, so the fact-sized stage is a MAP, not a shuffle); a
+    one-row global aggregate (N, avgdl, per-term df) broadcasts back; the
+    score is a row-local expression and the only ordering work is the
+    global top-k. At 100 TB: scan → broadcast → TakeOrderedAndProject,
+    zero fact-sized shuffles. Determinism: see the constants' comment
+    (rational idf, fixed-order float sum)."""
+    d = table(spark, sf_dir, "documents")
+    ts = F.split(F.lower(F.col("text")), " ")
+    def tf_col(t: str):
+        # NB: a `lambda x, t=t:` default-arg closure would change the
+        # lambda's ARITY — pyspark passes (element, index) to two-arg
+        # higher-order lambdas, silently binding t to the index.
+        return F.size(F.filter(ts, lambda x: x == F.lit(t))).cast("bigint").alias(f"tf_{t}")
+
+    tf = d.select(
+        "doc_id",
+        F.size(ts).cast("bigint").alias("dl"),
+        *[tf_col(t) for t in BM25_TERMS],
+    )
+    g = tf.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    def part(t: str):
+        idf = (F.col("n").cast("double") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        sat = (F.col(f"tf_{t}") * F.lit(BM25_K1 + 1.0)) / (
+            F.col(f"tf_{t}")
+            + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+        return idf * sat
+
+    score = part(BM25_TERMS[0]) + part(BM25_TERMS[1]) + part(BM25_TERMS[2])
+    scored = tf.crossJoin(F.broadcast(g)).withColumn("score", score)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= BM25_TOPK)
+        .select(
+            "doc_id", "dl", *[f"tf_{t}" for t in BM25_TERMS],
+            F.round("score", 6).alias("score"), "rn",
+        )
+        .orderBy("rn")
+    )

@@ -53,7 +53,9 @@ _MODULES = (
     "wd2sql_spark.queries.llm_packing",
     "wd2sql_spark.queries.streaming_q",
     "wd2sql_spark.queries.sessionization",
+    "wd2sql_spark.queries.cdc",
     "wd2sql_spark.queries.graph",
+    "wd2sql_spark.queries.graph_analytics",
     "wd2sql_spark.queries.curation",
     "wd2sql_spark.queries.setops",
     "wd2sql_spark.queries.relational",
