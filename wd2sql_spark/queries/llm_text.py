@@ -386,10 +386,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     score = part(BM25_TERMS[0]) + part(BM25_TERMS[1]) + part(BM25_TERMS[2])
     scored = tf.crossJoin(F.broadcast(g)).withColumn("score", score)
+    # Global top-k as orderBy+limit (TakeOrderedAndProject: per-partition
+    # heap + driver merge of k·p rows) with the rank assigned AFTER the
+    # limit — a bare row_number window would Exchange the whole scored
+    # fact into one partition to rank it; here the single-partition window
+    # sees only the {BM25_TOPK} survivors.
     w = Window.orderBy(F.col("score").desc(), "doc_id")
     return (
-        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= BM25_TOPK)
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOPK)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .select(
             "doc_id", "dl", *[f"tf_{t}" for t in BM25_TERMS],
             F.round("score", 6).alias("score"), "rn",
