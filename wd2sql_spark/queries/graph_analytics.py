@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wd2sql_spark.catalog import table
+from wd2sql_spark.operators.graph_ops import pagerank_ranks, triangles
 from wd2sql_spark.queries.registry import query
 
 KNN = 3  # neighbors kept per node in the co-occurrence graph
@@ -108,14 +109,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pipeline runs once, not per join leg.
         .persist()
     )
-    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
-        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
-        .select(F.col("e1.a").alias("ta"), F.col("e1.b").alias("tb"), F.col("e2.b").alias("tc"))
-    )
     return (
-        tri.select(F.explode(F.array("ta", "tb", "tc")).alias("node"))
+        triangles(und)
+        .select(F.explode(F.array("ta", "tb", "tc")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
         .select(F.col("node").cast("bigint"), "n_triangles")
@@ -203,24 +199,7 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Edges feed the degree aggregate plus one join per iteration; the
     # distinct-pairs expansion would otherwise recompute each time.
     edges = edges.persist()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("src", "node")
-    ranks = deg.select("node", F.lit(R0).cast("long").alias("r"))
-    base = (DAMP_DEN - DAMP_NUM) * R0
-    for _ in range(ITERS):
-        contrib = ranks.join(deg, "node").select(
-            "node", F.call_function("div", F.col("r"), F.col("d")).alias("cr")
-        )
-        ranks = (
-            edges.join(contrib, edges["src"] == contrib["node"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(
-                F.call_function(
-                    "div",
-                    F.lit(base) + F.lit(DAMP_NUM) * F.sum("cr"),
-                    F.lit(DAMP_DEN),
-                ).alias("r")
-            )
-        )
+    ranks = pagerank_ranks(edges, iters=ITERS, r0=R0, damp_num=DAMP_NUM, damp_den=DAMP_DEN)
     return ranks.select(
         F.col("node").cast("bigint"),
         F.when(F.col("node") >= SUPP_OFFSET, "supplier").otherwise("customer").alias("node_type"),
