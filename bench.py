@@ -56,6 +56,8 @@ HEADLINE = (
     "quality_segment_dedup_rebuild",
     "agg_forecast_revenue",
     "subq_min_cost_supplier",
+    "graph_pagerank_iter",
+    "cdc_scd2_merge",
 )
 
 
