@@ -103,6 +103,14 @@ SCALE_QUERIES = (
     "cluster_kmeans_embeddings",
     "decontam_ngram_overlap",
     "join_market_share",
+    # round-3 additions: iterative graph kernels (pagerank's per-iteration
+    # join+agg, triangle enumeration's two-hop edge join), BM25's
+    # explode+broadcast-idf retrieval scoring, and the SCD2 merge's
+    # full-outer snapshot diff — each a distinct growth-class risk.
+    "graph_pagerank_iter",
+    "graph_triangle_count",
+    "text_bm25_topk",
+    "cdc_scd2_merge",
 )
 
 
