@@ -175,7 +175,13 @@ def _claim_value_cols(c) -> dict:
     value_type = (
         F.when(snaktype == "novalue", "none")
         .when(snaktype == "somevalue", "unknown")
-        .when(dv_type == "string", "string")
+        # A string datavalue with NO value is a failed extraction → the
+        # claim is skipped (value.rs's value! arm), NOT a NULL string row
+        # (which would violate the string table's NOT NULL DDL in the
+        # SQLite sink). Found by the differential fuzz
+        # (tests/test_property_etl.py); the other arms were already
+        # guarded by their *_ok predicates.
+        .when((dv_type == "string") & dv_raw.isNotNull(), "string")
         .when((dv_type == "monolingualtext") & mono.getField("text").isNotNull(), "string")
         # MultilingualText: English → string, no English → none
         # (value.rs:222-229 — a presence row, NOT a null string)
