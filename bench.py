@@ -58,6 +58,8 @@ HEADLINE = (
     "subq_min_cost_supplier",
     "graph_pagerank_iter",
     "cdc_scd2_merge",
+    "profile_column_stats",
+    "join_bloom_prefilter_semi",
 )
 
 

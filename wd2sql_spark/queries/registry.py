@@ -57,6 +57,7 @@ _MODULES = (
     "wd2sql_spark.queries.graph",
     "wd2sql_spark.queries.graph_analytics",
     "wd2sql_spark.queries.curation",
+    "wd2sql_spark.queries.profiling",
     "wd2sql_spark.queries.setops",
     "wd2sql_spark.queries.relational",
     "wd2sql_spark.queries.joins",
@@ -135,6 +136,11 @@ _PRIORITY = (
     "chunk_docs_overlap",
     "pack_sequences_bins",
     "semdedup_cluster_prune",
+    # profiling + runtime-filter pair new in round 3 — profile_column_stats
+    # is the only probe of the new "profiling" category; the bloom
+    # prefilter is the only runtime-filter join shape
+    "profile_column_stats",
+    "join_bloom_prefilter_semi",
     # TPC-H shapes new in round 3 — need first driver rows
     "join_market_share",
     "join_profit_by_nation_year",
@@ -142,11 +148,10 @@ _PRIORITY = (
     "agg_promo_revenue_ratio",
     "subq_sales_opportunity_antijoin",
     "quality_segment_dedup_rebuild",
-    # the nine TPC-H gap shapes (Q2/4/6/11/12/15/16/17/20) new in round 3,
+    # the TPC-H gap shapes (Q2/12/15/16/17/20 here; Q4/Q6 deferred — both
+    # are variants of families driver-green since r1) new in round 3,
     # completing all 22 classic shapes — need first driver rows
     "subq_min_cost_supplier",
-    "subq_order_priority_check",
-    "agg_forecast_revenue",
     "subq_important_supply_value",
     "agg_ship_priority_modes",
     "subq_top_supplier_revenue",
@@ -177,6 +182,8 @@ _PRIORITY = (
     "sim_lsh_recall_audit",
     "sim_ivf_recall_audit",
     "sessionize_gap30m_skewsafe",
+    "subq_order_priority_check",
+    "agg_forecast_revenue",
 )
 
 
