@@ -60,6 +60,7 @@ HEADLINE = (
     "cdc_scd2_merge",
     "profile_column_stats",
     "join_bloom_prefilter_semi",
+    "dedup_incremental_delta",
 )
 
 

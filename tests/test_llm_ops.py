@@ -293,3 +293,34 @@ def test_assign_contiguous_ids_dense_and_ordered(spark):
         assert [r["global_id"] for r in rows] == list(range(1, n + 1))
         keys = [(r["n_chars"], r["doc_id"]) for r in rows]
         assert keys == sorted(keys)
+
+
+def test_incremental_matches_exact_copy_and_agrees_with_full_lsh(spark, docs):
+    """A delta doc that is an exact copy of a corpus doc must match with
+    est_jaccard == 1.0; and for a real split of the fixture, delta→corpus
+    matches must be exactly the cross-split subset of the full-corpus
+    LSH pairs (same arithmetic ⇒ same candidates)."""
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    copied = (
+        corpus.limit(1)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    idx = D.minhash_band_index(corpus)
+    got = D.incremental_minhash_matches(idx, copied).collect()
+    assert any(r["est_jaccard"] == 1.0 for r in got)
+
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    inc = {
+        (r["delta_id"], r["corpus_id"])
+        for r in D.incremental_minhash_matches(idx, delta, min_est_jaccard=0.25).collect()
+    }
+    full = {
+        (r["d1"], r["d2"])
+        for r in D.minhash_lsh_pairs(docs, min_est_jaccard=0.25).collect()
+    }
+    cross = {
+        (a, b) if a % 10 == 0 else (b, a)  # (delta, corpus) order
+        for (a, b) in full
+        if (a % 10 == 0) != (b % 10 == 0)
+    }
+    assert inc == cross

@@ -249,6 +249,86 @@ def minhash_lsh_pairs(
     return est.filter(F.col("est_jaccard") >= min_est_jaccard)
 
 
+def minhash_band_index(docs: DataFrame, k: int = 16, band_size: int = 4, n: int = 3) -> DataFrame:
+    """The persistable LSH index relation: one row per (doc, band) with
+    the band's bucket key AND the full wide signature denormalized on.
+
+    This is the artifact an incremental pipeline WRITES ONCE per corpus
+    and reuses for every subsequent drop (parquet, bucketed/sorted by
+    ``band_key`` so delta probes prune to matching buckets and a shuffle
+    join co-locates for free). Carrying mh0..mh{k-1} on every band row
+    costs k·15 B × n_bands per doc but makes each bucket row
+    self-contained: a probe join yields both signatures row-locally, so
+    no second corpus-sized join is needed to estimate Jaccard.
+
+    Same md5 arithmetic as :func:`minhash_lsh_pairs` — the two agree on
+    candidates by construction."""
+    sig = minhash_signatures_wide(docs, k, n)
+    n_bands = k // band_size
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bb).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{s}") for s in range(bb * band_size, (bb + 1) * band_size)]
+                ).alias("band_key"),
+            )
+            for bb in range(n_bands)
+        ]
+    )
+    mh_cols = [F.col(f"mh{s}") for s in range(k)]
+    return sig.select("doc_id", F.explode(band_structs).alias("bk"), *mh_cols).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"), *mh_cols
+    )
+
+
+def incremental_minhash_matches(
+    corpus_index: DataFrame,
+    delta_docs: DataFrame,
+    k: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    min_est_jaccard: float = 0.0,
+) -> DataFrame:
+    """Near-duplicate matches of a NEW document drop against an EXISTING
+    corpus index — the production dedup shape at 100 TB, where the corpus
+    LSH is never recomputed per drop; only the delta is hashed.
+
+    ``corpus_index`` is :func:`minhash_band_index` output (in production:
+    read back from its bucketed parquet). The delta side is banded with
+    the same arithmetic and BROADCAST — a typical daily drop's band rows
+    (n_bands × (k·15 B + key) per doc) fit in a broadcast up to millions
+    of docs, so the corpus index is probed in place with ZERO corpus-side
+    shuffle; when a drop outgrows the broadcast threshold, the fallback
+    shuffle join on (band, band_key) still co-locates for free against
+    the index's band_key bucketing. Both signatures arrive on the joined
+    row, so the Jaccard estimate is row-local — no follow-up join.
+
+    Output: (delta_id, corpus_id, est_jaccard), distinct pairs with
+    est ≥ ``min_est_jaccard`` — the docs to reject from (or link to) the
+    drop before it is admitted to the corpus."""
+    delta_index = minhash_band_index(delta_docs, k, band_size, n)
+    c = corpus_index.alias("c")
+    d = delta_index.alias("d")
+    eq = sum(
+        (F.when(F.col(f"c.mh{s}") == F.col(f"d.mh{s}"), 1).otherwise(0) for s in range(k)),
+        F.lit(0),
+    )
+    return (
+        c.join(
+            F.broadcast(d),
+            (F.col("c.band") == F.col("d.band")) & (F.col("c.band_key") == F.col("d.band_key")),
+        )
+        .select(
+            F.col("d.doc_id").alias("delta_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+            (eq / F.lit(float(k))).alias("est_jaccard"),
+        )
+        .distinct()
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
 def hex_val(char_col: Column) -> Column:
     """hex digit char → 0..15, engine-portably (no conv() in DuckDB;
     instr/strpos exist everywhere)."""

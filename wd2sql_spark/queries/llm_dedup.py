@@ -253,3 +253,71 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 10)
         .orderBy("d1", "d2")
     )
+
+
+_DELTA_PRED = "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10"
+
+INCREMENTAL_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, s.seed, substr(md5(s.seed || ':' || shingle), 1, 15) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
+),
+sig AS (SELECT doc_id, seed, min(h) AS mh FROM hashed GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         array_to_string(list_sort(list(seed || ':' || mh)), '|') AS band_key
+  FROM sig GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+  FROM bands d JOIN bands c
+    ON d.band = c.band AND d.band_key = c.band_key
+  WHERE ({_DELTA_PRED.replace('doc_id', 'd.doc_id')})
+    AND NOT ({_DELTA_PRED.replace('doc_id', 'c.doc_id')})
+),
+est AS (
+  SELECT delta_id, corpus_id,
+         SUM(CASE WHEN sd.mh = sc.mh THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+  FROM cand
+  JOIN sig sd ON sd.doc_id = delta_id
+  JOIN sig sc ON sc.doc_id = corpus_id AND sd.seed = sc.seed
+  GROUP BY delta_id, corpus_id
+)
+SELECT CAST(delta_id AS BIGINT) AS delta_id,
+       CAST(corpus_id AS BIGINT) AS corpus_id,
+       CAST(est_jaccard AS DOUBLE) AS est_jaccard
+FROM est
+WHERE est_jaccard >= 0.25
+ORDER BY est_jaccard DESC, delta_id, corpus_id
+"""
+
+
+@query("dedup_incremental_delta", oracle=INCREMENTAL_ORACLE, category="llm-dedup")
+def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup check of a new drop against an existing
+    corpus LSH index — the production shape at 100 TB, where the corpus
+    minhash is computed ONCE (minhash_band_index, persisted bucketed by
+    band_key) and each nightly delta only hashes ITSELF and probes the
+    index via a broadcast band join with zero corpus-side shuffle.
+
+    The fixture stands in a 10% md5-bucket split of `documents` as the
+    delta (the reproducible-sampling idiom) and the remaining 90% as the
+    corpus; matches with estimated Jaccard >= 0.25 are the delta docs an
+    admission pipeline would reject or link."""
+    docs = table(spark, sf_dir, "documents")
+    from wd2sql_spark.queries.llm_sampling import md5_bucket
+
+    is_delta = md5_bucket(F.col("doc_id"), 100) < 10
+    corpus_index = D.minhash_band_index(docs.filter(~is_delta), k=16, band_size=4, n=3)
+    return (
+        D.incremental_minhash_matches(
+            corpus_index, docs.filter(is_delta), k=16, band_size=4, n=3, min_est_jaccard=0.25
+        )
+        .select(
+            F.col("delta_id").cast("bigint"),
+            F.col("corpus_id").cast("bigint"),
+            F.col("est_jaccard").cast("double"),
+        )
+        .orderBy(F.col("est_jaccard").desc(), "delta_id", "corpus_id")
+    )

@@ -168,6 +168,9 @@ _PRIORITY = (
     # genuinely new output shapes, ahead of the defer-last variants
     "ts_gapfill_interpolate",
     "ids_contiguous_global",
+    # incremental delta-vs-index dedup (new late in round 3; its family is
+    # driver-green via dedup_minhash_lsh, so it can wait a round if capped)
+    "dedup_incremental_delta",
     # ---- defer-last tail: if the driver's ~50-entry cap cuts anything, it
     # cuts here, losing the least. Each is a variant/twin of an in-cap or
     # already-green query: the two recall audits share bucket/codebook
