@@ -47,6 +47,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # scan, and DuckDB sees the same naive microseconds. Both are runtime
     # SQL confs, so they take effect under the driver's session too.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Size shuffles to the actual parallelism, but ONLY when the session
+    # still carries Spark's untouched 200-partition default — an explicit
+    # operator choice (session.py sets cores; streaming/core.py scopes its
+    # own value) is never overridden. Under an out-of-the-box session the
+    # iterative queries (pagerank: ~29 exchanges) otherwise pay 200 tiny
+    # tasks per exchange — pure scheduler overhead at any data size below
+    # ~100 MB/partition; AQE still coalesces below this starting point.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
