@@ -307,7 +307,23 @@ def incremental_minhash_matches(
     Output: (delta_id, corpus_id, est_jaccard), distinct pairs with
     est ≥ ``min_est_jaccard`` — the docs to reject from (or link to) the
     drop before it is admitted to the corpus."""
-    delta_index = minhash_band_index(delta_docs, k, band_size, n)
+    return incremental_index_probe(
+        corpus_index, minhash_band_index(delta_docs, k, band_size, n), k, min_est_jaccard
+    )
+
+
+def incremental_index_probe(
+    corpus_index: DataFrame,
+    delta_index: DataFrame,
+    k: int = 16,
+    min_est_jaccard: float = 0.0,
+) -> DataFrame:
+    """The probe half of :func:`incremental_minhash_matches`, for callers
+    that already hold BOTH banded indexes (e.g. a fixture that bands one
+    corpus once and splits it, or a pipeline re-checking two persisted
+    drops against each other). Join on (band, band_key) with the delta
+    side broadcast; both signatures arrive on the joined row, so the
+    Jaccard estimate is row-local."""
     c = corpus_index.alias("c")
     d = delta_index.alias("d")
     eq = sum(

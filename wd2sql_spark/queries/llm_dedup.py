@@ -304,15 +304,22 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixture stands in a 10% md5-bucket split of `documents` as the
     delta (the reproducible-sampling idiom) and the remaining 90% as the
     corpus; matches with estimated Jaccard >= 0.25 are the delta docs an
-    admission pipeline would reject or link."""
+    admission pipeline would reject or link.
+
+    Because both sides come from the SAME table here, the fixture bands
+    the whole corpus ONCE (one tokenize→shingle→minhash pass, persisted)
+    and splits the index by the md5 bucket — halving the signature work
+    vs hashing the 90% and 10% sides in separate passes. Production keeps
+    the same probe: corpus_index is read from parquet, only the delta is
+    hashed (incremental_minhash_matches)."""
     docs = table(spark, sf_dir, "documents")
     from wd2sql_spark.queries.llm_sampling import md5_bucket
 
     is_delta = md5_bucket(F.col("doc_id"), 100) < 10
-    corpus_index = D.minhash_band_index(docs.filter(~is_delta), k=16, band_size=4, n=3)
+    idx = D.minhash_band_index(docs, k=16, band_size=4, n=3).persist()
     return (
-        D.incremental_minhash_matches(
-            corpus_index, docs.filter(is_delta), k=16, band_size=4, n=3, min_est_jaccard=0.25
+        D.incremental_index_probe(
+            idx.filter(~is_delta), idx.filter(is_delta), k=16, min_est_jaccard=0.25
         )
         .select(
             F.col("delta_id").cast("bigint"),
