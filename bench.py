@@ -61,6 +61,8 @@ HEADLINE = (
     "profile_column_stats",
     "join_bloom_prefilter_semi",
     "dedup_incremental_delta",
+    "sim_pq_topk",
+    "retrieval_hybrid_rrf",
 )
 
 

@@ -60,6 +60,49 @@ def test_ivf_topk_recall_vs_brute_force(spark, emb):
     assert recall >= 0.4, f"IVF recall at chance level: {recall}"
 
 
+def test_pq_codes_are_exact_on_codebook_vectors(spark, emb):
+    """The codebook is the 16 lowest-id vectors, so each must encode to
+    its own index in EVERY subspace (distance 0, tie-break lowest j), and
+    its PQ-reconstruction norm must equal its true norm — pinning the
+    slice arithmetic, the argmin tie-break, and the norm LUTs at once."""
+    cb = S.pq_codebook(emb, n_sub=8, ks=16, dim=64)
+    codes = S.pq_codes(F.col("embedding"), cb, dim=64)
+    first16 = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(
+            "vec_id", *[codes[m].alias(f"c{m}") for m in range(8)]
+        )
+        .collect()
+    )
+    for rank, r in enumerate(sorted(first16, key=lambda r: r.vec_id)):
+        assert [r[f"c{m}"] for m in range(8)] == [rank] * 8
+
+
+def test_pq_topk_recall_and_self_reconstruction(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    rows = S.pq_topk(emb, queries, k=5).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(brute & approx) / len(brute)
+    # 8 subspaces × 16 centroids on near-random embeddings: far above the
+    # ~k/n chance floor; require a conservative bound to pin mechanism.
+    assert recall >= 0.2, f"PQ recall at chance level: {recall}"
+    # Retrieved neighbors that ARE codebook vectors reconstruct exactly;
+    # the ADC cosine then equals the exact cosine up to fold regrouping
+    # (8 subspace partials vs one 64-term fold → last-ulp, ≤1 rounding
+    # step at the 6-decimal output).
+    for r in rows:
+        if r.neighbor_id < 16:
+            assert abs(r.pq_cosine - r.exact_cosine) <= 1e-6 + 1e-12, (
+                r.query_id,
+                r.neighbor_id,
+            )
+
+
 def test_ivf_assignment_is_total_and_valid(spark, emb):
     cents = S.collect_centroids(emb, 16)
     assigned = emb.select(S.ivf_assign(F.col("embedding"), cents).alias("cid"))

@@ -491,6 +491,178 @@ def quantized_topk(
     )
 
 
+def pq_codebook(
+    corpus: DataFrame,
+    n_sub: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic product-quantization codebook: subspace ``m``'s
+    centroid ``j`` is the m-th subvector of the j-th lowest-id corpus
+    vector (j = 0..ks−1 in vec_id order). Like the IVF codebook
+    (:func:`collect_centroids`), a production build would k-means each
+    subspace; the PQ mechanics — per-subspace argmin encode, LUT-based
+    asymmetric scoring — are identical and are what this exercises.
+    Returns ``n_sub`` lists of (j, subvector)."""
+    sub = dim // n_sub
+    base = collect_centroids(corpus, ks, id_col, vec_col)
+    return [
+        [(j, vec[m * sub : (m + 1) * sub]) for j, (_, vec) in enumerate(base)]
+        for m in range(n_sub)
+    ]
+
+
+def _pq_struct_array(subbook: list[tuple[int, list[float]]]) -> Column:
+    """One subspace's codebook as a single parsed SQL literal (same py4j
+    rationale as :func:`_centroid_struct_array`)."""
+    parts = []
+    for j, vec in subbook:
+        arr = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in vec)
+        parts.append(f"named_struct('j', CAST({j} AS INT), 'cv', array({arr}))")
+    return F.expr("array(" + ", ".join(parts) + ")")
+
+
+def _subvec(vec: Column, m: int, sub: int) -> Column:
+    return F.slice(vec, m * sub + 1, sub)
+
+
+def pq_codes(vec: Column, codebook: list[list[tuple[int, list[float]]]], dim: int = 64) -> list[Column]:
+    """Per-subspace PQ codes of ``vec``: code_m = argmin_j ‖vec_m − c_mj‖²
+    (squared-L2 as the deterministic left-fold; ties → lowest j, via the
+    lexicographic ``array_min`` over (d2, j) structs — the exact
+    ``ORDER BY d2, j LIMIT 1`` tie-break). A narrow map: encoding shuffles
+    nothing and reduces each vector to n_sub small ints — the 32×
+    compression (64×4 B floats → 8 codes) that lets a billion-vector
+    corpus index live in executor memory."""
+    n_sub = len(codebook)
+    sub = dim // n_sub
+    out = []
+    for m, subbook in enumerate(codebook):
+        vm = _subvec(vec, m, sub)
+        scored = F.transform(
+            _pq_struct_array(subbook),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vm, c["cv"], lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d2"),
+                c["j"].alias("j"),
+            ),
+        )
+        out.append(F.array_min(scored)["j"])
+    return out
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_sub: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by product quantization with asymmetric distance
+    computation (ADC, Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011): the corpus is stored as n_sub small
+    codes per vector (here 8 codes ≈ 8 B vs 256 B of floats — the 32×
+    memory cut that decides whether a billion-vector index fits executor
+    memory); each query builds an n_sub×ks lookup table of subspace dot
+    products ONCE, and scoring a pair is n_sub table lookups instead of
+    ``dim`` multiplies.
+
+    approx_dot(q, x) = Σ_m LUT_m[code_m(x)]   (LUT_m[j] = ⟨q_m, c_mj⟩)
+    approx_cos = approx_dot / (‖q‖ · approx_norm(x)),
+    approx_norm² = Σ_m ‖c_m,code_m‖²  — i.e. the cosine of q with x's
+    PQ reconstruction, never materializing the reconstruction.
+
+    All folds are deterministic left-folds over inlined codebook
+    literals, so the scores are bit-reproducible in any engine (full
+    DuckDB oracle). Plan shape matches :func:`brute_force_topk` —
+    broadcast queries, one corpus scan (reading CODES, not vectors, in
+    the stored-index regime), per-partition top-k into one shuffle. The
+    exact cosine of each retrieved pair rides along for recall/error
+    audits. Output: (query_id, neighbor_id, pq_cosine, exact_cosine,
+    rank)."""
+    codebook = pq_codebook(corpus, n_sub, ks, dim, id_col, vec_col)
+    codes = pq_codes(F.col(vec_col), codebook, dim)
+    # Centroid-norm LUTs are in-engine expressions over the same literals
+    # (never Python float math): ‖c_mj‖² with the same 8-term fold.
+    cn2_luts = [
+        F.transform(
+            _pq_struct_array(sb),
+            lambda c: F.aggregate(
+                F.zip_with(c["cv"], c["cv"], lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        for sb in codebook
+    ]
+    acn2 = F.aggregate(
+        F.array(*[F.element_at(cn2_luts[m], codes[m] + 1) for m in range(n_sub)]),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+        F.sqrt(acn2).alias("acn"),
+        *[codes[m].alias(f"code{m}") for m in range(n_sub)],
+    )
+    sub = dim // n_sub
+
+    # NB: binding the loop variable via a second lambda parameter default
+    # (``lambda cc, _m=m: ...``) is WRONG here — PySpark passes a 2-arg
+    # transform lambda (element, index), so the "default" gets overwritten
+    # by the array-index column. A closure factory keeps the lambda unary.
+    def _lut(m: int):
+        return lambda cc: dot(_subvec(F.col(vec_col), m, sub), cc["cv"])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+        *[
+            F.transform(_pq_struct_array(codebook[m]), _lut(m)).alias(f"lut{m}")
+            for m in range(n_sub)
+        ],
+    )
+    pq_dot = F.aggregate(
+        F.array(
+            *[F.element_at(F.col(f"lut{m}"), F.col(f"code{m}") + 1) for m in range(n_sub)]
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(pq_dot / (F.col("qn") * F.col("acn")), 6).alias("pq_cosine"),
+            F.round(
+                cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+            ).alias("exact_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "pq_cosine", "exact_cosine", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -127,6 +127,63 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_ROLLUP_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       'ok' AS sketch_verdict
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("agg_hll_sketch_rollup", oracle=HLL_ROLLUP_ORACLE, category="aggregates")
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE sketch rollup — the pre-aggregated distinct-count pattern
+    every 100 TB metrics store runs: build one HLL sketch (Apache
+    DataSketches, ``hll_sketch_agg``, lgK=12 ≈ 2 KB) per fine-grained
+    (day, event_type) cell ONCE, persist the cell table, then answer any
+    coarser rollup — here per-type across all days — by UNIONING the
+    fixed-size sketches (``hll_union_agg``), never rescanning the raw
+    events. The raw-data pass shuffles ~|cells| 2 KB sketches instead of
+    the distinct-key expand; every later rollup touches only the cell
+    table. Contract: DuckDB's HLL is a different sketch, so (same as
+    agg_approx_count_distinct) the estimate is scored, not emitted — the
+    exact twin and the exact merged-cell count hash-match, and the
+    'ok' verdict proves the merged estimate landed within 5% of exact."""
+    e = table(spark, sf_dir, "events")
+    cells = (
+        e.select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    )
+    rolled = cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        rolled.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            F.when(
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05,
+                "ok",
+            )
+            .otherwise("off")
+            .alias("sketch_verdict"),
+        )
+        .orderBy("event_type")
+    )
+
+
 APPROX_PCTL_ORACLE = """
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,

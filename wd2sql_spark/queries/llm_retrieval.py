@@ -1,0 +1,171 @@
+"""Hybrid retrieval: lexical (BM25) + semantic (embedding cosine) runs
+fused by reciprocal-rank fusion (RRF, Cormack/Clarke/Buettcher SIGIR'09:
+``score(d) = Σ_runs 1/(C + rank_run(d))``, C = 60).
+
+This is the retrieval shape of a modern data-curation / RAG pass: two
+independent rankers — one over tokens, one over vectors — each produce a
+top-N list; fusion happens on RANKS, not scores, so the runs need no
+score calibration and the fused ordering is robust to either ranker's
+scale. The reference has no retrieval surface (its query half is
+delegated SQLite lookups, README.md:103-157 in /root/reference); this
+extends the BM25 and ANN operators the battery already verifies.
+
+Scale notes: each run ends in a k-row relation (BM25: scan → one-row
+broadcast → TakeOrderedAndProject; cosine: broadcast query × corpus scan
+→ per-partition top-k), so the fusion itself — a full-outer join of two
+k-row lists and a k·2-row sort — is driver-trivial at ANY corpus size.
+The heavy lifting stays inside the two constituent retrievals, which are
+already judged scale-shapes; RRF adds zero fact-sized work.
+
+Determinism: 1/(60+rank) is one IEEE division of identical small
+integers in both engines, the two terms are summed in fixed textual
+order (lex + sem), and ties in the fused score break on doc_id — so the
+fused ranking hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wd2sql_spark.catalog import table
+from wd2sql_spark.operators import similarity as S
+from wd2sql_spark.queries.llm_similarity import _cos
+from wd2sql_spark.queries.llm_text import (
+    _BM25_DF,
+    _BM25_SCORE,
+    _BM25_TF,
+    BM25_TERMS,
+)
+from wd2sql_spark.queries.registry import query
+
+RRF_C = 60
+RUN_K = 20  # depth of each constituent run
+FUSED_K = 15  # fused results returned
+SEM_QUERY_ID = 0  # the embedding row used as the semantic query
+
+# The lexical run re-states the BM25 oracle CTEs from llm_text (same
+# fragments, same constants) ranked to RUN_K; the semantic run is the
+# brute-force cosine oracle shape from llm_similarity for one query id.
+HYBRID_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+),
+tf AS (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+       {_BM25_TF}
+  FROM t
+),
+g AS (
+  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         {_BM25_DF}
+  FROM tf
+),
+lex AS (
+  SELECT doc_id, CAST(rn AS BIGINT) AS lex_rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY {_BM25_SCORE} DESC, doc_id) AS rn
+    FROM tf CROSS JOIN g) z
+  WHERE rn <= {RUN_K}
+),
+sem AS (
+  SELECT neighbor_id AS doc_id, CAST(rank AS BIGINT) AS sem_rank FROM (
+    SELECT c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (ORDER BY round({_cos('q', 'c')}, 6) DESC, c.vec_id) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id = {SEM_QUERY_ID}) z
+  WHERE rank <= {RUN_K}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank,
+         COALESCE(1.0 / ({RRF_C} + l.lex_rank), 0.0)
+           + COALESCE(1.0 / ({RRF_C} + s.sem_rank), 0.0) AS rrf
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank,
+       round(rrf, 6) AS rrf_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {FUSED_K}
+ORDER BY fused_rank
+"""
+
+
+@query("retrieval_hybrid_rrf", oracle=HYBRID_ORACLE, category="llm-retrieval")
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of a BM25 top-{RUN_K} lexical run and a
+    cosine top-{RUN_K} semantic run (query = embedding {SEM_QUERY_ID}),
+    C = {RRF_C}: docs ranked by Σ 1/(C + rank) over the runs they appear
+    in. Rank-space fusion needs no score calibration between the
+    heterogeneous runs; a doc found by both runs outranks one found by
+    either alone. Both constituent retrievals keep their judged scale
+    shapes; the fusion joins two {RUN_K}-row lists — no fact-sized work.
+    The synthetic corpus uses doc_id ≡ vec_id, standing in for the
+    document↔embedding keying of a real curation store."""
+    d = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+
+    # Lexical run: same BM25 arithmetic as text_bm25_topk (fragments are
+    # shared with the oracle via llm_text's constants), depth RUN_K.
+    ts = F.split(F.lower(F.col("text")), " ")
+
+    def tf_col(t: str):
+        # unary lambda — a two-arg default closure would bind the index
+        # (the F.transform arity pitfall, see text_bm25_topk/pq_topk)
+        return F.size(F.filter(ts, lambda x: x == F.lit(t))).cast("bigint").alias(f"tf_{t}")
+
+    tf = d.select("doc_id", F.size(ts).cast("bigint").alias("dl"), *[tf_col(t) for t in BM25_TERMS])
+    g = tf.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+
+    def part(t: str):
+        from wd2sql_spark.queries.llm_text import BM25_B, BM25_K1
+
+        idf = (F.col("n").cast("double") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        sat = (F.col(f"tf_{t}") * F.lit(BM25_K1 + 1.0)) / (
+            F.col(f"tf_{t}")
+            + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+        return idf * sat
+
+    score = part(BM25_TERMS[0]) + part(BM25_TERMS[1]) + part(BM25_TERMS[2])
+    lex_w = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex = (
+        tf.crossJoin(F.broadcast(g))
+        .withColumn("score", score)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(RUN_K)
+        .withColumn("lex_rank", F.row_number().over(lex_w).cast("bigint"))
+        .select("doc_id", "lex_rank")
+    )
+
+    # Semantic run: exact cosine top-RUN_K for the fixed query embedding.
+    sem = (
+        S.brute_force_topk(emb, emb.filter(F.col("vec_id") == SEM_QUERY_ID), k=RUN_K)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+    )
+
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("lex_rank")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_C) + F.col("sem_rank")), F.lit(0.0)
+    )
+    fused_w = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .withColumn("rrf", rrf)
+        .withColumn("fused_rank", F.row_number().over(fused_w).cast("bigint"))
+        .filter(F.col("fused_rank") <= FUSED_K)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round("rrf", 6).alias("rrf_score"),
+            "fused_rank",
+        )
+        .orderBy("fused_rank")
+    )

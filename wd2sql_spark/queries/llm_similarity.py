@@ -253,6 +253,83 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantized_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+# Product quantization: 8 subspaces × 16 centroids over dim 64. The
+# codebook is the 16 lowest-vec_id vectors sliced per subspace (j = 0..15
+# in vec_id order — ROW_NUMBER, matching operators/similarity.pq_codebook);
+# codes are per-subspace squared-L2 argmins (ties → lowest j); scoring is
+# ADC: Σ_m ⟨q_m, c_m,code⟩ over the m-ordered list fold (list_sum of a
+# list(… ORDER BY m) ≡ Spark's F.aggregate over the m-ordered array), and
+# the corpus norm is the PQ reconstruction's norm from the same codebook.
+_PQ_D2 = (
+    "list_sum(list_transform(range(1, 9), k -> "
+    "(CAST(e.embedding[ms.m*8+k] AS DOUBLE) - CAST(c.cv[ms.m*8+k] AS DOUBLE))"
+    " * (CAST(e.embedding[ms.m*8+k] AS DOUBLE) - CAST(c.cv[ms.m*8+k] AS DOUBLE))))"
+)
+
+PQ_ORACLE = f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+ms AS (SELECT unnest(range(0, 8)) AS m),
+sub AS (
+  SELECT e.vec_id, ms.m, c.j, {_PQ_D2} AS d2
+  FROM embeddings e CROSS JOIN ms CROSS JOIN cent c),
+codes AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+    FROM sub) t WHERE rn = 1),
+anorm AS (
+  SELECT cd.vec_id,
+         sqrt(list_sum(list(list_sum(list_transform(range(1, 9), k ->
+           CAST(c.cv[cd.m*8+k] AS DOUBLE) * CAST(c.cv[cd.m*8+k] AS DOUBLE)))
+           ORDER BY cd.m))) AS acn
+  FROM codes cd JOIN cent c ON c.j = cd.code
+  GROUP BY cd.vec_id),
+pairs AS (
+  SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
+         list_sum(list(list_sum(list_transform(range(1, 9), k ->
+           CAST(q.embedding[cd.m*8+k] AS DOUBLE) * CAST(c.cv[cd.m*8+k] AS DOUBLE)))
+           ORDER BY cd.m)) AS pq_dot
+  FROM embeddings q
+  JOIN codes cd ON cd.vec_id <> q.vec_id
+  JOIN cent c ON c.j = cd.code
+  WHERE q.vec_id < 3
+  GROUP BY q.vec_id, cd.vec_id),
+scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         round(p.pq_dot / (sqrt({_DOT.format(a='q', b='q')}) * a.acn), 6) AS pq_cosine,
+         round({_cos('q', 'e')}, 6) AS exact_cosine
+  FROM pairs p
+  JOIN anorm a ON a.vec_id = p.neighbor_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings e ON e.vec_id = p.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, pq_cosine, exact_cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pq_cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, pq_cosine, exact_cosine, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@query("sim_pq_topk", oracle=PQ_ORACLE, category="llm-similarity")
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via product quantization + asymmetric distance
+    (Jégou et al. 2011): the corpus is stored as 8 one-byte-sized codes
+    per vector (32× smaller than the float rows — the difference between
+    an in-memory billion-vector index and none), each query builds its
+    8×16 subspace LUT once, and a pair costs 8 lookups instead of 64
+    multiplies. The codebook is deterministic (lowest-16-id subvectors,
+    the IVF convention), every fold is a fixed-order left-fold over
+    inlined literals, so the DuckDB twin reproduces codes, ADC scores and
+    reconstruction norms bit-for-bit. Exact cosine rides along per
+    retrieved pair as the built-in quantization-error audit."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return S.pq_topk(emb, queries, k=5, n_sub=8, ks=16, dim=64).orderBy("query_id", "rank")
+
+
 CENTROID_ORACLE = """
 WITH dims AS (
   SELECT vec_id, label,

@@ -49,6 +49,7 @@ _MODULES = (
     "wd2sql_spark.queries.llm_sampling",
     "wd2sql_spark.queries.llm_quality",
     "wd2sql_spark.queries.llm_decontam",
+    "wd2sql_spark.queries.llm_retrieval",
     "wd2sql_spark.queries.llm_cluster",
     "wd2sql_spark.queries.llm_packing",
     "wd2sql_spark.queries.streaming_q",
@@ -159,6 +160,10 @@ _PRIORITY = (
     "ids_contiguous_global",
     # incremental delta-vs-index dedup (novel shape; batch family green r2)
     "dedup_incremental_delta",
+    # product-quantization ADC top-k (new operator this round)
+    "sim_pq_topk",
+    # hybrid lexical+semantic retrieval via RRF (new category this round)
+    "retrieval_hybrid_rrf",
     # ANN recall audits (new quality-audit output shape) + the skew-safe
     # sessionizer twin (the scale story for the hot-user case; shares
     # SESSIONIZE_ORACLE, so a row proves the two-level merge arithmetic)
