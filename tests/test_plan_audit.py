@@ -123,6 +123,44 @@ def test_ivf_assignment_stays_jvm_and_pruned(reports):
         assert set(s["columns"]) <= {"vec_id", "embedding", "label"}, s
 
 
+def test_pq_topk_stays_jvm_pruned_and_broadcast(reports):
+    """PQ-ADC: codebook and LUTs are inlined literals (no join/shuffle to
+    encode or score), the query side broadcasts, scans read only
+    (vec_id, embedding), and only the top-k window + output sort may
+    exchange — both carry k-sized relations."""
+    r = reports["sim_pq_topk"]
+    assert not r.pandas_eval and not r.python_eval
+    assert r.broadcasts >= 1
+    assert r.shuffles <= 2, r.shuffles
+    for s in r.scans:
+        assert set(s["columns"]) <= {"vec_id", "embedding"}, s
+
+
+def test_hybrid_rrf_fuses_k_row_lists_only(reports):
+    """RRF: the two runs keep their scale shapes (BM25: scan → one-row
+    broadcast → TakeOrderedAndProject; cosine: broadcast query × scan →
+    windowed top-k); every exchange beyond those moves k-row lists. The
+    budget pins that no fact-sized join/shuffle crept into the fusion."""
+    r = reports["retrieval_hybrid_rrf"]
+    assert not r.pandas_eval and not r.python_eval
+    assert r.broadcasts >= 2  # BM25 global stats + semantic query side
+    assert r.shuffles <= 4, r.shuffles
+    for s in r.scans:
+        assert set(s["columns"]) <= {"doc_id", "text", "vec_id", "embedding"}, s
+
+
+def test_hll_rollup_shuffles_sketches_not_keys(reports):
+    """Mergeable-sketch rollup: the cell pass exchanges ~|cells| 2 KB
+    sketches (partial hll_sketch_agg is map-side), the rollup exchanges
+    |types| rows, and only the exact-twin scoring pass pays the distinct
+    expand. Scans read exactly (ts, user_id, event_type)."""
+    r = reports["agg_hll_sketch_rollup"]
+    assert not r.pandas_eval and not r.python_eval
+    assert r.shuffles <= 5, r.shuffles
+    for s in r.scans:
+        assert set(s["columns"]) <= {"ts", "user_id", "event_type"}, s
+
+
 def test_salted_join_is_sort_merge_not_broadcast(reports):
     """Salting is pointless under a broadcast: the hint must pin
     sort-merge, and the join key must carry the salt (verified by the
