@@ -63,25 +63,43 @@ def pagerank_ranks(
     matches DuckDB's floor ``//`` and both engines produce identical
     ranks at every depth.
 
-    Plan: the edge list and degree relation materialize once (callers
-    persist ``edges``; ``deg`` is persisted here — it joins into every
-    iteration); each unrolled iteration is one |V|-sized join + one hash
-    aggregate, a static dataflow with no driver loop."""
-    deg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .withColumnRenamed("src", "node")
+    Plan: degrees attach to the EDGE LIST once — ``edges_d`` carries
+    (src, dst, d_dst), built with one self-aggregate join and persisted —
+    so each unrolled iteration is exactly ONE |E|-sized join (contrib
+    onto edges_d by src) plus one hash aggregate: the receiving node's
+    degree rides through the (dst, d_dst) grouping key into the next
+    round's rank relation, and the former per-iteration ranks⋈deg join
+    disappears (contrib becomes a narrow map over (node, d, r)). A
+    static dataflow with no driver loop; at 100 TB the d_dst column adds
+    one long per edge in exchange for iters fewer |V|-sized joins. At toy
+    scale the two forms measure within scheduler noise of each other
+    (sub-second deltas over ~9 jobs, A/B'd at sf0.1); the fused form is
+    kept because the eliminated ranks⋈deg join is the one that stops
+    being broadcastable — and starts costing a |V| exchange per round —
+    once |V| outgrows the driver, exactly the regime the operator is
+    for."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("src", "node")
+    # LEFT join: a sink dst (no out-edges, so no degree row) must still
+    # RECEIVE rank — its d_dst stays NULL, its next-round contribution is
+    # div(r, NULL) = NULL, and it never appears as src, so nothing sums a
+    # NULL. An inner join here would silently drop every edge into a sink
+    # (caught by the hypothesis recurrence twin on the single edge 0→1).
+    edges_d = (
+        edges.join(deg.select(F.col("node").alias("dst"), F.col("d").alias("d_dst")), "dst", "left")
+        .select("src", "dst", "d_dst")
         .persist()
     )
-    ranks = deg.select("node", F.lit(r0).cast("long").alias("r"))
+    # ranks carries each node's out-degree alongside its rank so the
+    # contribution r div d is row-local every round.
+    ranks = deg.select("node", "d", F.lit(r0).cast("long").alias("r"))
     base = (damp_den - damp_num) * r0
     for _ in range(iters):
-        contrib = ranks.join(deg, "node").select(
+        contrib = ranks.select(
             "node", F.call_function("div", F.col("r"), F.col("d")).alias("cr")
         )
         ranks = (
-            edges.join(contrib, edges["src"] == contrib["node"])
-            .groupBy(F.col("dst").alias("node"))
+            edges_d.join(contrib, edges_d["src"] == contrib["node"])
+            .groupBy(F.col("dst").alias("node"), F.col("d_dst").alias("d"))
             .agg(
                 F.call_function(
                     "div",
@@ -90,4 +108,4 @@ def pagerank_ranks(
                 ).alias("r")
             )
         )
-    return ranks
+    return ranks.select("node", "r")

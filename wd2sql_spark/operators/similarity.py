@@ -558,6 +558,83 @@ def pq_codes(vec: Column, codebook: list[list[tuple[int, list[float]]]], dim: in
     return out
 
 
+def _pq_encoded(
+    corpus: DataFrame,
+    codebook: list[list[tuple[int, list[float]]]],
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The PQ "stored index" relation: (neighbor_id, cv, cn, acn,
+    code0..code{n_sub-1}) — each vector's codes, exact norm (for the
+    error-audit column) and reconstruction norm (acn, from in-engine
+    centroid-norm LUTs over the same literals — Python never does float
+    math). One narrow map over the corpus scan."""
+    n_sub = len(codebook)
+    codes = pq_codes(F.col(vec_col), codebook, dim)
+    cn2_luts = [
+        F.transform(
+            _pq_struct_array(sb),
+            lambda c: F.aggregate(
+                F.zip_with(c["cv"], c["cv"], lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        for sb in codebook
+    ]
+    acn2 = F.aggregate(
+        F.array(*[F.element_at(cn2_luts[m], codes[m] + 1) for m in range(n_sub)]),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+        F.sqrt(acn2).alias("acn"),
+        *[codes[m].alias(f"code{m}") for m in range(n_sub)],
+    )
+
+
+_PQ_INDEX_CACHE = None  # lazy SessionCache (see _IVF_INDEX_CACHE)
+
+
+def pq_index(
+    corpus: DataFrame,
+    cache_key: str,
+    n_sub: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[tuple[int, list[float]]]], DataFrame]:
+    """Codebook + encoded corpus, built once per (session, cache_key) and
+    held as a ``localCheckpoint`` — the IVF-index convention
+    (:func:`ivf_index`, incl. its documented toy-scale limits): PQ's
+    entire point is ENCODE ONCE, probe forever, and at 100 TB the encoded
+    relation is a written table of (id, codes) that later queries scan
+    INSTEAD of the float vectors. Higher-order-function encode runs
+    outside whole-stage codegen (interpreted per-row), so re-encoding per
+    query would also dominate wall time at toy scale. Bit-identical to
+    building inline — the cache only changes WHEN the deterministic plan
+    runs."""
+    global _PQ_INDEX_CACHE
+    if _PQ_INDEX_CACHE is None:
+        from wd2sql_spark.session_cache import SessionCache
+
+        _PQ_INDEX_CACHE = SessionCache()
+
+    def build():
+        codebook = pq_codebook(corpus, n_sub, ks, dim, id_col, vec_col)
+        enc = _pq_encoded(corpus, codebook, dim, id_col, vec_col).localCheckpoint(eager=True)
+        return codebook, enc
+
+    return _PQ_INDEX_CACHE.get_or_build(
+        corpus.sparkSession, (cache_key, n_sub, ks, dim, id_col, vec_col), build
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -567,6 +644,7 @@ def pq_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Approximate top-k by product quantization with asymmetric distance
     computation (ADC, Jégou et al., "Product Quantization for Nearest
@@ -585,38 +663,17 @@ def pq_topk(
     All folds are deterministic left-folds over inlined codebook
     literals, so the scores are bit-reproducible in any engine (full
     DuckDB oracle). Plan shape matches :func:`brute_force_topk` —
-    broadcast queries, one corpus scan (reading CODES, not vectors, in
-    the stored-index regime), per-partition top-k into one shuffle. The
-    exact cosine of each retrieved pair rides along for recall/error
-    audits. Output: (query_id, neighbor_id, pq_cosine, exact_cosine,
-    rank)."""
-    codebook = pq_codebook(corpus, n_sub, ks, dim, id_col, vec_col)
-    codes = pq_codes(F.col(vec_col), codebook, dim)
-    # Centroid-norm LUTs are in-engine expressions over the same literals
-    # (never Python float math): ‖c_mj‖² with the same 8-term fold.
-    cn2_luts = [
-        F.transform(
-            _pq_struct_array(sb),
-            lambda c: F.aggregate(
-                F.zip_with(c["cv"], c["cv"], lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
-        for sb in codebook
-    ]
-    acn2 = F.aggregate(
-        F.array(*[F.element_at(cn2_luts[m], codes[m] + 1) for m in range(n_sub)]),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        l2_norm(F.col(vec_col)).alias("cn"),
-        F.sqrt(acn2).alias("acn"),
-        *[codes[m].alias(f"code{m}") for m in range(n_sub)],
-    )
+    broadcast queries, one scan of the ENCODED corpus (codes, not
+    vectors, in the stored-index regime; pass ``cache_key`` to build the
+    encoded relation once per session, see :func:`pq_index`),
+    per-partition top-k into one shuffle. The exact cosine of each
+    retrieved pair rides along for recall/error audits. Output:
+    (query_id, neighbor_id, pq_cosine, exact_cosine, rank)."""
+    if cache_key is not None:
+        codebook, c = pq_index(corpus, cache_key, n_sub, ks, dim, id_col, vec_col)
+    else:
+        codebook = pq_codebook(corpus, n_sub, ks, dim, id_col, vec_col)
+        c = _pq_encoded(corpus, codebook, dim, id_col, vec_col)
     sub = dim // n_sub
 
     # NB: binding the loop variable via a second lambda parameter default

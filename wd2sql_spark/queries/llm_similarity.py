@@ -327,7 +327,104 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieved pair as the built-in quantization-error audit."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
-    return S.pq_topk(emb, queries, k=5, n_sub=8, ks=16, dim=64).orderBy("query_id", "rank")
+    return S.pq_topk(
+        emb, queries, k=5, n_sub=8, ks=16, dim=64, cache_key=sf_dir
+    ).orderBy("query_id", "rank")
+
+
+_PQ_APPROX_CTES = f"""
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+ms AS (SELECT unnest(range(0, 8)) AS m),
+sub AS (
+  SELECT e.vec_id, ms.m, c.j, {_PQ_D2} AS d2
+  FROM embeddings e CROSS JOIN ms CROSS JOIN cent c),
+codes AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+    FROM sub) t WHERE rn = 1),
+anorm AS (
+  SELECT cd.vec_id,
+         sqrt(list_sum(list(list_sum(list_transform(range(1, 9), k ->
+           CAST(c.cv[cd.m*8+k] AS DOUBLE) * CAST(c.cv[cd.m*8+k] AS DOUBLE)))
+           ORDER BY cd.m))) AS acn
+  FROM codes cd JOIN cent c ON c.j = cd.code
+  GROUP BY cd.vec_id),
+pairs AS (
+  SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
+         list_sum(list(list_sum(list_transform(range(1, 9), k ->
+           CAST(q.embedding[cd.m*8+k] AS DOUBLE) * CAST(c.cv[cd.m*8+k] AS DOUBLE)))
+           ORDER BY cd.m)) AS pq_dot
+  FROM embeddings q
+  JOIN codes cd ON cd.vec_id <> q.vec_id
+  JOIN cent c ON c.j = cd.code
+  WHERE q.vec_id < 3
+  GROUP BY q.vec_id, cd.vec_id),
+pq_approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, p.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+             round(p.pq_dot / (sqrt({_DOT.format(a='q', b='q')}) * a.acn), 6) DESC,
+             p.neighbor_id) AS rank
+    FROM pairs p
+    JOIN anorm a ON a.vec_id = p.neighbor_id
+    JOIN embeddings q ON q.vec_id = p.query_id) z
+  WHERE rank <= 5)
+"""
+
+PQ_RECALL_ORACLE = f"""
+WITH brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({_cos('q', 'c')}, 6) DESC, c.vec_id) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 3) t WHERE rank <= 5
+),
+{_PQ_APPROX_CTES}
+SELECT b.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_brute,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+       round(CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*), 6) AS recall
+FROM brute b
+LEFT JOIN pq_approx a
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+ORDER BY b.query_id
+"""
+
+
+@query("sim_pq_recall_audit", oracle=PQ_RECALL_ORACLE, category="llm-similarity")
+def sim_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of PQ-ADC top-5 against exact brute-force top-5, per query —
+    the PQ member of the audit family (sim_lsh_recall_audit,
+    sim_ivf_recall_audit): EVERY approximate ANN path ships with its
+    recall number next to it. The knobs this audit tunes at scale are
+    n_sub/ks (code budget vs distortion); raise them until recall clears
+    the product bar, measured, not guessed."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    brute = S.brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = S.pq_topk(emb, queries, k=5, cache_key=sf_dir).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    return (
+        brute.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_brute"),
+            F.count("a_nid").cast("bigint").alias("n_hit"),
+            F.round(F.count("a_nid").cast("double") / F.count(F.lit(1)), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
 
 
 CENTROID_ORACLE = """

@@ -164,11 +164,15 @@ _PRIORITY = (
     "sim_pq_topk",
     # hybrid lexical+semantic retrieval via RRF (new category this round)
     "retrieval_hybrid_rrf",
+    # mergeable-sketch rollup (hll_sketch_agg/hll_union_agg) — the only
+    # probe of the pre-aggregated distinct-count family
+    "agg_hll_sketch_rollup",
     # ANN recall audits (new quality-audit output shape) + the skew-safe
     # sessionizer twin (the scale story for the hot-user case; shares
     # SESSIONIZE_ORACLE, so a row proves the two-level merge arithmetic)
     "sim_lsh_recall_audit",
     "sim_ivf_recall_audit",
+    "sim_pq_recall_audit",
     "sessionize_gap30m_skewsafe",
     # ---- defer-last tail: if the driver's ~50-entry cap cuts anything, it
     # cuts here, losing the least. All are TPC-H variants of families
