@@ -63,6 +63,7 @@ HEADLINE = (
     "dedup_incremental_delta",
     "sim_pq_topk",
     "retrieval_hybrid_rrf",
+    "text_bpe_vocab_merges",
 )
 
 

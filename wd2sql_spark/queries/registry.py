@@ -48,6 +48,7 @@ _MODULES = (
     "wd2sql_spark.queries.llm_multimodal",
     "wd2sql_spark.queries.llm_sampling",
     "wd2sql_spark.queries.llm_quality",
+    "wd2sql_spark.queries.llm_tokenize",
     "wd2sql_spark.queries.llm_decontam",
     "wd2sql_spark.queries.llm_retrieval",
     "wd2sql_spark.queries.llm_cluster",
@@ -167,6 +168,9 @@ _PRIORITY = (
     # mergeable-sketch rollup (hll_sketch_agg/hll_union_agg) — the only
     # probe of the pre-aggregated distinct-count family
     "agg_hll_sketch_rollup",
+    # distributed BPE vocabulary induction — the only probe of the
+    # tokenizer-training family (iterative argmax+merge, full oracle)
+    "text_bpe_vocab_merges",
     # ANN recall audits (new quality-audit output shape) + the skew-safe
     # sessionizer twin (the scale story for the hot-user case; shares
     # SESSIONIZE_ORACLE, so a row proves the two-level merge arithmetic)
