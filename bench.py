@@ -64,6 +64,8 @@ HEADLINE = (
     "sim_pq_topk",
     "retrieval_hybrid_rrf",
     "text_bpe_vocab_merges",
+    "layout_zorder_skipping",
+    "sketch_theta_retention_sets",
 )
 
 

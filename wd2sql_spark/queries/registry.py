@@ -49,6 +49,8 @@ _MODULES = (
     "wd2sql_spark.queries.llm_sampling",
     "wd2sql_spark.queries.llm_quality",
     "wd2sql_spark.queries.llm_tokenize",
+    "wd2sql_spark.queries.layout_q",
+    "wd2sql_spark.queries.sketches",
     "wd2sql_spark.queries.llm_decontam",
     "wd2sql_spark.queries.llm_retrieval",
     "wd2sql_spark.queries.llm_cluster",
@@ -171,6 +173,15 @@ _PRIORITY = (
     # distributed BPE vocabulary induction — the only probe of the
     # tokenizer-training family (iterative argmax+merge, full oracle)
     "text_bpe_vocab_merges",
+    # Z-order vs linear layout scored by min/max pruning — the only
+    # probe of the storage-layout family
+    "layout_zorder_skipping",
+    # Theta-sketch set algebra (intersection/difference) — the sketch
+    # family member HLL cannot express
+    "sketch_theta_retention_sets",
+    # KLL quantile sketch scored by rank check (randomized compaction
+    # means only the BOUND is assertable — see the docstring)
+    "sketch_kll_quantile_rank",
     # ANN recall audits (new quality-audit output shape) + the skew-safe
     # sessionizer twin (the scale story for the hot-user case; shares
     # SESSIONIZE_ORACLE, so a row proves the two-level merge arithmetic)
