@@ -66,6 +66,7 @@ HEADLINE = (
     "text_bpe_vocab_merges",
     "layout_zorder_skipping",
     "sketch_theta_retention_sets",
+    "text_bpe_encode_stats",
 )
 
 

@@ -161,6 +161,68 @@ def test_hll_rollup_shuffles_sketches_not_keys(reports):
         assert set(s["columns"]) <= {"ts", "user_id", "event_type"}, s
 
 
+def test_layout_zorder_single_scan_two_shuffles(reports):
+    """Layout audit: ONE orders scan (stats broadcast back, no collect),
+    the Morton key pure codegen arithmetic, the 2x-explode bucket routing
+    shuffling only 32 bucket keys' worth of span stats. Scans read exactly
+    the two layout dimensions."""
+    r = reports["layout_zorder_skipping"]
+    assert not r.pandas_eval and not r.python_eval
+    assert r.broadcasts >= 1  # the 1-row min/max stats relation
+    assert r.shuffles <= 4, r.shuffles
+    for s in r.scans:
+        assert set(s["columns"]) <= {"o_custkey", "o_totalprice"}, s
+
+
+def test_theta_sketch_map_side_combinable(reports):
+    """Theta retention: the sketch agg exchanges two fixed-size sketches
+    (partial theta_sketch_agg is map-side); the exact twin shuffles
+    (user_id, 2 bits). Scans read exactly (user_id, ts, event_type) with
+    the event filter pushed down."""
+    r = reports["sketch_theta_retention_sets"]
+    assert not r.pandas_eval and not r.python_eval
+    assert any("purchase" in f for f in r.pushed_filters)
+    assert r.shuffles <= 3, r.shuffles
+    for s in r.scans:
+        assert set(s["columns"]) <= {"user_id", "ts", "event_type"}, s
+
+
+def test_bpe_encode_corpus_join_is_broadcast(reports):
+    """BPE encode: the merge loop runs on the checkpointed vocab relation;
+    the corpus is tokenized by ONE broadcast join of (doc_id, word) onto
+    the encoded vocab, so the only corpus-sized exchange is the final
+    per-doc aggregate."""
+    r = reports["text_bpe_encode_stats"]
+    assert not r.pandas_eval and not r.python_eval
+    assert r.broadcasts >= 1  # encoded vocab onto the doc-word relation
+    assert r.shuffles <= 2, r.shuffles
+
+
+def test_countmin_shuffles_cells_not_keys(reports):
+    """CMS: the sketch build's exchange carries at most d·w partial cells
+    per map task (map-side combined), never the user_id key space; the
+    probe join broadcasts the ≤ d·w cell table. The exact top-k audit
+    pass pays the one genuine key shuffle. Scans read only user_id."""
+    r = reports["sketch_countmin_heavy_hitters"]
+    assert not r.pandas_eval and not r.python_eval
+    assert r.broadcasts >= 2  # cells onto probes, 1-row total
+    assert r.shuffles <= 5, r.shuffles
+    for s in r.scans:
+        assert set(s["columns"]) <= {"user_id"}, s
+
+
+def test_jl_projection_is_row_local(reports):
+    """JL audit: the projection is a pure map (no exchange introduced by
+    jl_project); the pair join broadcasts the 10-vector side. Scans read
+    exactly (vec_id, embedding)."""
+    r = reports["sim_jl_projection_audit"]
+    assert not r.pandas_eval and not r.python_eval
+    assert r.broadcasts >= 1
+    assert r.shuffles <= 2, r.shuffles
+    for s in r.scans:
+        assert set(s["columns"]) <= {"vec_id", "embedding"}, s
+
+
 def test_salted_join_is_sort_merge_not_broadcast(reports):
     """Salting is pointless under a broadcast: the hint must pin
     sort-merge, and the join key must carry the salt (verified by the

@@ -78,3 +78,63 @@ def test_oracle_bpe_matches_reference(texts):
     con.register("documents", pd.DataFrame({"text": texts}))
     got = sorted(tuple(r) for r in con.execute(_bpe_oracle(ROUNDS)).fetchall())
     assert got == sorted(ref_bpe(texts, ROUNDS))
+
+
+def ref_bpe_encode(texts: list[str], rounds: int) -> list[tuple[int, int, int, int]]:
+    """Per-doc (doc_id, n_words, n_chars, n_tokens) after applying the
+    first ``rounds`` learned merges, mirroring the degenerate-corpus
+    contract: running out of pairs mid-training empties the vocab (and
+    therefore the result) in both engines."""
+    wf = Counter(w for t in texts for w in t.split(" ") if w)
+    words = {w: list(w) for w in wf}
+    for _ in range(rounds):
+        pc: Counter = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            words = {}
+            break
+        (left, right), _ = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in words.items():
+            new: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    new.append(left + right)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            words[w] = new
+    out = []
+    for di, t in enumerate(texts):
+        ws = [w for w in t.split(" ") if w and w in words]
+        if ws:
+            out.append(
+                (di, len(ws), sum(len(w) for w in ws), sum(len(words[w]) for w in ws))
+            )
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(CORPUS)
+def test_spark_bpe_encode_matches_reference(spark, texts):
+    from wd2sql_spark.queries.llm_tokenize import encode_stats
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = sorted(tuple(r) for r in encode_stats(docs, rounds=ROUNDS).collect())
+    assert got == sorted(ref_bpe_encode(texts, ROUNDS))
+
+
+@settings(max_examples=15, deadline=None)
+@given(CORPUS)
+def test_oracle_bpe_encode_matches_reference(texts):
+    from wd2sql_spark.queries.llm_tokenize import _bpe_encode_oracle
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = sorted(tuple(r) for r in con.execute(_bpe_encode_oracle(ROUNDS)).fetchall())
+    assert got == sorted(ref_bpe_encode(texts, ROUNDS))

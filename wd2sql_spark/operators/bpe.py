@@ -71,6 +71,60 @@ def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bpe_vocab_encoded(docs: DataFrame, text_col: str = "text", rounds: int = 4) -> DataFrame:
+    """ENCODE side of BPE: the distinct-word vocabulary with the first
+    ``rounds`` learned merges APPLIED — (w, syms) where ``syms`` is the
+    word's final subword sequence.
+
+    Learning and application fused in one loop over the vocab relation:
+    round r counts pairs, picks the argmax merge, and rewrites every
+    vocab word in place (the learning loop skips the last rewrite because
+    it only reports the merge table; encoding needs it). Joining a
+    corpus' (doc_id, word) relation to this output tokenizes the corpus
+    without ever running the merge loop on corpus-sized data — the same
+    Heaps'-law separation as :func:`bpe_merges`, which is why a 100 TB
+    tokenization pass is one join, not an iterative job. On a degenerate
+    corpus with fewer distinct pairs than ``rounds`` the argmax relation
+    goes empty and empties the vocab (same contract as bpe_merges)."""
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("w", F.regexp_extract_all(F.col("w"), F.lit("."), 0).alias("syms"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    heads = lambda s: F.slice(s, 1, F.size(s) - 1)  # noqa: E731
+    tails = lambda s: F.slice(s, 2, F.size(s) - 1)  # noqa: E731
+    for _ in range(rounds):
+        pc = (
+            words.select(
+                F.explode(
+                    F.zip_with(
+                        heads(F.col("syms")),
+                        tails(F.col("syms")),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pc.orderBy(F.col("cnt").desc(), "l", "r").limit(1)
+        b = F.broadcast(best.select(F.col("l").alias("bl"), F.col("r").alias("br")))
+        words = (
+            words.crossJoin(b)
+            .select(
+                "w",
+                _merge_fold(F.col("syms"), F.col("bl"), F.col("br")).alias("syms"),
+                "freq",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return words.select("w", "syms")
+
+
 def bpe_merges(docs: DataFrame, text_col: str = "text", rounds: int = 4) -> DataFrame:
     """Learn the first ``rounds`` BPE merges from ``docs[text_col]``.
 

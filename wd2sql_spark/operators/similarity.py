@@ -762,3 +762,38 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def jl_signs(out_dim: int, in_dim: int) -> list[list[int]]:
+    """±1 Johnson–Lindenstrauss sign matrix (Achlioptas 2003: Rademacher
+    entries satisfy the JL lemma with the same concentration as Gaussian
+    ones), derived from md5 so it is a pure function of (out_dim, in_dim):
+    entry (j, i) is +1 when the first hex digit of md5("jl:{j}:{i}") is
+    0–7, else −1. No RNG state — any worker (or SQL engine: both Spark
+    and DuckDB share md5 bit-for-bit) regenerates the identical matrix."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[0] <= "7" else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(vec: Column, signs: list[list[int]]) -> Column:
+    """Project ``vec`` onto len(signs) dimensions: output coordinate j is
+    the deterministic left-fold dot of ``vec`` with sign row j (each sign
+    row is a single parsed SQL literal). A ±1 multiply only flips the
+    IEEE sign bit — exact — so every output coordinate is a fixed-order
+    sum of exactly-representable doubles, bit-identical to the SQL twin.
+    Row-local (no shuffle): at 100 TB the projection is a map over the
+    corpus scan, done once at ingestion."""
+    outs = []
+    for row in signs:
+        lits = F.expr(
+            "array(" + ", ".join(f"CAST({s} AS DOUBLE)" for s in row) + ")"
+        )
+        outs.append(dot(vec, lits))
+    return F.array(*outs)

@@ -658,3 +658,95 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+JL_OUT_DIM = 32  # projected dims; distortion std ≈ sqrt(2/32) ≈ 0.25
+JL_IN_DIM = 64
+JL_N_VECS = 10  # audit sample: vec_id < 10 → 45 pairs
+JL_TOL = 0.75  # |distortion − 1| bound the verdict scores (≈3σ)
+
+JL_ORACLE = f"""
+WITH signs AS (
+  SELECT j, list_transform(range(0, {JL_IN_DIM}), i ->
+           CASE WHEN substr(md5('jl:' || j || ':' || i), 1, 1) <= '7'
+                THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv
+  FROM (SELECT unnest(range(0, {JL_OUT_DIM})) AS j)),
+proj AS (
+  SELECT e.vec_id,
+         list(list_sum(list_transform(range(1, {JL_IN_DIM} + 1),
+                k -> CAST(e.embedding[k] AS DOUBLE) * s.sv[k]))
+              ORDER BY s.j) AS y
+  FROM embeddings e CROSS JOIN signs s
+  WHERE e.vec_id < {JL_N_VECS}
+  GROUP BY e.vec_id),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, {JL_IN_DIM} + 1),
+           k -> (CAST(a.embedding[k] AS DOUBLE) - CAST(b.embedding[k] AS DOUBLE))
+              * (CAST(a.embedding[k] AS DOUBLE) - CAST(b.embedding[k] AS DOUBLE)))) AS d2o,
+         list_sum(list_transform(range(1, {JL_OUT_DIM} + 1),
+           j -> (pa.y[j] - pb.y[j]) * (pa.y[j] - pb.y[j]))) AS d2p
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id AND b.vec_id < {JL_N_VECS}
+  JOIN proj pa ON pa.vec_id = a.vec_id
+  JOIN proj pb ON pb.vec_id = b.vec_id
+  WHERE a.vec_id < {JL_N_VECS})
+SELECT id_a, id_b,
+       round(d2o, 6) AS d2_orig,
+       round(d2p / ({JL_OUT_DIM}.0 * d2o), 6) AS distortion,
+       CASE WHEN abs(round(d2p / ({JL_OUT_DIM}.0 * d2o), 6) - 1.0) <= {JL_TOL}
+            THEN 'ok' ELSE 'off' END AS verdict
+FROM pairs
+WHERE d2o > 0
+ORDER BY id_a, id_b
+"""
+
+
+@query("sim_jl_projection_audit", oracle=JL_ORACLE, category="llm-similarity")
+def sim_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64→32 dims with a
+    distance-preservation audit: every sampled pair's squared distance in
+    the projected space, normalized by out_dim·d²_orig, must land within
+    ±0.75 of 1 (≈3σ for Rademacher projections at k=32, Achlioptas 2003).
+
+    The dimensionality-reduction member of the embedding toolchain (PQ
+    compresses codes, int8 compresses storage; JL compresses the GEOMETRY
+    so downstream ANN works in a cheaper space). The projection itself is
+    row-local — a map over the corpus scan, done once at ingestion, no
+    shuffle — and the audit runs on a hash-sample of pairs, which is the
+    per-drop quality gate a 100 TB embedding store runs before swapping
+    its ANN index to the reduced space. The md5-derived ±1 sign matrix is
+    a pure function of the dimensions (operators/similarity.py::jl_signs),
+    so the DuckDB twin regenerates it in SQL and every IEEE op folds in
+    the same order — the whole audit hash-matches, verdicts included."""
+    signs = S.jl_signs(JL_OUT_DIM, JL_IN_DIM)
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < JL_N_VECS)
+    proj = emb.select("vec_id", S.jl_project(F.col("embedding"), signs).alias("y"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")).join(
+        proj.select(F.col("vec_id").alias("id_a"), F.col("y").alias("ya")), "id_a"
+    )
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")).join(
+        proj.select(F.col("vec_id").alias("id_b"), F.col("y").alias("yb")), "id_b"
+    )
+    sq = lambda u, v: F.zip_with(  # noqa: E731
+        u, v, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
+    )
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
+    pairs = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            fold(sq(F.col("ea"), F.col("eb"))).alias("d2o"),
+            fold(sq(F.col("ya"), F.col("yb"))).alias("d2p"),
+        )
+        .filter(F.col("d2o") > 0)
+    )
+    distortion = F.round(F.col("d2p") / (F.lit(float(JL_OUT_DIM)) * F.col("d2o")), 6)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("d2o"), 6).alias("d2_orig"),
+        distortion.alias("distortion"),
+        F.when(F.abs(distortion - 1.0) <= JL_TOL, "ok").otherwise("off").alias("verdict"),
+    ).orderBy("id_a", "id_b")

@@ -140,7 +140,6 @@ _PRIORITY = (
     "scrub_pii_stats",
     "mix_domain_weights",
     "cluster_kmeans_embeddings",
-    "curation_pipeline_decontam",
     "chunk_docs_overlap",
     "pack_sequences_bins",
     "semdedup_cluster_prune",
@@ -173,6 +172,12 @@ _PRIORITY = (
     # distributed BPE vocabulary induction — the only probe of the
     # tokenizer-training family (iterative argmax+merge, full oracle)
     "text_bpe_vocab_merges",
+    # the ENCODE half of the tokenizer family (vocab-only merge loop +
+    # one broadcast join tokenizes the corpus)
+    "text_bpe_encode_stats",
+    # Johnson–Lindenstrauss ±1 projection with distance-preservation
+    # audit — the only probe of the dimensionality-reduction family
+    "sim_jl_projection_audit",
     # Z-order vs linear layout scored by min/max pruning — the only
     # probe of the storage-layout family
     "layout_zorder_skipping",
@@ -182,13 +187,18 @@ _PRIORITY = (
     # KLL quantile sketch scored by rank check (randomized compaction
     # means only the BOUND is assertable — see the docstring)
     "sketch_kll_quantile_rank",
-    # ANN recall audits (new quality-audit output shape) + the skew-safe
-    # sessionizer twin (the scale story for the hot-user case; shares
-    # SESSIONIZE_ORACLE, so a row proves the two-level merge arithmetic)
+    # Count-Min heavy hitters — the frequency-table sketch member, full
+    # integer-exact oracle (md5 buckets, never-undercount + ε verdicts)
+    "sketch_countmin_heavy_hitters",
+    # ANN recall audit (new quality-audit output shape; the IVF/PQ twins
+    # share it and rotate to round 4 — one row proves the shape) + the
+    # skew-safe sessionizer twin (the scale story for the hot-user case;
+    # shares SESSIONIZE_ORACLE, so a row proves the two-level merge
+    # arithmetic)
     "sim_lsh_recall_audit",
+    "sessionize_gap30m_skewsafe",
     "sim_ivf_recall_audit",
     "sim_pq_recall_audit",
-    "sessionize_gap30m_skewsafe",
     # ---- defer-last tail: if the driver's ~50-entry cap cuts anything, it
     # cuts here, losing the least. All are TPC-H variants of families
     # driver-green since r1 (joins ×14, aggs ×12, subqueries ×5 rows

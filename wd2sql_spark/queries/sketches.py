@@ -163,3 +163,130 @@ def sketch_theta_retention_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         _verdict(F.col("est_new"), F.col("exact_new")).alias("verdict_new"),
         _verdict(F.col("est_tot"), F.col("exact_total")).alias("verdict_total"),
     )
+
+
+CMS_D = 3  # hash rows
+CMS_W = 256  # buckets per row
+CMS_TOPK = 10
+
+_CMS_BUCKET = (
+    "CAST(('0x' || substring(md5(CAST({u} AS VARCHAR) || ':' || {r}), 1, 8)) "
+    f"AS BIGINT) % {{w}}"
+)
+
+CMS_ORACLE = f"""
+WITH uc AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+tot AS (SELECT SUM(c) AS n FROM uc),
+rs AS (SELECT unnest(range(0, {CMS_D})) AS r),
+cells AS (
+  SELECT rs.r, {_CMS_BUCKET.format(u='uc.user_id', r='rs.r', w=CMS_W)} AS b,
+         SUM(uc.c) AS cell
+  FROM uc CROSS JOIN rs
+  GROUP BY 1, 2),
+top AS (SELECT user_id, c FROM uc ORDER BY c DESC, user_id LIMIT {CMS_TOPK}),
+est AS (
+  SELECT t.user_id, t.c, MIN(cells.cell) AS est
+  FROM top t CROSS JOIN rs
+  JOIN cells ON cells.r = rs.r
+            AND cells.b = {_CMS_BUCKET.format(u='t.user_id', r='rs.r', w=CMS_W)}
+  GROUP BY 1, 2)
+SELECT est.user_id,
+       CAST(est.c AS BIGINT) AS exact_cnt,
+       CAST(est.est AS BIGINT) AS est_cnt,
+       CASE WHEN est.est >= est.c THEN 'ok' ELSE 'off' END AS verdict_never_under,
+       CASE WHEN est.est - est.c <= 2 * tot.n // {CMS_W} THEN 'ok' ELSE 'off' END
+           AS verdict_within_eps
+FROM est CROSS JOIN tot
+ORDER BY exact_cnt DESC, est.user_id
+"""
+
+
+def _cms_bucket(u, r: int):
+    """Per-row salted bucket — the md5_bucket idiom (llm_sampling.py:23)
+    with the probe index appended, mirrored textually by _CMS_BUCKET."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(u.cast("string"), F.lit(f":{r}"))), 1, 8), 16, 10
+    ).cast("long")
+    return h % CMS_W
+
+
+@query("sketch_countmin_heavy_hitters", oracle=CMS_ORACLE, category="sketches")
+def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005) over per-user event
+    counts, audited on the exact top-{CMS_TOPK} heavy hitters: est ≥ exact
+    always (CMS never undercounts — structural guarantee), and
+    est − exact ≤ 2N/w scores the collision mass against the published
+    ε = e/w envelope. Everything is exact integer arithmetic over
+    md5-derived buckets, so estimates AND verdicts hash-match the oracle.
+
+    The scale story: the sketch build shuffles at most d·w = {CMS_D}·{CMS_W}
+    partial cells per map task — NOT the user_id key space — and two CMS
+    tables merge by cell-wise addition, so a 100 TB event stream keeps a
+    running frequency table in constant memory where an exact count
+    distinct-keys shuffle would not. The exact top-k here exists only to
+    AUDIT the sketch (at production scale the candidate set comes from a
+    space-saving pass or a known watchlist)."""
+    e = table(spark, sf_dir, "events").select("user_id")
+    cells = (
+        e.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _cms_bucket(F.col("user_id"), r).alias("b"),
+                        )
+                        for r in range(CMS_D)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "user_id")
+        .limit(CMS_TOPK)
+    )
+    probes = top.select(
+        "user_id",
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_bucket(F.col("user_id"), r).alias("b"),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    )
+    est = (
+        probes.join(
+            F.broadcast(cells),
+            (probes["rb.r"] == cells["r"]) & (probes["rb.b"] == cells["b"]),
+        )
+        .groupBy("user_id", "c")
+        .agg(F.min("cell").alias("est"))
+    )
+    tot = cells.filter(F.col("r") == 0).agg(F.sum("cell").alias("n"))
+    eps = F.call_function("div", F.lit(2) * F.col("n"), F.lit(CMS_W))
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            F.col("c").cast("bigint").alias("exact_cnt"),
+            F.col("est").cast("bigint").alias("est_cnt"),
+            F.when(F.col("est") >= F.col("c"), "ok").otherwise("off").alias(
+                "verdict_never_under"
+            ),
+            F.when(F.col("est") - F.col("c") <= eps, "ok").otherwise("off").alias(
+                "verdict_within_eps"
+            ),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+    )
