@@ -211,6 +211,18 @@ def test_countmin_shuffles_cells_not_keys(reports):
         assert set(s["columns"]) <= {"user_id"}, s
 
 
+def test_ks_drift_single_type_exchange(reports):
+    """KS drift: per-(type, value) counts map-side combine, then ONE
+    event_type exchange feeds both cumulative windows, the frame-less
+    totals, and the max aggregate. Scans read exactly
+    (event_type, value, ts)."""
+    r = reports["profile_ks_drift"]
+    assert not r.pandas_eval and not r.python_eval
+    assert r.shuffles <= 4, r.shuffles
+    for s in r.scans:
+        assert set(s["columns"]) <= {"event_type", "value", "ts"}, s
+
+
 def test_jl_projection_is_row_local(reports):
     """JL audit: the projection is a pure map (no exchange introduced by
     jl_project); the pair join broadcasts the 10-vector side. Scans read

@@ -157,9 +157,12 @@ _PRIORITY = (
     "graph_triangle_count",
     "text_bm25_topk",
     "cdc_scd2_merge",
-    # genuinely new output shapes
-    "ts_gapfill_interpolate",
+    # genuinely new output shapes (ts_gapfill_interpolate rotates to r4 —
+    # its family is represented in-head by gapfill_daily_purchases)
     "ids_contiguous_global",
+    # two-sample KS drift audit — a new statistic class (distribution
+    # comparison) in the profiling family
+    "profile_ks_drift",
     # incremental delta-vs-index dedup (novel shape; batch family green r2)
     "dedup_incremental_delta",
     # product-quantization ADC top-k (new operator this round)
