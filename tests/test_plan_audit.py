@@ -211,6 +211,17 @@ def test_countmin_shuffles_cells_not_keys(reports):
         assert set(s["columns"]) <= {"user_id"}, s
 
 
+def test_phash_near_dup_banded_not_all_pairs(reports):
+    """Perceptual-hash near-dup: ONE Arrow pass computes the hashes
+    (pandas eval is the legitimate multimodal decode path); the candidate
+    join is banded on 8-bit chunks, never all-pairs, and the hamming
+    verify is JVM bit arithmetic."""
+    r = reports["multimodal_phash_near_dup"]
+    assert not r.python_eval
+    assert r.pandas_eval  # the Arrow decode/hash stage
+    assert r.shuffles <= 6, r.shuffles
+
+
 def test_ks_drift_single_type_exchange(reports):
     """KS drift: per-(type, value) counts map-side combine, then ONE
     event_type exchange feeds both cumulative windows, the frame-less

@@ -126,3 +126,50 @@ def frame_sample(blobs: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(batches, schema="doc_id bigint, frame_no bigint, offset bigint")
+
+
+PHASH_SCHEMA = "doc_id bigint, ahash bigint"
+
+PHASH_PIXELS = 64  # sampled "pixels" per payload (the 8x8 aHash grid)
+PHASH_BITS = 56  # hash bits kept (bits 0..55 -> 7 bands of 8; int64-safe)
+
+
+def phash_images(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual hash (average-hash / aHash) over the
+    BINARY payload: sample PHASH_PIXELS bytes at a fixed stride from the
+    decoded buffer (the stub's stand-in for the 8x8 downscaled grayscale
+    image), take the integer mean, and set bit k when pixel k exceeds it.
+    Exact integer arithmetic end-to-end, so the SQL twin reproduces the
+    hash from hex(payload) bit-for-bit. Rows with an empty payload are
+    dropped (nothing to hash) — the oracle filters octet_length > 0.
+
+    A real impl swaps the stride sampler for PIL decode + 8x8 resize;
+    everything downstream (banding, hamming verify) is unchanged. Like
+    decode_images, the hasher is nested so cloudpickle ships it by
+    value."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def ahash(payload: bytes) -> int:
+            n = len(payload)
+            stride = max(n // PHASH_PIXELS, 1)
+            px = [payload[(k * stride) % n] for k in range(PHASH_PIXELS)]
+            mean = sum(px) // PHASH_PIXELS
+            h = 0
+            for k in range(PHASH_BITS):
+                if px[k] > mean:
+                    h |= 1 << k
+            return h
+
+        for pdf in it:
+            keep = [len(b) > 0 for b in pdf["content"]]
+            sub = pdf[keep]
+            yield pd.DataFrame(
+                {
+                    "doc_id": sub["doc_id"].astype("int64"),
+                    "ahash": [ahash(b) for b in sub["content"]],
+                }
+            )
+
+    return blobs.mapInPandas(batches, schema=PHASH_SCHEMA)

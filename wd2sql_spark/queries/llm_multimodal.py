@@ -81,3 +81,91 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_sample(M.synthesize_blobs(docs), every_n_bytes=1024).orderBy(
         "doc_id", "frame_no"
     )
+
+
+PHASH_BANDS = 7  # 56 hash bits -> 7 bands of 8
+PHASH_HAM_MAX = 6  # near-dup verify threshold on the 56-bit hash
+
+PHASH_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+  WHERE octet_length(encode(text)) > 0),
+px AS (
+  SELECT doc_id, t.k,
+         CAST(('0x' || substring(
+             hx, 2 * ((t.k * greatest(n // {M.PHASH_PIXELS}, 1)) % n) + 1, 2))
+           AS BIGINT) AS p
+  FROM b, unnest(range(0, {M.PHASH_PIXELS})) t(k)),
+stats AS (SELECT doc_id, SUM(p) // {M.PHASH_PIXELS} AS mean FROM px GROUP BY doc_id),
+h AS (
+  SELECT px.doc_id,
+         CAST(SUM(CASE WHEN px.k < {M.PHASH_BITS} AND px.p > s.mean
+                       THEN (CAST(1 AS BIGINT) << px.k) ELSE 0 END) AS BIGINT) AS ahash
+  FROM px JOIN stats s USING (doc_id)
+  GROUP BY px.doc_id),
+chunks AS (
+  SELECT doc_id, ahash, t.c, (ahash >> (8 * t.c)) & 255 AS v
+  FROM h, unnest(range(0, {PHASH_BANDS})) t(c)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.ahash AS h1, b.ahash AS h2
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(h1, h2)) <= {PHASH_HAM_MAX}
+ORDER BY d1, d2
+"""
+
+
+@query("multimodal_phash_near_dup", oracle=PHASH_ORACLE, category="llm-multimodal")
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual hash: an Arrow-batched
+    aHash over each BINARY payload (operators/multimodal.py::phash_images
+    — the stub samples the decoded buffer where a real impl hashes the
+    8x8 downscale), then the SimHash banding playbook on the hash itself:
+    candidates must share one of 7 8-bit bands, verified at hamming ≤ 6
+    via bit_count(xor). The multimodal twin of dedup_simhash — how a
+    100 TB image corpus dedups without pairwise pixel comparison: the
+    pixel work is one linear Arrow pass, banding bounds the candidate
+    join, and the verify is integer bit arithmetic. The hash arithmetic
+    is exact integers, so the oracle rebuilds it from hex(payload) and
+    the whole pipeline (Arrow plumbing included) hash-matches."""
+    blobs = M.phash_images(M.synthesize_blobs(table(spark, sf_dir, "documents")))
+    chunks = blobs.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright(F.col("ahash"), 8 * c).bitwiseAND(F.lit(255)).alias("v"),
+                    )
+                    for c in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("cv"),
+    ).select("doc_id", "ahash", F.col("cv.c").alias("c"), F.col("cv.v").alias("v"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.ahash").alias("h1"),
+            F.col("b.ahash").alias("h2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        cand.select("d1", "d2", ham.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+        .orderBy("d1", "d2")
+    )

@@ -200,8 +200,14 @@ _PRIORITY = (
     # arithmetic)
     "sim_lsh_recall_audit",
     "sessionize_gap30m_skewsafe",
+    # ---- first rotation seats for round 4 (the ~50-entry cap lands just
+    # above): the multimodal×dedup perceptual-hash crossover, the IVF/PQ
+    # recall-audit twins, and the gapfill interpolation variant
+    "multimodal_phash_near_dup",
     "sim_ivf_recall_audit",
     "sim_pq_recall_audit",
+    "ts_gapfill_interpolate",
+    "curation_pipeline_decontam",
     # ---- defer-last tail: if the driver's ~50-entry cap cuts anything, it
     # cuts here, losing the least. All are TPC-H variants of families
     # driver-green since r1 (joins ×14, aggs ×12, subqueries ×5 rows
