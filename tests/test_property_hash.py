@@ -137,3 +137,52 @@ def test_halfup_int_division_matches_across_engines(spark, n, m):
     # round-half-up on the exact rational
     expect = int((Fraction(2 * n + m, 2 * m)).__floor__())
     assert got_spark == got_duck == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_cms_bucket_matches_oracle_form(spark, user_ids):
+    """Count-Min's salted bucket (queries/sketches._cms_bucket) must equal
+    the _CMS_BUCKET SQL fragment for arbitrary user ids and every hash
+    row — the sketch_countmin_heavy_hitters oracle assumes this."""
+    from wd2sql_spark.queries.sketches import CMS_D, CMS_W, _cms_bucket
+
+    df = spark.createDataFrame([(u,) for u in user_ids], "user_id long")
+    got = {
+        (r.user_id, r.r): r.b
+        for r in df.select(
+            "user_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _cms_bucket(F.col("user_id"), r).alias("b"),
+                        )
+                        for r in range(CMS_D)
+                    ]
+                )
+            ).alias("rb"),
+        )
+        .select("user_id", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("u", pd.DataFrame({"user_id": user_ids}))
+    want = {
+        (uid, r): b
+        for uid, r, b in con.execute(
+            f"""SELECT user_id, rs.r,
+                   CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':' || rs.r), 1, 8))
+                     AS BIGINT) % {CMS_W} AS b
+                FROM u CROSS JOIN (SELECT unnest(range(0, {CMS_D})) AS r) rs"""
+        ).fetchall()
+    }
+    assert got == want
