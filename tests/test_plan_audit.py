@@ -211,6 +211,18 @@ def test_countmin_shuffles_cells_not_keys(reports):
         assert set(s["columns"]) <= {"user_id"}, s
 
 
+def test_batch_inference_is_shuffle_free_map(reports):
+    """Batch inference: one Arrow-batched 1→1 map over the scan — no
+    shuffle beyond the output sort, no row-at-a-time Python. Scans read
+    exactly (doc_id, text)."""
+    r = reports["inference_batch_scores"]
+    assert not r.python_eval
+    assert r.pandas_eval  # the Arrow model stage
+    assert r.shuffles <= 1, r.shuffles
+    for s in r.scans:
+        assert set(s["columns"]) <= {"doc_id", "text"}, s
+
+
 def test_phash_near_dup_banded_not_all_pairs(reports):
     """Perceptual-hash near-dup: ONE Arrow pass computes the hashes
     (pandas eval is the legitimate multimodal decode path); the candidate

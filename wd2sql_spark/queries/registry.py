@@ -51,6 +51,7 @@ _MODULES = (
     "wd2sql_spark.queries.llm_tokenize",
     "wd2sql_spark.queries.layout_q",
     "wd2sql_spark.queries.sketches",
+    "wd2sql_spark.queries.llm_inference",
     "wd2sql_spark.queries.llm_decontam",
     "wd2sql_spark.queries.llm_retrieval",
     "wd2sql_spark.queries.llm_cluster",
@@ -199,10 +200,15 @@ _PRIORITY = (
     # shares SESSIONIZE_ORACLE, so a row proves the two-level merge
     # arithmetic)
     "sim_lsh_recall_audit",
-    "sessionize_gap30m_skewsafe",
+    # batch model inference — a NEW category (the Arrow 1→1 scoring map
+    # every LLM pipeline runs); outranks same-oracle variants for the cap
+    "inference_batch_scores",
     # ---- first rotation seats for round 4 (the ~50-entry cap lands just
-    # above): the multimodal×dedup perceptual-hash crossover, the IVF/PQ
-    # recall-audit twins, and the gapfill interpolation variant
+    # above): the skew-safe sessionizer (shares SESSIONIZE_ORACLE with
+    # the in-head re-verify, so its arithmetic is implied), the
+    # multimodal×dedup perceptual-hash crossover, the IVF/PQ recall-audit
+    # twins, and the gapfill interpolation variant
+    "sessionize_gap30m_skewsafe",
     "multimodal_phash_near_dup",
     "sim_ivf_recall_audit",
     "sim_pq_recall_audit",
