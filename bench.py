@@ -67,6 +67,9 @@ HEADLINE = (
     "layout_zorder_skipping",
     "sketch_theta_retention_sets",
     "text_bpe_encode_stats",
+    "multimodal_phash_near_dup",
+    "profile_ks_drift",
+    "inference_batch_scores",
 )
 
 

@@ -36,16 +36,16 @@ SHINGLE = st.text(
 )
 
 
-def _simhash_duck_sql() -> str:
+def _simhash_duck_sql(bits: int) -> str:
     """The sums+acc tail of llm_dedup._simhash_sql, over a registered
     (doc_id, shingle) relation instead of the shingle CTE."""
     bit_sums = ", ".join(
         f"SUM(((strpos('0123456789abcdef', substr(md5(shingle), {1 + j // 4}, 1)) - 1) "
         f"// {2 ** (3 - j % 4)}) % 2 * 2 - 1) AS s{j}"
-        for j in range(32)
+        for j in range(bits)
     )
     acc = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)" for j in range(32)
+        f"(CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)" for j in range(bits)
     )
     return (
         f"WITH sums AS (SELECT doc_id, {bit_sums} FROM sh GROUP BY doc_id) "
@@ -53,24 +53,25 @@ def _simhash_duck_sql() -> str:
     )
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=6, deadline=None)
 @given(
     st.dictionaries(
         st.integers(min_value=0, max_value=9),
         st.lists(SHINGLE, min_size=1, max_size=20, unique=True),
         min_size=1,
         max_size=5,
-    )
+    ),
+    st.sampled_from([32, 56]),
 )
-def test_simhash_bits_match_oracle_form(spark, docs):
+def test_simhash_bits_match_oracle_form(spark, docs, bits):
     rows = [(i, s) for i, shingles in docs.items() for s in shingles]
     sdf = spark.createDataFrame(rows, ["doc_id", "shingle"])
     spark_out = {
-        r["doc_id"]: r["simhash"] for r in simhash_from_shingles(sdf).collect()
+        r["doc_id"]: r["simhash"] for r in simhash_from_shingles(sdf, bits).collect()
     }
     con = duckdb.connect()
     con.register("sh", pd.DataFrame(rows, columns=["doc_id", "shingle"]))
-    duck_out = {r[0]: r[1] for r in con.execute(_simhash_duck_sql()).fetchall()}
+    duck_out = {r[0]: r[1] for r in con.execute(_simhash_duck_sql(bits)).fetchall()}
     con.close()
     assert spark_out == duck_out
 
@@ -103,6 +104,42 @@ def test_lsh_bucket_fold_matches_oracle_form(spark, vecs):
         r[0]: r[1]
         for r in con.execute(
             f"SELECT vec_id, {_lsh_bucket_sql('embedding', r=4, dim=DIM)} AS b FROM t"
+        ).fetchall()
+    }
+    con.close()
+    assert spark_out == duck_out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(COMPONENT, min_size=DIM, max_size=DIM), min_size=1, max_size=6
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_lsh_bucket_table_slice_matches_oracle_form(spark, vecs, start):
+    """The multi-table near-dup form slices planes[start:start+r] on both
+    sides; the SQL twin's ``start`` offset must select the same table."""
+    table_planes = hyperplanes(DIM, start + 2)[start:]
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    sdf = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    spark_out = {
+        r["vec_id"]: r["bucket"]
+        for r in sdf.select(
+            "vec_id", lsh_bucket(F.col("embedding"), table_planes).alias("bucket")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pd.DataFrame(
+            {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}
+        ),
+    )
+    duck_out = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT vec_id, {_lsh_bucket_sql('embedding', r=2, dim=DIM, start=start)} AS b FROM t"
         ).fetchall()
     }
     con.close()

@@ -163,21 +163,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql() -> str:
-    """Programmatically build the 32-bit SimHash oracle (mirrors
-    operators/dedup.simhash32 term by term)."""
+    """Programmatically build the 56-bit SimHash oracle (mirrors
+    operators/dedup.simhash_sig term by term; band layout mirrors
+    simhash_pairs — 4 bands of 14 bits)."""
+    bits, bands = D.SIMHASH_BITS, D.SIMHASH_BANDS
+    bb = D.SIMHASH_BAND_BITS
     bit_sums = ",\n         ".join(
         f"SUM(((strpos('0123456789abcdef', substr(md5(shingle), {1 + j // 4}, 1)) - 1) "
         f"// {2 ** (3 - j % 4)}) % 2 * 2 - 1) AS s{j}"
-        for j in range(32)
+        for j in range(bits)
     )
-    acc = " + ".join(f"(CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)" for j in range(32))
+    acc = " + ".join(f"(CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)" for j in range(bits))
     return f"""
 WITH {_SHINGLES_CTE},
 sums AS (SELECT doc_id, {bit_sums} FROM sh GROUP BY doc_id),
 sig AS (SELECT doc_id, {acc} AS simhash FROM sums),
 chunks AS (
-  SELECT doc_id, simhash, c.chunk, (simhash // CAST(power(2, 8*c.chunk) AS BIGINT)) % 256 AS val
-  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS chunk) c
+  SELECT doc_id, simhash, c.chunk, (simhash >> ({bb} * c.chunk)) & {2**bb - 1} AS val
+  FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS chunk) c
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS h1, b.simhash AS h2
@@ -195,9 +198,11 @@ LIMIT 20
 
 @query("dedup_simhash", oracle=_simhash_sql(), category="llm-dedup")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32-bit) near-dup: candidates share an exact 8-bit chunk
-    (guaranteed recall for hamming ≤ 3), exact hamming ≤ 8 over
-    candidates; top-20 closest pairs."""
+    """SimHash(56-bit) near-dup: candidates share an exact 14-bit band
+    (4 bands ⇒ guaranteed recall for hamming ≤ 3, probabilistic above),
+    exact hamming ≤ 8 over candidates; top-20 closest pairs. Band width
+    is the scale knob — see operators/dedup.simhash_pairs for the 64×
+    measurement that moved this from 8-bit to 14-bit bands."""
     docs = table(spark, sf_dir, "documents")
     return (
         D.simhash_pairs(docs, max_hamming=8, n=3)

@@ -83,8 +83,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PHASH_BANDS = 7  # 56 hash bits -> 7 bands of 8
-PHASH_HAM_MAX = 6  # near-dup verify threshold on the 56-bit hash
+PHASH_BANDS = 4  # 56 hash bits -> 4 bands of 14
+PHASH_BAND_BITS = 14
+PHASH_BAND_MASK = (1 << PHASH_BAND_BITS) - 1
+PHASH_HAM_MAX = 3  # guaranteed recall: bands > h (pigeonhole), so h <= 3
 
 PHASH_ORACLE = f"""
 WITH b AS (
@@ -105,7 +107,8 @@ h AS (
   FROM px JOIN stats s USING (doc_id)
   GROUP BY px.doc_id),
 chunks AS (
-  SELECT doc_id, ahash, t.c, (ahash >> (8 * t.c)) & 255 AS v
+  SELECT doc_id, ahash, t.c,
+         (ahash >> ({PHASH_BAND_BITS} * t.c)) & {PHASH_BAND_MASK} AS v
   FROM h, unnest(range(0, {PHASH_BANDS})) t(c)),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.ahash AS h1, b.ahash AS h2
@@ -122,14 +125,20 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate detection by perceptual hash: an Arrow-batched
     aHash over each BINARY payload (operators/multimodal.py::phash_images
     — the stub samples the decoded buffer where a real impl hashes the
-    8x8 downscale), then the SimHash banding playbook on the hash itself:
-    candidates must share one of 7 8-bit bands, verified at hamming ≤ 6
-    via bit_count(xor). The multimodal twin of dedup_simhash — how a
-    100 TB image corpus dedups without pairwise pixel comparison: the
-    pixel work is one linear Arrow pass, banding bounds the candidate
-    join, and the verify is integer bit arithmetic. The hash arithmetic
-    is exact integers, so the oracle rebuilds it from hex(payload) and
-    the whole pipeline (Arrow plumbing included) hash-matches."""
+    8x8 downscale), then hamming banding on the hash itself: candidates
+    must share one of 4 14-bit bands (bands > h pigeonhole ⇒ guaranteed
+    recall for hamming ≤ 3), verified via bit_count(xor). The multimodal
+    twin of dedup_simhash — how a 100 TB image corpus dedups without
+    pairwise pixel comparison: the pixel work is one linear Arrow pass,
+    banding bounds the candidate join, and the verify is integer bit
+    arithmetic. BAND WIDTH IS THE SCALE KNOB: per-bucket collision pairs
+    grow as N²/2^band_bits, and the 64× scale experiment measured 8-bit
+    bands (256 buckets) going near-quadratic at 320k docs (29 s) where
+    14-bit bands (16k buckets) hold the candidate set sparse — the same
+    corpus-vs-recall trade minhash tunes with band_size. The hash
+    arithmetic is exact integers, so the oracle rebuilds it from
+    hex(payload) and the whole pipeline (Arrow plumbing included)
+    hash-matches."""
     blobs = M.phash_images(M.synthesize_blobs(table(spark, sf_dir, "documents")))
     chunks = blobs.select(
         "doc_id",
@@ -139,7 +148,9 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("c"),
-                        F.shiftright(F.col("ahash"), 8 * c).bitwiseAND(F.lit(255)).alias("v"),
+                        F.shiftright(F.col("ahash"), PHASH_BAND_BITS * c)
+                        .bitwiseAND(F.lit(PHASH_BAND_MASK))
+                        .alias("v"),
                     )
                     for c in range(PHASH_BANDS)
                 ]

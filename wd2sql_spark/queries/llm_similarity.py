@@ -59,14 +59,16 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
-def _lsh_bucket_sql(col: str, r: int = 4, dim: int = 64) -> str:
+def _lsh_bucket_sql(col: str, r: int = 4, dim: int = 64, start: int = 0) -> str:
     """DuckDB twin of operators/similarity.lsh_bucket: bit i = sign of the
-    projection onto md5-derived hyperplane i, inlined as literal arrays.
-    Plane components are exact multiples of 0.5 (hex digit − 7.5), so the
-    literals round-trip losslessly and both engines run identical IEEE
-    ops in identical order → identical sign bits."""
+    projection onto md5-derived hyperplane start+i, inlined as literal
+    arrays. Plane components are exact multiples of 0.5 (hex digit −
+    7.5), so the literals round-trip losslessly and both engines run
+    identical IEEE ops in identical order → identical sign bits.
+    ``start`` slices a table out of the global plane sequence for the
+    multi-table near-dup form."""
     terms = []
-    for i, plane in enumerate(S.hyperplanes(dim, r)):
+    for i, plane in enumerate(S.hyperplanes(dim, start + r)[start:]):
         arr = "[" + ", ".join(repr(x) for x in plane) + "]"
         proj = (
             f"list_sum(list_transform(range(1, {dim} + 1), "
@@ -76,36 +78,70 @@ def _lsh_bucket_sql(col: str, r: int = 4, dim: int = 64) -> str:
     return " + ".join(terms)
 
 
-NEAR_DUP_ORACLE = f"""
+NEAR_DUP_TABLES = 4  # LSH amplification: T independent tables ...
+NEAR_DUP_R = 12  # ... of r planes each (2^12 = 4096 buckets per table)
+
+
+def _near_dup_oracle() -> str:
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT vec_id, embedding, {t} AS tbl,"
+        f" {_lsh_bucket_sql('embedding', NEAR_DUP_R, 64, t * NEAR_DUP_R)} AS blk"
+        f" FROM embeddings"
+        for t in range(NEAR_DUP_TABLES)
+    )
+    return f"""
 WITH bucketed AS (
-  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS lsh_blk
-  FROM embeddings
-)
-SELECT a.vec_id AS d1, b.vec_id AS d2, round({_cos('a', 'b')}, 6) AS cosine
-FROM bucketed a JOIN bucketed b
-  ON a.lsh_blk = b.lsh_blk AND a.vec_id < b.vec_id
+{per_table}
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2,
+         round({_cos('a', 'b')}, 6) AS cosine
+  FROM bucketed a JOIN bucketed b
+    ON a.tbl = b.tbl AND a.blk = b.blk AND a.vec_id < b.vec_id)
+SELECT d1, d2, cosine FROM pairs
 ORDER BY cosine DESC, d1, d2
 LIMIT 20
 """
 
 
-@query("sim_cosine_near_dup", oracle=NEAR_DUP_ORACLE, category="llm-similarity")
+@query("sim_cosine_near_dup", oracle=_near_dup_oracle(), category="llm-similarity")
 def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: top-20 most similar pairs within
-    random-hyperplane LSH buckets (r=4 → 16 buckets). The block key is
-    similarity-preserving — high-cosine pairs share a sign pattern with
-    high probability — so blocking prunes the pair space Σ block² while
-    keeping the near-dups it exists to find (an arbitrary metadata block
-    key would scale identically but miss cross-key duplicates). The
-    oracle inlines the same md5-derived hyperplanes, so the bucket ids
-    match bit-for-bit."""
+    """Embedding-cosine near-dup: top-20 most similar pairs found by
+    MULTI-TABLE random-hyperplane LSH — 4 independent tables of 12
+    planes (4096 buckets each), candidates = within-bucket pairs of any
+    table, deduped, then exact cosine. The standard LSH amplification:
+    more planes per table keeps the candidate join sparse (pairs grow as
+    T·N²/2^r — the 64× scale run measured the former single-table r=4
+    form, 16 buckets, going quadratic at 25.5 s by 8×), and the extra
+    tables buy back the recall that narrow buckets cost (a cos≈0.95
+    neighbor pair agrees on one full 12-plane pattern with p≈0.28, on at
+    least one of 4 tables with p≈0.73; exact clones always collide).
+    The oracle inlines the same md5-derived hyperplane tables, so bucket
+    ids match bit-for-bit."""
     emb = table(spark, sf_dir, "embeddings")
-    bucketed = emb.withColumn(
-        "lsh_blk", S.lsh_bucket(F.col("embedding"), S.hyperplanes(64, 4))
+    planes = S.hyperplanes(64, NEAR_DUP_TABLES * NEAR_DUP_R)
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        S.lsh_bucket(
+                            F.col("embedding"),
+                            planes[t * NEAR_DUP_R : (t + 1) * NEAR_DUP_R],
+                        ).alias("blk"),
+                    )
+                    for t in range(NEAR_DUP_TABLES)
+                ]
+            )
+        ).alias("lsh_blk"),
     )
     return (
         S.cosine_near_dup_pairs(bucketed, threshold=-1.0, block_col="lsh_blk")
         .select(F.col("d1").cast("bigint"), F.col("d2").cast("bigint"), "cosine")
+        .distinct()
         .orderBy(F.col("cosine").desc(), "d1", "d2")
         .limit(20)
     )
