@@ -367,3 +367,59 @@ def test_incremental_matches_exact_copy_and_agrees_with_full_lsh(spark, docs):
         if (a % 10 == 0) != (b % 10 == 0)
     }
     assert inc == cross
+
+
+def test_prefix_filter_jaccard_is_lossless(spark, docs):
+    """The PPJoin prefix filter must find EXACTLY the pairs the uncapped
+    inverted-index join finds at the same threshold — losslessness is the
+    algorithm's defining property (any miss means the prefix length or the
+    global order is wrong)."""
+    got_pairs = {
+        (r["d1"], r["d2"])
+        for r in D.jaccard_pairs_prefix_filter(docs, n=3, t_num=1, t_den=2).collect()
+    }
+    # jaccard = common/union is a correctly-rounded ratio of small ints, so
+    # the >= 0.5 cut matches the operator's integer 2*common >= union
+    full = D.jaccard_pairs(docs, n=3, max_doc_freq=None).collect()
+    want_pairs = {(r["d1"], r["d2"]) for r in full if r["jaccard"] >= 0.5}
+    assert got_pairs == want_pairs
+    assert got_pairs, "fixture should contain at least one J>=0.5 pair"
+
+
+def test_prefix_filter_prefix_is_smaller_than_doc(spark, docs):
+    """The candidate-side explode must expose strictly fewer shingles than
+    the full inverted index for multi-shingle docs (p = n - ceil(n/2) + 1
+    <= (n+1)//2 + ... < n for n >= 2) — the scale property that bounds the
+    join."""
+    sh = D.doc_shingles(docs, 3)
+    per_doc = sh.groupBy("doc_id").count().filter(F.col("count") >= 4)
+    n_docs = per_doc.count()
+    total_shingles = per_doc.agg(F.sum("count")).collect()[0][0]
+    # prefix length for t=1/2 is n - ceil(n/2) + 1 = floor(n/2) + 1
+    expected_prefix = per_doc.select(
+        (F.floor(F.col("count") / 2) + 1).alias("p")
+    ).agg(F.sum("p")).collect()[0][0]
+    assert n_docs > 0
+    assert expected_prefix < total_shingles
+
+
+def test_charlm_score_flags_atypical_text(spark):
+    """Fit-on-corpus char-bigram LM: a document made of characters that
+    never co-occur in the rest of the corpus must score strictly lower
+    than every natural-text document."""
+    from wd2sql_spark.queries.llm_quality import quality_charlm_score
+    import wd2sql_spark.catalog as C
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the lazy dog sleeps near the quick river fox every day"),
+        (3, "a quick brown dog jumps over the lazy fox near a river"),
+        (4, "zq xj qz jx zx qj zq xj qz jx zx qj zq xj qz jx"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df.write.mode("overwrite").parquet("/tmp/charlm_fixture/documents.parquet")
+    out = {
+        r["doc_id"]: r["lm_score"]
+        for r in quality_charlm_score(spark, "/tmp/charlm_fixture").collect()
+    }
+    assert out[4] < min(out[1], out[2], out[3])

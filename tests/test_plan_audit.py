@@ -70,8 +70,10 @@ def test_agg_single_shuffle(reports):
 
 def test_pandas_eval_only_where_declared(reports):
     """Arrow-batched Python appears exactly in the operators that genuinely
-    need Python (multimodal decode stubs); everything else stays JVM-side."""
-    allowed_prefixes = ("multimodal_",)
+    need Python (multimodal decode stubs; batch model inference, whose
+    whole point is an Arrow-batched scoring map); everything else stays
+    JVM-side."""
+    allowed_prefixes = ("multimodal_", "inference_")
     for n, r in reports.items():
         if r.pandas_eval:
             assert n.startswith(allowed_prefixes), n

@@ -164,6 +164,87 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, max_doc_freq: int | None = None) 
     )
 
 
+def jaccard_pairs_prefix_filter(
+    docs: DataFrame, n: int = 3, t_num: int = 1, t_den: int = 2
+) -> DataFrame:
+    """Exact thresholded Jaccard join via PREFIX FILTERING (the PPJoin
+    family, Xiao et al., WWW 2008): every pair with
+    J ≥ t = t_num/t_den, found WITHOUT the df cap :func:`jaccard_pairs`
+    needs.
+
+    Order all shingles by a global total order (ascending document
+    frequency — rarest first); a doc with |x| shingles exposes only its
+    first p = |x| - ceil(t·|x|) + 1 shingles as its PREFIX. If
+    J(x, y) ≥ t the two prefixes must share a shingle (pigeonhole on the
+    overlap bound ⌈t/(1+t)·(|x|+|y|)⌉), so candidate generation joins
+    prefixes only — LOSSLESS for any total order, which is why the order
+    key can be the Spark-private (df, xxhash64) pair while the DuckDB
+    oracle verifies plain all-pairs Jaccard.
+
+    Scale: high-df boilerplate shingles sort LAST and never enter a
+    prefix, so the stop-phrase C(df,2) blowup that forces jaccard_pairs'
+    recall-losing cap simply cannot reach the join; candidate volume is
+    Σ C(df_prefix, 2) over RARE shingles only. Threshold arithmetic is
+    exact-integer on both sides (p via integer ceil; the verify predicate
+    is common·t_den ≥ union·t_num — no double compare at the boundary).
+    Output: (d1, d2, common, jaccard DOUBLE), d1 < d2, full set (no
+    limit).
+    """
+    sh = doc_shingles(docs, n).select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    sh = sh.persist()
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ordered"))
+    )
+    n_sh = F.size("ordered")
+    # p = n - ceil(t*n) + 1, with ceil done in integer arithmetic
+    ceil_tn = F.floor((n_sh * F.lit(t_num) + F.lit(t_den - 1)) / F.lit(t_den))
+    prefix = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(F.col("ordered"), 1, (n_sh - ceil_tn + 1).cast("int")),
+                lambda s: s["shingle"],
+            )
+        ).alias("shingle"),
+    )
+    cand = (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(F.col("pa.doc_id").alias("d1"), F.col("pb.doc_id").alias("d2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    common = (
+        cand.join(sh.alias("ca"), F.col("d1") == F.col("ca.doc_id"))
+        .join(
+            sh.alias("cb"),
+            (F.col("d2") == F.col("cb.doc_id"))
+            & (F.col("ca.shingle") == F.col("cb.shingle")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("common"))
+    )
+    union = F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("common")
+    return (
+        common.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        .filter(F.col("common") * F.lit(t_den) >= union * F.lit(t_num))
+        .select(
+            "d1",
+            "d2",
+            F.col("common").cast("bigint").alias("common"),
+            (F.col("common").cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )
+
+
 def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
     """(doc_id, seed, mh): per-seed min-hash over the doc's shingles —
     the narrow (long) form, unpivoted from :func:`minhash_signatures_wide`."""

@@ -113,6 +113,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PREFIX_FILTER_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+       CAST(common AS BIGINT) AS common,
+       round(CAST(common AS DOUBLE)/(s1.n_sh + s2.n_sh - common), 6) AS jaccard
+FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+WHERE 2*common >= (s1.n_sh + s2.n_sh - common)
+ORDER BY d1, d2
+"""
+
+
+@query("dedup_jaccard_prefix_filter", oracle=PREFIX_FILTER_ORACLE, category="llm-dedup")
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded set-similarity join (J ≥ 0.5) via PPJoin-style prefix
+    filtering: candidates come only from each doc's rarest
+    |x|-⌈t·|x|⌉+1 shingles under a global ascending-df order, which is
+    provably LOSSLESS — so the oracle is plain all-pairs exact Jaccard
+    with the same integer threshold predicate (2·common ≥ union), and a
+    hash match proves the filter dropped nothing. Unlike
+    dedup_ngram_jaccard's df cap (which trades boilerplate recall for a
+    linear join), prefix filtering gets the linear join AND full recall:
+    high-df shingles sort last and never generate candidates."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        D.jaccard_pairs_prefix_filter(docs, n=3, t_num=1, t_den=2)
+        .select(
+            F.col("d1").cast("bigint"),
+            F.col("d2").cast("bigint"),
+            "common",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
 MINHASH_ORACLE = f"""
 WITH {_SHINGLES_CTE},
 hashed AS (

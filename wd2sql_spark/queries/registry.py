@@ -204,7 +204,14 @@ _PRIORITY = (
     # every LLM pipeline runs); outranks same-oracle variants for the cap
     "inference_batch_scores",
     # ---- first rotation seats for round 4 (the ~50-entry cap lands just
-    # above): the skew-safe sessionizer (shares SESSIONIZE_ORACLE with
+    # above): the two operators newest in round 3 — the LOSSLESS
+    # prefix-filtered set-similarity join (its oracle is plain all-pairs
+    # Jaccard, so a hash match proves the filter dropped nothing) and the
+    # CCNet-style char-bigram LM quality filter (a new fit-then-score
+    # statistic class; integer-exact probability arithmetic)
+    "dedup_jaccard_prefix_filter",
+    "quality_charlm_score",
+    # then the skew-safe sessionizer (shares SESSIONIZE_ORACLE with
     # the in-head re-verify, so its arithmetic is implied), the
     # multimodal×dedup perceptual-hash crossover, the IVF/PQ recall-audit
     # twins, and the gapfill interpolation variant
