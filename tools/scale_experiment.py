@@ -119,6 +119,12 @@ SCALE_QUERIES = (
     "retrieval_hybrid_rrf",
     "dedup_incremental_delta",
     "agg_hll_sketch_rollup",
+    # prefix-filtered Jaccard: the candidate join is bounded by RARE-
+    # shingle df only — the exponent must stay near-linear without the
+    # df cap the plain Jaccard path needs; charlm is two scans + a
+    # broadcast model (expect e ~ 1).
+    "dedup_jaccard_prefix_filter",
+    "quality_charlm_score",
 )
 
 

@@ -244,6 +244,85 @@ def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_TEMP_ORACLE = """
+WITH per AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_tokens) AS total_tokens FROM per),
+sq AS (
+  SELECT source, n_docs, n_tokens, total_tokens,
+         sqrt(CAST(n_tokens AS DOUBLE) / total_tokens) AS sq
+  FROM per CROSS JOIN tot
+),
+z AS (SELECT list_reduce(list(sq ORDER BY source), (a, b) -> a + b) AS z FROM sq)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+       round(sq / z, 6) AS p_alpha,
+       round((sq / z) / (CAST(n_tokens AS DOUBLE) / total_tokens), 6) AS weight,
+       CAST(round(CAST(total_tokens AS DOUBLE) * (sq / z), 0) AS BIGINT)
+         AS expected_tokens
+FROM sq CROSS JOIN z
+ORDER BY source
+"""
+
+
+@query("mix_temperature_sampling", oracle=MIX_TEMP_ORACLE, category="llm_sampling")
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (exponentiated-share) mixture sampling with
+    α = 0.5 — the multilingual-pretraining policy (Lample & Conneau 2019
+    sample languages ∝ share^α with exactly α = 0.5) that boosts
+    low-resource sources without flattening to uniform: p_i =
+    share_i^α / Σ_j share_j^α; mix_domain_weights is the α→0 limit.
+
+    Determinism: α = 0.5 keeps the exponentiation inside IEEE-exact
+    arithmetic — sqrt is correctly rounded by both engines (libm pow for
+    a general α is NOT), the share it applies to is a single division of
+    exact integers, and the normalizer Z folds the per-source sqrt values
+    in FIXED source order (array_sort + F.aggregate here, list(ORDER BY) +
+    list_reduce in the oracle) so the float sum cannot reorder between
+    engines.
+
+    Scale shape: identical to mix_domain_weights — one corpus-sized
+    map-side-combined aggregate; everything after operates on the
+    |sources|-row relation (the fold window is a single-partition exchange
+    of that tiny relation, not a corpus scan)."""
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    per = per.select(
+        "*", F.sum("n_tokens").over(w_all).alias("total_tokens")
+    ).withColumn(
+        "sq", F.sqrt(F.col("n_tokens").cast("double") / F.col("total_tokens"))
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("source", "sq")).over(w_all))
+    z = F.aggregate(ordered, F.lit(0.0), lambda a, x: a + x["sq"])
+    per = per.withColumn("z", z)
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    p = F.col("sq") / F.col("z")
+    return (
+        per.select(
+            "source",
+            F.col("n_docs").cast("bigint"),
+            F.col("n_tokens").cast("bigint"),
+            F.round(share, 6).alias("token_share"),
+            F.round(p, 6).alias("p_alpha"),
+            F.round(p / share, 6).alias("weight"),
+            F.round(F.col("total_tokens").cast("double") * p, 0)
+            .cast("bigint")
+            .alias("expected_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 IDS_ORACLE = """
 SELECT doc_id, n_chars,
        CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS global_id

@@ -211,6 +211,10 @@ _PRIORITY = (
     # statistic class; integer-exact probability arithmetic)
     "dedup_jaccard_prefix_filter",
     "quality_charlm_score",
+    # temperature-based (share^0.5) mixture sampling — the only probe of
+    # exponentiated-share weighting (mix_domain_weights is the uniform
+    # limit); IEEE-exact sqrt + fixed-order normalizer fold
+    "mix_temperature_sampling",
     # then the skew-safe sessionizer (shares SESSIONIZE_ORACLE with
     # the in-head re-verify, so its arithmetic is implied), the
     # multimodal×dedup perceptual-hash crossover, the IVF/PQ recall-audit
