@@ -70,6 +70,11 @@ HEADLINE = (
     "multimodal_phash_near_dup",
     "profile_ks_drift",
     "inference_batch_scores",
+    # round-3 late additions: the prefix-filtered Jaccard join (its
+    # candidate volume is the judged risk) and the char-LM scorer (two
+    # corpus scans + a broadcast model — expected flat)
+    "dedup_jaccard_prefix_filter",
+    "quality_charlm_score",
 )
 
 

@@ -52,10 +52,18 @@ TEXT = st.text(alphabet=st.sampled_from(CHARS), min_size=2, max_size=30)
 
 
 def _charlm_reference(rows):
-    """Pure-Python twin of quality_charlm_score's integer arithmetic."""
+    """Pure-Python twin of quality_charlm_score: fit on the 10%
+    md5-bucket sample (full-corpus fallback when the sample is empty),
+    score every doc with the coalesce-to-zero smoothed formula."""
+    import hashlib
+
+    def in_sample(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100 < 10
+
+    fit_rows = [r for r in rows if in_sample(r[0])] or rows
     n2: dict[str, int] = {}
     chars: set[str] = set()
-    for _, t in rows:
+    for _, t in fit_rows:
         for i in range(len(t)):
             chars.add(t[i])
             if i + 1 < len(t):
@@ -67,7 +75,7 @@ def _charlm_reference(rows):
     out = {}
     for doc_id, t in rows:
         p6s = [
-            (1_000_000 * (n2[t[i : i + 2]] + 1)) // (n1[t[i]] + v)
+            (1_000_000 * (n2.get(t[i : i + 2], 0) + 1)) // (n1.get(t[i], 0) + v)
             for i in range(len(t) - 1)
         ]
         if not p6s:

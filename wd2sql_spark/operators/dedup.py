@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
+from wd2sql_spark.session_cache import SessionCache
+
 HEX_DIGITS = "0123456789abcdef"
 
 
@@ -164,8 +166,16 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, max_doc_freq: int | None = None) 
     )
 
 
+_PREFIX_PERSISTED: list[DataFrame] = []
+_PREFIX_CACHE = SessionCache()
+
+
 def jaccard_pairs_prefix_filter(
-    docs: DataFrame, n: int = 3, t_num: int = 1, t_den: int = 2
+    docs: DataFrame,
+    n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Exact thresholded Jaccard join via PREFIX FILTERING (the PPJoin
     family, Xiao et al., WWW 2008): every pair with
@@ -189,26 +199,59 @@ def jaccard_pairs_prefix_filter(
     is common·t_den ≥ union·t_num — no double compare at the boundary).
     Output: (d1, d2, common, jaccard DOUBLE), d1 < d2, full set (no
     limit).
+
+    ``cache_key``: when given, the rarity-ordered per-doc array relation
+    is cached per (session, key) — the PQ/IVF cached-artifact pattern —
+    so repeated battery/bench runs rebuild only the candidate join;
+    without it (ad-hoc inputs), the previous call's persists are dropped
+    first so storage stays bounded at one call's worth.
     """
-    sh = doc_shingles(docs, n).select("doc_id", F.xxhash64("shingle").alias("shingle"))
-    sh = sh.persist()
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    per_doc = (
-        sh.join(freq, "shingle")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ordered"))
-    )
-    n_sh = F.size("ordered")
+
+    def build(holder: list[DataFrame]) -> DataFrame:
+        sh = doc_shingles(docs, n).select(
+            "doc_id", F.xxhash64("shingle").alias("shingle")
+        ).persist()
+        holder.append(sh)
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        # Per-doc shingle array in global rarity order. This ONE relation
+        # serves prefix generation AND verification: the verify step
+        # joins candidate pairs back to it and intersects the two arrays
+        # ROW-LOCALLY (array_intersect over distinct elements), instead
+        # of re-joining the corpus-sized inverted index twice —
+        # candidates move two doc-sized array payloads once, the corpus
+        # is never reshuffled.
+        pd_rel = (
+            sh.join(freq, "shingle")
+            .groupBy("doc_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("df", "shingle"))),
+                    lambda s: s["shingle"],
+                ).alias("arr")
+            )
+            .persist()
+        )
+        holder.append(pd_rel)
+        return pd_rel
+
+    if cache_key is not None:
+        # session-cache owns these persists; the ad-hoc holder below
+        # must never unpersist them
+        per_doc = _PREFIX_CACHE.get_or_build(
+            docs.sparkSession, ("prefix_arr", cache_key, n), lambda: build([])
+        )
+    else:
+        while _PREFIX_PERSISTED:
+            _PREFIX_PERSISTED.pop().unpersist()
+        per_doc = build(_PREFIX_PERSISTED)
+    n_sh = F.size("arr")
     # p = n - ceil(t*n) + 1, with ceil done in integer arithmetic
     ceil_tn = F.floor((n_sh * F.lit(t_num) + F.lit(t_den - 1)) / F.lit(t_den))
     prefix = per_doc.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.slice(F.col("ordered"), 1, (n_sh - ceil_tn + 1).cast("int")),
-                lambda s: s["shingle"],
-            )
-        ).alias("shingle"),
+        F.explode(F.slice(F.col("arr"), 1, (n_sh - ceil_tn + 1).cast("int"))).alias(
+            "shingle"
+        ),
     )
     cand = (
         prefix.alias("pa")
@@ -220,28 +263,26 @@ def jaccard_pairs_prefix_filter(
         .select(F.col("pa.doc_id").alias("d1"), F.col("pb.doc_id").alias("d2"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    common = (
-        cand.join(sh.alias("ca"), F.col("d1") == F.col("ca.doc_id"))
-        .join(
-            sh.alias("cb"),
-            (F.col("d2") == F.col("cb.doc_id"))
-            & (F.col("ca.shingle") == F.col("cb.shingle")),
+    paired = (
+        cand.join(
+            per_doc.select(F.col("doc_id").alias("d1"), F.col("arr").alias("arr1")), "d1"
         )
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("common"))
-    )
-    union = F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("common")
-    return (
-        common.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
-        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
-        .filter(F.col("common") * F.lit(t_den) >= union * F.lit(t_num))
+        .join(
+            per_doc.select(F.col("doc_id").alias("d2"), F.col("arr").alias("arr2")), "d2"
+        )
         .select(
             "d1",
             "d2",
-            F.col("common").cast("bigint").alias("common"),
-            (F.col("common").cast("double") / union.cast("double")).alias("jaccard"),
+            F.size(F.array_intersect("arr1", "arr2")).alias("common"),
+            (F.size("arr1") + F.size("arr2")).alias("sz"),
         )
+    )
+    union = F.col("sz") - F.col("common")
+    return paired.filter(F.col("common") * F.lit(t_den) >= union * F.lit(t_num)).select(
+        "d1",
+        "d2",
+        F.col("common").cast("bigint").alias("common"),
+        (F.col("common").cast("double") / union.cast("double")).alias("jaccard"),
     )
 
 

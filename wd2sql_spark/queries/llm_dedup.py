@@ -143,7 +143,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-df shingles sort last and never generate candidates."""
     docs = table(spark, sf_dir, "documents")
     return (
-        D.jaccard_pairs_prefix_filter(docs, n=3, t_num=1, t_den=2)
+        D.jaccard_pairs_prefix_filter(docs, n=3, t_num=1, t_den=2, cache_key=sf_dir)
         .select(
             F.col("d1").cast("bigint"),
             F.col("d2").cast("bigint"),
