@@ -423,3 +423,12 @@ def test_charlm_score_flags_atypical_text(spark):
         for r in quality_charlm_score(spark, "/tmp/charlm_fixture").collect()
     }
     assert out[4] < min(out[1], out[2], out[3])
+
+
+def test_rowlocal_band_index_equals_aggregate_form(spark, docs):
+    """minhash_band_index_rowlocal (streaming-stateless array_min folds)
+    must be BIT-IDENTICAL to the explode+groupBy form — the streaming
+    incremental near-dup's oracle validity rests on this equality."""
+    a = sorted(map(tuple, D.minhash_band_index(docs).collect()))
+    b = sorted(map(tuple, D.minhash_band_index_rowlocal(docs).collect()))
+    assert a == b and a

@@ -404,6 +404,54 @@ def minhash_band_index(docs: DataFrame, k: int = 16, band_size: int = 4, n: int 
     )
 
 
+def minhash_band_index_rowlocal(docs: DataFrame, k: int = 16, band_size: int = 4, n: int = 3) -> DataFrame:
+    """:func:`minhash_band_index` computed WITHOUT the explode+groupBy —
+    each doc's k min-hashes are array_min folds over its own shingle
+    array, so the whole banding is a stateless narrow map.
+
+    Same values by construction (lexicographic array_min over the
+    distinct shingles ≡ groupBy MIN over their exploded rows; docs with
+    no shingle produce no row in either form — pinned by
+    tests/test_llm_ops.py). The batch form stays the default because its
+    map-side-combined aggregate splits one giant document across cores;
+    this form exists for STREAMING delta ingest, where a per-doc
+    aggregation would force complete-mode state but a narrow map keeps
+    the probe append-exact — and delta docs are typical-sized, not
+    pathological."""
+    shs = shingles(tokens(F.col("text")), n)
+
+    def mh_col(s: int) -> Column:
+        # NB: a `lambda x, s=s:` default-arg closure would change the
+        # lambda's ARITY — pyspark passes (element, index) to two-arg
+        # higher-order lambdas, silently binding s to the index (the
+        # text_bm25_topk gotcha); a factory keeps it one-argument.
+        return F.array_min(
+            F.transform(shs, lambda el: seeded_hash(el, s))
+        ).alias(f"mh{s}")
+
+    sig_cols = [mh_col(s) for s in range(k)]
+    sig = (
+        docs.filter(F.size(shs) > 0)
+        .select(F.col("doc_id"), *sig_cols)
+    )
+    n_bands = k // band_size
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bb).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{s}") for s in range(bb * band_size, (bb + 1) * band_size)]
+                ).alias("band_key"),
+            )
+            for bb in range(n_bands)
+        ]
+    )
+    mh_cols = [F.col(f"mh{s}") for s in range(k)]
+    return sig.select("doc_id", F.explode(band_structs).alias("bk"), *mh_cols).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"), *mh_cols
+    )
+
+
 def incremental_minhash_matches(
     corpus_index: DataFrame,
     delta_docs: DataFrame,

@@ -215,6 +215,9 @@ _PRIORITY = (
     # exponentiated-share weighting (mix_domain_weights is the uniform
     # limit); IEEE-exact sqrt + fixed-order normalizer fold
     "mix_temperature_sampling",
+    # streaming admission dedup: row-local banding + stream-static index
+    # probe — the streaming×incremental crossover, full batch oracle
+    "stream_incremental_neardup",
     # then the skew-safe sessionizer (shares SESSIONIZE_ORACLE with
     # the in-head re-verify, so its arithmetic is implied), the
     # multimodal×dedup perceptual-hash crossover, the IVF/PQ recall-audit
