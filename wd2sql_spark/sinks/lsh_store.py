@@ -1,0 +1,91 @@
+"""Materialized MinHash-LSH index: the dedup index as a parquet store.
+
+The incremental dedup path (operators/dedup.py::minhash_band_index /
+incremental_minhash_matches) describes its corpus index as "the artifact
+an incremental pipeline WRITES ONCE per corpus and reuses for every
+subsequent drop". This sink IS that artifact: the band index written
+partitioned by ``band`` and range-sorted by ``band_key`` within files,
+so a delta probe prunes to its band partitions at the scan and parquet
+min/max row-group statistics skip non-matching ``band_key`` ranges —
+no session state, survives executor loss, serves cold from any cluster
+that can read the path.
+
+Layout:
+    <path>/bands/band=<b>/   (doc_id, band_key, mh0..mh{k-1})
+
+Admission maintenance is an APPEND: a drop that passes dedup is banded
+(one narrow pass over the delta only) and appended to the same layout —
+``append_to_lsh_store`` — after which the store equals a full rebuild
+over corpus+delta bit-for-bit (pinned by tests/test_lsh_store.py). The
+corpus is never re-hashed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wd2sql_spark.operators.dedup import (
+    incremental_index_probe,
+    minhash_band_index,
+)
+
+
+def _layout(idx: DataFrame) -> DataFrame:
+    """Range-spread on (band, band_key): keeps full write parallelism
+    (unlike a repartition-by-band, which would cap tasks at n_bands) while
+    making every output file's band_key range tight for row-group
+    skipping."""
+    spark = idx.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    return idx.repartitionByRange(n, "band", "band_key").sortWithinPartitions(
+        "band", "band_key"
+    )
+
+
+def write_lsh_store(
+    docs: DataFrame, path: str, k: int = 16, band_size: int = 4, n: int = 3
+) -> None:
+    """Build the band index from ``docs`` (one tokenize→shingle→minhash
+    pass) and write it as the partitioned store."""
+    idx = minhash_band_index(docs, k=k, band_size=band_size, n=n)
+    _layout(idx).write.partitionBy("band").parquet(f"{path}/bands")
+
+
+def append_to_lsh_store(
+    delta_docs: DataFrame, path: str, k: int = 16, band_size: int = 4, n: int = 3
+) -> None:
+    """Admit a drop: band the DELTA ONLY and append its rows to the
+    store. Same arithmetic as the full build, so store+append ≡ full
+    rebuild over the union."""
+    idx = minhash_band_index(delta_docs, k=k, band_size=band_size, n=n)
+    _layout(idx).write.mode("append").partitionBy("band").parquet(f"{path}/bands")
+
+
+def read_lsh_store(spark: SparkSession, path: str) -> DataFrame:
+    """The store as the band-index relation (column order restored: the
+    partition column comes back last from the scan)."""
+    raw = spark.read.parquet(f"{path}/bands")
+    mh_cols = sorted(
+        (c for c in raw.columns if c.startswith("mh")), key=lambda c: int(c[2:])
+    )
+    return raw.select("doc_id", "band", "band_key", *mh_cols)
+
+
+def probe_lsh_store(
+    spark: SparkSession,
+    path: str,
+    delta_docs: DataFrame,
+    k: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    min_est_jaccard: float = 0.0,
+) -> DataFrame:
+    """Near-dup matches of a drop against the persisted store — only the
+    delta is hashed; both signatures arrive on the joined row so the
+    estimate is row-local (same probe as the in-memory path, so results
+    are bit-identical to incremental_minhash_matches on the same data)."""
+    delta_idx = minhash_band_index(delta_docs, k=k, band_size=band_size, n=n)
+    return incremental_index_probe(
+        read_lsh_store(spark, path), delta_idx, k=k, min_est_jaccard=min_est_jaccard
+    )
