@@ -75,6 +75,9 @@ HEADLINE = (
     # corpus scans + a broadcast model — expected flat)
     "dedup_jaccard_prefix_filter",
     "quality_charlm_score",
+    # DSIR data selection: two inlined charlm models + a narrow scoring
+    # scan + TakeOrdered top-k — expected ~charlm-shaped cost
+    "sample_dsir_importance",
 )
 
 

@@ -598,3 +598,27 @@ def test_excess_share_single_aggregation_chain(reports):
     assert any("StringStartsWith(p_name,blue)" in f for f in r.pushed_filters)
     assert r.broadcasts >= 3
     assert r.shuffles <= 5, r.shuffles
+
+
+def test_dsir_scoring_is_narrow_topk(reports):
+    """DSIR importance resampling: both fitted models are inlined literal
+    lookup tables, so the scored relation is ONE narrow corpus scan (plus
+    the session-cache persist) and the top-k is a TakeOrderedAndProject —
+    no corpus-sized shuffle anywhere in the plan. The fits themselves run
+    at build time (two tiny collect jobs) and never appear in the query
+    plan."""
+    r = reports["sample_dsir_importance"]
+    assert r.shuffles == 0
+    assert r.broadcasts == 0
+    assert not r.pandas_eval and not r.python_eval
+
+
+def test_waterfill_single_corpus_aggregate(reports):
+    """Water-filling budget allocation: the corpus contributes exactly one
+    map-side-combined per-language aggregate; every later step (prefix
+    sums, saturation flags, allocation) runs on the |langs|-row policy
+    relation. Budget: the aggregate exchange + the tiny single-partition
+    windows and the presentation sort."""
+    r = reports["mix_token_budget_waterfill"]
+    assert len(r.scans) == 1
+    assert r.shuffles <= 4

@@ -350,6 +350,31 @@ def quality_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def fit_bigram_counts(rel: DataFrame) -> dict[str, int]:
+    """Char-bigram counts of a (small) fit relation, as one collect job.
+
+    Fit docs shorter than one bigram carry no signal and are excluded on
+    BOTH sides (oracles: AND len(text) >= 2), so with every fit doc
+    having >= 2 chars, each of its chars occurs in >= 1 bigram — the
+    charset (V) is recoverable from the bigram keys and the fit is ONE
+    collect job, not three. Shared by the CCNet-style charlm filter and
+    the DSIR importance sampler (queries/llm_selection.py)."""
+    cs = F.split(F.col("text"), "")
+    spos = rel.filter(F.length("text") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice(cs, 1, F.greatest(F.size(cs) - 1, F.lit(0))),
+                F.slice(cs, 2, F.greatest(F.size(cs) - 1, F.lit(0))),
+                lambda a, b: F.concat(a, b),
+            )
+        ).alias("bg")
+    )
+    return {
+        r["bg"]: r["c2"]
+        for r in spos.groupBy("bg").agg(F.count(F.lit(1)).alias("c2")).collect()
+    }
+
+
 def _charlm_scored(d: DataFrame) -> DataFrame:
     """Fit + score, returning the PERSISTED doc-level result (cached per
     (session, corpus) by the caller — the PQ/IVF cached-artifact
@@ -359,26 +384,7 @@ def _charlm_scored(d: DataFrame) -> DataFrame:
 
     # ---- fit on the reproducible sample (tiny: 10% of docs, then a
     # ≤|charset|²-row aggregate) ----
-    def fit_counts(rel: DataFrame) -> dict[str, int]:
-        # sample docs shorter than one bigram carry no signal and are
-        # excluded on BOTH sides (oracle: AND len(text) >= 2), so with
-        # every fit doc having >= 2 chars, each of its chars occurs in
-        # >= 1 bigram — the charset (V) is recoverable from the bigram
-        # keys and the fit is ONE collect job, not three.
-        cs = F.split(F.col("text"), "")
-        spos = rel.filter(F.length("text") >= 2).select(
-            F.explode(
-                F.zip_with(
-                    F.slice(cs, 1, F.greatest(F.size(cs) - 1, F.lit(0))),
-                    F.slice(cs, 2, F.greatest(F.size(cs) - 1, F.lit(0))),
-                    lambda a, b: F.concat(a, b),
-                )
-            ).alias("bg")
-        )
-        return {
-            r["bg"]: r["c2"]
-            for r in spos.groupBy("bg").agg(F.count(F.lit(1)).alias("c2")).collect()
-        }
+    fit_counts = fit_bigram_counts
 
     n2 = fit_counts(d.filter(md5_bucket(F.col("doc_id")) < 10))
     if not n2:

@@ -56,6 +56,7 @@ _MODULES = (
     "wd2sql_spark.queries.llm_retrieval",
     "wd2sql_spark.queries.llm_cluster",
     "wd2sql_spark.queries.llm_packing",
+    "wd2sql_spark.queries.llm_selection",
     "wd2sql_spark.queries.streaming_q",
     "wd2sql_spark.queries.sessionization",
     "wd2sql_spark.queries.cdc",
@@ -215,6 +216,12 @@ _PRIORITY = (
     # exponentiated-share weighting (mix_domain_weights is the uniform
     # limit); IEEE-exact sqrt + fixed-order normalizer fold
     "mix_temperature_sampling",
+    # DSIR importance resampling (Xie et al. 2023) — the only probe of
+    # two-model data SELECTION (target-vs-raw LM difference ranking)
+    "sample_dsir_importance",
+    # water-filling token-budget allocation — the only probe of capped
+    # proportional budget scheduling (epoch-capped mixture)
+    "mix_token_budget_waterfill",
     # streaming admission dedup: row-local banding + stream-static index
     # probe — the streaming×incremental crossover, full batch oracle
     "stream_incremental_neardup",

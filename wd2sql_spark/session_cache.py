@@ -19,6 +19,20 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 
+# Every live SessionCache instance, so plan documentation can reset them
+# all: a query whose cached relation is already built plans against an
+# unpersisted (or differently-persisted) subtree and its Exchange census
+# shifts with suite ordering (observed 18 fresh vs 13 after a cache hit on
+# the prefix-filter array relation). ``clear_all_session_caches()`` pins
+# plan generation to the reproducible fresh-build shape.
+_ALL_CACHES: "weakref.WeakSet[SessionCache]" = weakref.WeakSet()
+
+
+def clear_all_session_caches() -> None:
+    for cache in list(_ALL_CACHES):
+        cache._entries.clear()
+
+
 class SessionCache:
     """``get_or_build(spark, key, build)`` — one value per (live session,
     key). Not thread-safe by design: Spark query construction is
@@ -27,6 +41,7 @@ class SessionCache:
 
     def __init__(self) -> None:
         self._entries: dict[tuple, tuple[weakref.ref, Any]] = {}
+        _ALL_CACHES.add(self)
 
     def get_or_build(self, spark: SparkSession, key: tuple, build: Callable[[], Any]) -> Any:
         for k, (ref, _) in list(self._entries.items()):
