@@ -125,6 +125,9 @@ SCALE_QUERIES = (
     # broadcast model (expect e ~ 1).
     "dedup_jaccard_prefix_filter",
     "quality_charlm_score",
+    # DSIR: two fits (15% + 10% of a scan each) + a narrow two-lookup
+    # scoring scan + TakeOrdered — expect e ~ 1 like charlm.
+    "sample_dsir_importance",
 )
 
 
