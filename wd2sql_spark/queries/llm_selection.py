@@ -420,3 +420,150 @@ def mix_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "budget_share"
         ),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe group-aware train/eval split
+# ---------------------------------------------------------------------------
+
+TRAIN_PCT = 80  # md5 bucket threshold: ~80/20 split
+
+SPLIT_ORACLE: str  # assigned below (needs the recursive-CC CTE)
+
+
+def _split_oracle() -> str:
+    from wd2sql_spark.queries.graph import JACCARD_EDGE_MIN
+    from wd2sql_spark.queries.llm_dedup import _CAPPED_SHINGLES_CTE
+
+    return f"""
+WITH RECURSIVE {_CAPPED_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT d1, d2
+  FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE CAST(common AS DOUBLE)/(s1.n_sh + s2.n_sh - common) >= {JACCARD_EDGE_MIN}
+),
+sym AS (SELECT d1 AS a, d2 AS b FROM edges UNION ALL SELECT d2, d1 FROM edges),
+reach(node, lbl) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+grouped AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+splits AS (
+  SELECT doc_id, group_id,
+         CASE WHEN CAST(('0x' || substring(md5(CAST(group_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 100 < {TRAIN_PCT}
+              THEN 'train' ELSE 'eval' END AS split
+  FROM grouped
+),
+leak AS (
+  SELECT COUNT(*) AS cross_pairs
+  FROM edges e
+  JOIN splits s1 ON e.d1 = s1.doc_id
+  JOIN splits s2 ON e.d2 = s2.doc_id
+  WHERE s1.split <> s2.split
+),
+sized AS (
+  SELECT s.*, COUNT(*) OVER (PARTITION BY group_id) AS grp_n FROM splits s
+),
+per AS (
+  SELECT split,
+         COUNT(*) AS n_docs,
+         COUNT(DISTINCT group_id) AS n_groups,
+         COUNT(DISTINCT CASE WHEN grp_n >= 2 THEN group_id END) AS n_multi_groups
+  FROM sized GROUP BY split
+)
+SELECT split,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(n_multi_groups AS BIGINT) AS n_multi_groups,
+       CAST(cross_pairs AS BIGINT) AS cross_split_dup_pairs
+FROM per CROSS JOIN leak
+ORDER BY split
+"""
+
+
+SPLIT_ORACLE = _split_oracle()
+
+
+@query("split_leakage_safe", oracle=SPLIT_ORACLE, category="llm_sampling")
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/eval split with a leakage audit: a plain per-doc
+    hash split puts near-duplicates of a training document into the eval
+    set (the classic eval-contamination failure — Lee et al. 2022 measure
+    inflated eval scores from exactly this), so the split key must be the
+    doc's near-dup CLUSTER, not the doc. Every doc is assigned
+    group_id = its Jaccard-similarity connected component (singletons:
+    its own doc_id), the ~80/20 split decides on md5(group_id) — whole
+    clusters co-travel by construction — and the audit column counts
+    similarity edges that cross the split boundary, which a correct
+    group split forces to ZERO (the oracle recomputes everything,
+    including the closure, so the 0 is proved cross-engine, not assumed).
+
+    Plan shape: the edge set + closure reuse dedup_cluster_components'
+    machinery (capped-df candidate join, pointer-jumping components); the
+    per-doc work after that is one broadcast-sized left join of the tiny
+    clustered-node relation onto the corpus scan + a narrow md5 — at
+    100 TB the corpus is touched once beyond the dedup pass the pipeline
+    already ran. The audit joins the (small) edge relation to the
+    doc-level split relation twice — broadcast both ways."""
+    from wd2sql_spark.operators import dedup as D
+    from wd2sql_spark.queries.graph import JACCARD_EDGE_MIN
+    from wd2sql_spark.queries.llm_dedup import MAX_SHINGLE_DF
+    from wd2sql_spark.queries.llm_sampling import md5_bucket
+
+    docs = table(spark, sf_dir, "documents")
+    edges = (
+        D.jaccard_pairs(docs, n=3, max_doc_freq=MAX_SHINGLE_DF)
+        .filter(F.col("jaccard") >= JACCARD_EDGE_MIN)
+        .select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .persist()
+    )
+    comp = D.connected_components(edges)
+    grouped = docs.select("doc_id").join(
+        F.broadcast(comp.withColumnRenamed("node", "doc_id")), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_id")
+    )
+    splits = grouped.withColumn(
+        "split",
+        F.when(md5_bucket(F.col("group_id")) < TRAIN_PCT, "train").otherwise("eval"),
+    )
+    s1 = splits.select(F.col("doc_id").alias("src"), F.col("split").alias("split1"))
+    s2 = splits.select(F.col("doc_id").alias("dst"), F.col("split").alias("split2"))
+    leak = (
+        edges.join(F.broadcast(s1), "src")
+        .join(F.broadcast(s2), "dst")
+        .filter(F.col("split1") != F.col("split2"))
+        .agg(F.count(F.lit(1)).alias("cross_pairs"))
+    )
+    grp_w = Window.partitionBy("group_id")
+    sized = splits.withColumn("grp_n", F.count(F.lit(1)).over(grp_w))
+    per = sized.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("group_id").alias("n_groups"),
+        F.count_distinct(
+            F.when(F.col("grp_n") >= 2, F.col("group_id"))
+        ).alias("n_multi_groups"),
+    )
+    return (
+        per.crossJoin(F.broadcast(leak))
+        .select(
+            "split",
+            F.col("n_docs").cast("bigint"),
+            F.col("n_groups").cast("bigint"),
+            F.col("n_multi_groups").cast("bigint"),
+            F.col("cross_pairs").cast("bigint").alias("cross_split_dup_pairs"),
+        )
+        .orderBy("split")
+    )

@@ -222,6 +222,9 @@ _PRIORITY = (
     # water-filling token-budget allocation — the only probe of capped
     # proportional budget scheduling (epoch-capped mixture)
     "mix_token_budget_waterfill",
+    # group-aware split with a cross-engine-proved zero-leakage audit —
+    # the only probe of cluster-co-travel splitting
+    "split_leakage_safe",
     # streaming admission dedup: row-local banding + stream-static index
     # probe — the streaming×incremental crossover, full batch oracle
     "stream_incremental_neardup",
