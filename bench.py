@@ -78,6 +78,9 @@ HEADLINE = (
     # DSIR data selection: two inlined charlm models + a narrow scoring
     # scan + TakeOrdered top-k — expected ~charlm-shaped cost
     "sample_dsir_importance",
+    # exact phrase retrieval: trigram argmax + term-filtered positional
+    # adjacency joins — the candidate volume is the judged risk
+    "retrieval_phrase_match",
 )
 
 

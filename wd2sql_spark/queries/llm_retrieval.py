@@ -169,3 +169,99 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fused_rank")
     )
+
+
+PHRASE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+pos AS (
+  SELECT doc_id, i.i AS p, ts[i.i] AS term
+  FROM t, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) i
+),
+tri AS (
+  SELECT ts[i.i] || ' ' || ts[i.i+1] || ' ' || ts[i.i+2] AS phrase
+  FROM t, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) i
+  WHERE len(ts) >= 3
+),
+top AS (
+  SELECT phrase FROM tri GROUP BY phrase ORDER BY COUNT(*) DESC, phrase LIMIT 1
+),
+parts AS (SELECT phrase, string_split(phrase, ' ') AS ps FROM top),
+m AS (
+  SELECT p0.doc_id, p0.p
+  FROM parts
+  CROSS JOIN pos p0
+  JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.p = p0.p + 1 AND p1.term = parts.ps[2]
+  JOIN pos p2 ON p2.doc_id = p0.doc_id AND p2.p = p0.p + 2 AND p2.term = parts.ps[3]
+  WHERE p0.term = parts.ps[1]
+)
+SELECT m.doc_id,
+       parts.phrase,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(m.p) AS BIGINT) AS first_pos
+FROM m CROSS JOIN parts
+GROUP BY m.doc_id, parts.phrase
+ORDER BY m.doc_id
+"""
+
+
+@query("retrieval_phrase_match", oracle=PHRASE_ORACLE, category="llm-retrieval")
+def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phrase retrieval over a positional index — the retrieval
+    class BM25's bag-of-terms scoring cannot express (order and adjacency
+    matter). Self-contained: a first pass finds the corpus's most
+    frequent 3-token phrase (argmax, tie-broken lexicographically so the
+    choice is deterministic in both engines), then the positional match
+    returns every document containing it with occurrence counts and first
+    position.
+
+    Plan shape: the trigram argmax is one map-side-combined aggregate +
+    a 1-row TakeOrdered; the phrase itself broadcasts onto the position
+    relation, whose three legs are TERM-FILTERED before the adjacency
+    joins — the joins hash on (doc_id, position±i) and their inputs are
+    term-selectivity-sized, never corpus-sized. At 100 TB the legs read
+    from the materialized postings store (sinks/postings_store.py,
+    partitioned by md5(term) bucket) so the scan itself prunes to the
+    phrase's ≤3 partitions; this in-memory form and the store form return
+    bit-identical rows (tests/test_postings_store.py)."""
+    from wd2sql_spark.operators.postings import doc_positions, phrase_occurrences
+
+    d = table(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(ts) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ts, i), F.element_at(ts, i + 1), F.element_at(ts, i + 2)
+        ),
+    )
+    top = (
+        d.filter(F.size(ts) >= 3)
+        .select(F.explode(tri).alias("phrase"))
+        .groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "phrase")
+        .limit(1)
+        .select(
+            "phrase",
+            F.split(F.col("phrase"), " ").getItem(0).alias("t0"),
+            F.split(F.col("phrase"), " ").getItem(1).alias("t1"),
+            F.split(F.col("phrase"), " ").getItem(2).alias("t2"),
+        )
+    )
+    pos = doc_positions(d).crossJoin(F.broadcast(top))
+    # every leg pre-filters to ITS phrase token before the adjacency join
+    leg0 = pos.filter(F.col("term") == F.col("t0"))
+    rest = pos.filter((F.col("term") == F.col("t1")) | (F.col("term") == F.col("t2"))).select(
+        "doc_id", "p", "term"
+    )
+    occ = phrase_occurrences(leg0, rest, F.col("t1"), F.col("t2"))
+    return (
+        occ.join(F.broadcast(top.select("phrase")), how="cross")
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("p").cast("bigint").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )

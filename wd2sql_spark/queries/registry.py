@@ -225,6 +225,9 @@ _PRIORITY = (
     # group-aware split with a cross-engine-proved zero-leakage audit —
     # the only probe of cluster-co-travel splitting
     "split_leakage_safe",
+    # exact phrase retrieval over a positional index — the retrieval
+    # class BM25 cannot express (order/adjacency)
+    "retrieval_phrase_match",
     # streaming admission dedup: row-local banding + stream-static index
     # probe — the streaming×incremental crossover, full batch oracle
     "stream_incremental_neardup",
