@@ -622,3 +622,23 @@ def test_waterfill_single_corpus_aggregate(reports):
     r = reports["mix_token_budget_waterfill"]
     assert len(r.scans) == 1
     assert r.shuffles <= 4
+
+
+def test_phrase_match_legs_are_term_filtered(reports):
+    """Exact phrase retrieval: the trigram argmax is one aggregate +
+    1-row TakeOrdered; the three positional legs join on
+    (doc_id, position±i) AFTER term filters, so no corpus-sized join
+    input exists. Budget: the argmax exchange + three leg joins + the
+    doc-level aggregate and presentation sort."""
+    r = reports["retrieval_phrase_match"]
+    assert r.shuffles <= 8
+    assert not r.pandas_eval and not r.python_eval
+
+
+def test_split_leakage_reuses_dedup_machinery(reports):
+    """The leakage-safe split's fact-sized work is the dedup candidate
+    join + closure it shares with dedup_cluster_components; the per-doc
+    split/audit adds only broadcast joins."""
+    r = reports["split_leakage_safe"]
+    assert r.broadcasts >= 2
+    assert not r.pandas_eval and not r.python_eval
