@@ -265,3 +265,167 @@ def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+MMR_POOL_N = 30  # relevance candidate pool (top-N cosine)
+MMR_K = 10  # diversified results selected
+MMR_QUERY_ID = 0  # query embedding
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in DuckDB SQL (the BPE unrolled-round oracle
+    precedent): sel_i picks the argmax of rel6 − max(sim6 to sel_{<i})
+    among unselected pool members, ties on vec_id."""
+    head = f"""
+WITH pool AS MATERIALIZED (
+  SELECT c.vec_id,
+         CAST(round(round({_cos('q', 'c')}, 6) * 1000000, 0) AS BIGINT) AS rel6
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id = {MMR_QUERY_ID}
+  ORDER BY rel6 DESC, c.vec_id LIMIT {MMR_POOL_N}
+),
+sims AS MATERIALIZED (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(round(round({_cos('a', 'b')}, 6) * 1000000, 0) AS BIGINT) AS sim6
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id IN (SELECT vec_id FROM pool)
+    AND b.vec_id IN (SELECT vec_id FROM pool)
+),
+sel1 AS MATERIALIZED (
+  SELECT vec_id, rel6, CAST(0 AS BIGINT) AS maxsim6, rel6 AS margin6,
+         CAST(1 AS BIGINT) AS mmr_rank
+  FROM pool ORDER BY rel6 DESC, vec_id LIMIT 1
+)"""
+    steps = []
+    for i in range(2, MMR_K + 1):
+        prev = f"sel{i - 1}"
+        steps.append(f""",
+s{i} AS (
+  SELECT p.vec_id, p.rel6, m.ms AS maxsim6, p.rel6 - m.ms AS margin6,
+         CAST({i} AS BIGINT) AS mmr_rank
+  FROM pool p
+  JOIN (SELECT va, MAX(sim6) AS ms FROM sims
+        WHERE vb IN (SELECT vec_id FROM {prev}) GROUP BY va) m
+    ON m.va = p.vec_id
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev})
+  ORDER BY p.rel6 - m.ms DESC, p.vec_id LIMIT 1
+),
+sel{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM s{i})""")
+    tail = f"""
+SELECT mmr_rank, vec_id,
+       rel6 / 1000000.0 AS relevance,
+       maxsim6 / 1000000.0 AS max_sim_selected,
+       margin6 / 1000000.0 AS mmr_margin
+FROM sel{MMR_K}
+ORDER BY mmr_rank
+"""
+    return head + "".join(steps) + tail
+
+
+MMR_ORACLE = _mmr_oracle()
+
+
+@query("retrieval_mmr_diversified", oracle=MMR_ORACLE, category="llm-retrieval")
+def retrieval_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98) at λ = 1/2: from the top-{MMR_POOL_N} cosine
+    candidates of query {MMR_QUERY_ID}, greedily select {MMR_K} docs, each
+    step taking the argmax of relevance − max-similarity-to-already-
+    selected — pure relevance ranking returns near-duplicate neighbors;
+    MMR trades them for coverage.
+
+    Determinism: relevance and pairwise similarity live as round-6
+    integer micro-units (the same rounded cosines the brute-force family
+    hash-matches on), the λ = 1/2 objective is argmax-equivalent to the
+    integer margin rel6 − maxsim6, and every argmax tie breaks on vec_id
+    — so the greedy trajectory is identical in both engines; the oracle
+    replays it as {MMR_K} unrolled CTE steps (the BPE unrolled-round
+    precedent).
+
+    Scale shape: the corpus-sized work is exactly one brute-force top-N
+    pass (broadcast query × scan, per-partition top-k — the judged
+    sim_bruteforce_topk shape); everything after runs on the ≤{MMR_POOL_N}-row
+    pool (a {MMR_POOL_N}×{MMR_POOL_N} similarity join and {MMR_K} unrolled
+    1-row argmax steps — declarative, no driver collect loop). At 100 TB
+    the pool would come from the IVF/PQ store probes instead; the greedy
+    is pool-sized either way."""
+    from wd2sql_spark.operators.similarity import cosine, l2_norm
+
+    emb = table(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == MMR_QUERY_ID)
+    pool = (
+        S.brute_force_topk(emb, q0, k=MMR_POOL_N)
+        .select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.round(F.col("cosine") * 1_000_000, 0).cast("long").alias("rel6"),
+        )
+    )
+    pv = pool.join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    ).select("vec_id", "rel6", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+    a = pv.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = pv.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    )
+    sims = (
+        a.join(b, F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.round(
+                F.round(cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 6)
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("sim6"),
+        )
+        .persist()
+    )
+    pool = pool.persist()
+    selected = (
+        pool.orderBy(F.col("rel6").desc(), "vec_id")
+        .limit(1)
+        .select(
+            "vec_id",
+            "rel6",
+            F.lit(0).cast("long").alias("maxsim6"),
+            F.col("rel6").alias("margin6"),
+            F.lit(1).cast("long").alias("mmr_rank"),
+        )
+    )
+    for i in range(2, MMR_K + 1):
+        sel_ids = selected.select("vec_id")
+        ms = (
+            sims.join(sel_ids.withColumnRenamed("vec_id", "vb"), "vb")
+            .groupBy("va")
+            .agg(F.max("sim6").alias("ms"))
+        )
+        step = (
+            pool.join(sel_ids, "vec_id", "left_anti")
+            .join(ms.withColumnRenamed("va", "vec_id"), "vec_id")
+            .select(
+                "vec_id",
+                "rel6",
+                F.col("ms").alias("maxsim6"),
+                (F.col("rel6") - F.col("ms")).alias("margin6"),
+                F.lit(i).cast("long").alias("mmr_rank"),
+            )
+            .orderBy(F.col("margin6").desc(), "vec_id")
+            .limit(1)
+        )
+        selected = selected.unionByName(step)
+        # keep the unrolled plan constant-size: each step's 1-row winner is
+        # tiny, and without a checkpoint the analyzer re-expands the whole
+        # union chain at every later step (the connected-components /
+        # BPE-loop precedent)
+        selected = selected.localCheckpoint(eager=False)
+    return selected.select(
+        "mmr_rank",
+        "vec_id",
+        (F.col("rel6") / 1_000_000.0).alias("relevance"),
+        (F.col("maxsim6") / 1_000_000.0).alias("max_sim_selected"),
+        (F.col("margin6") / 1_000_000.0).alias("mmr_margin"),
+    ).orderBy("mmr_rank")

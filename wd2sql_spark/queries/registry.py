@@ -228,6 +228,9 @@ _PRIORITY = (
     # exact phrase retrieval over a positional index — the retrieval
     # class BM25 cannot express (order/adjacency)
     "retrieval_phrase_match",
+    # MMR diversified top-k — greedy relevance-vs-redundancy selection,
+    # the only probe of result diversification
+    "retrieval_mmr_diversified",
     # streaming admission dedup: row-local banding + stream-static index
     # probe — the streaming×incremental crossover, full batch oracle
     "stream_incremental_neardup",
