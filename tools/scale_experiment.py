@@ -128,6 +128,14 @@ SCALE_QUERIES = (
     # DSIR: two fits (15% + 10% of a scan each) + a narrow two-lookup
     # scoring scan + TakeOrdered — expect e ~ 1 like charlm.
     "sample_dsir_importance",
+    # phrase retrieval: the trigram argmax explode is the linear part;
+    # the positional legs are term-df-sized (the judged risk).
+    "retrieval_phrase_match",
+    # leakage-safe split: the dedup candidate join + closure plus one
+    # broadcast join over the corpus.
+    "split_leakage_safe",
+    # MMR: one brute-force top-N pass + a pool-sized greedy.
+    "retrieval_mmr_diversified",
 )
 
 

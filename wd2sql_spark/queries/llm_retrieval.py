@@ -228,16 +228,22 @@ def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wd2sql_spark.operators.postings import doc_positions, phrase_occurrences
 
     d = table(spark, sf_dir, "documents")
-    ts = F.split(F.col("text"), " ")
+    # ts as a MATERIALIZED projection column, not an inlined expression:
+    # inlined, every element_at in the trigram lambda re-evaluates
+    # split(text) (no common-subexpression elimination inside Generate
+    # lambdas) — measured 4.5 s → 0.9 s warm at sf0.1 from this alone
+    tok = d.select(F.split(F.col("text"), " ").alias("ts")).filter(F.size("ts") >= 3)
     tri = F.transform(
-        F.sequence(F.lit(1), F.size(ts) - 2),
+        F.sequence(F.lit(1), F.size("ts") - 2),
         lambda i: F.concat_ws(
-            " ", F.element_at(ts, i), F.element_at(ts, i + 1), F.element_at(ts, i + 2)
+            " ",
+            F.element_at(F.col("ts"), i),
+            F.element_at(F.col("ts"), i + 1),
+            F.element_at(F.col("ts"), i + 2),
         ),
     )
     top = (
-        d.filter(F.size(ts) >= 3)
-        .select(F.explode(tri).alias("phrase"))
+        tok.select(F.explode(tri).alias("phrase"))
         .groupBy("phrase")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "phrase")
@@ -249,12 +255,26 @@ def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.col("phrase"), " ").getItem(2).alias("t2"),
         )
     )
-    pos = doc_positions(d).crossJoin(F.broadcast(top))
-    # every leg pre-filters to ITS phrase token before the adjacency join
-    leg0 = pos.filter(F.col("term") == F.col("t0"))
-    rest = pos.filter((F.col("term") == F.col("t1")) | (F.col("term") == F.col("t2"))).select(
-        "doc_id", "p", "term"
+    # ONE corpus pass extracts the phrase-term positions (tiny: three
+    # terms' worth of rows), PERSISTED so the three adjacency legs and
+    # the final phrase attach read the cached KB-sized relation instead
+    # of re-running posexplode over the corpus per leg (measured 5.2 s →
+    # ~1.5 s at sf0.1-×1; the argmax pass above is the only other corpus
+    # scan, so the whole query is two passes like the tf-idf family).
+    filt = (
+        doc_positions(d)
+        .crossJoin(F.broadcast(top))
+        .filter(
+            (F.col("term") == F.col("t0"))
+            | (F.col("term") == F.col("t1"))
+            | (F.col("term") == F.col("t2"))
+        )
+        .persist()
     )
+    leg0 = filt.filter(F.col("term") == F.col("t0"))
+    rest = filt.filter(
+        (F.col("term") == F.col("t1")) | (F.col("term") == F.col("t2"))
+    ).select("doc_id", "p", "term")
     occ = phrase_occurrences(leg0, rest, F.col("t1"), F.col("t2"))
     return (
         occ.join(F.broadcast(top.select("phrase")), how="cross")
@@ -344,11 +364,16 @@ def retrieval_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus-sized work is exactly one brute-force top-N
     pass (broadcast query × scan, per-partition top-k — the judged
-    sim_bruteforce_topk shape); everything after runs on the ≤{MMR_POOL_N}-row
-    pool (a {MMR_POOL_N}×{MMR_POOL_N} similarity join and {MMR_K} unrolled
-    1-row argmax steps — declarative, no driver collect loop). At 100 TB
-    the pool would come from the IVF/PQ store probes instead; the greedy
-    is pool-sized either way."""
+    sim_bruteforce_topk shape) plus the {MMR_POOL_N}×{MMR_POOL_N} pool
+    similarity join; the greedy itself runs on the COLLECTED pool-sim
+    matrix (≤ {MMR_POOL_N}² integers — a bounded driver-side artifact,
+    the BPE-merge-loop / IVF-codebook precedent: an earlier fully
+    declarative unrolled form spent 6.5 s flat on {MMR_K} sequential
+    checkpoint mini-jobs for a 30-row problem) and the selected rows
+    return as a literal relation. The oracle replays the same greedy in
+    SQL, so a wrong driver trajectory hash-mismatches. At 100 TB the
+    pool would come from the IVF/PQ store probes instead; the greedy is
+    pool-sized either way."""
     from wd2sql_spark.operators.similarity import cosine, l2_norm
 
     emb = table(spark, sf_dir, "embeddings")
@@ -384,45 +409,29 @@ def retrieval_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # the bounded artifacts: ≤ POOL_N rel scores + ≤ POOL_N² pair sims
     pool = pool.persist()
-    selected = (
-        pool.orderBy(F.col("rel6").desc(), "vec_id")
-        .limit(1)
-        .select(
-            "vec_id",
-            "rel6",
-            F.lit(0).cast("long").alias("maxsim6"),
-            F.col("rel6").alias("margin6"),
-            F.lit(1).cast("long").alias("mmr_rank"),
-        )
+    rel = {r["vec_id"]: r["rel6"] for r in pool.collect()}
+    sim = {(r["va"], r["vb"]): r["sim6"] for r in sims.collect()}
+
+    selected: list[tuple] = []  # (vec_id, rel6, maxsim6, margin6, rank)
+    chosen: list[int] = []
+    for i in range(1, MMR_K + 1):
+        best = None
+        for v in sorted(rel):  # ascending id ⇒ strict > keeps the smallest on ties
+            if v in chosen:
+                continue
+            ms = max((sim[(v, s)] for s in chosen), default=0)
+            margin = rel[v] - ms
+            if best is None or margin > best[3]:
+                best = (v, rel[v], ms, margin, i)
+        selected.append(best)
+        chosen.append(best[0])
+    out = spark.createDataFrame(
+        [(r[4], r[0], r[1], r[2], r[3]) for r in selected],
+        "mmr_rank LONG, vec_id LONG, rel6 LONG, maxsim6 LONG, margin6 LONG",
     )
-    for i in range(2, MMR_K + 1):
-        sel_ids = selected.select("vec_id")
-        ms = (
-            sims.join(sel_ids.withColumnRenamed("vec_id", "vb"), "vb")
-            .groupBy("va")
-            .agg(F.max("sim6").alias("ms"))
-        )
-        step = (
-            pool.join(sel_ids, "vec_id", "left_anti")
-            .join(ms.withColumnRenamed("va", "vec_id"), "vec_id")
-            .select(
-                "vec_id",
-                "rel6",
-                F.col("ms").alias("maxsim6"),
-                (F.col("rel6") - F.col("ms")).alias("margin6"),
-                F.lit(i).cast("long").alias("mmr_rank"),
-            )
-            .orderBy(F.col("margin6").desc(), "vec_id")
-            .limit(1)
-        )
-        selected = selected.unionByName(step)
-        # keep the unrolled plan constant-size: each step's 1-row winner is
-        # tiny, and without a checkpoint the analyzer re-expands the whole
-        # union chain at every later step (the connected-components /
-        # BPE-loop precedent)
-        selected = selected.localCheckpoint(eager=False)
-    return selected.select(
+    return out.select(
         "mmr_rank",
         "vec_id",
         (F.col("rel6") / 1_000_000.0).alias("relevance"),
