@@ -70,3 +70,23 @@ def test_store_layout_partitions_by_band(spark, store):
     raw = spark.read.parquet(f"{store}/bands")
     bands = {r.band for r in raw.select("band").distinct().collect()}
     assert bands == {0, 1, 2, 3}
+
+
+def test_compaction_preserves_content_and_shrinks_files(spark, split, tmp_path_factory):
+    """After admission appends, compaction must leave the band index
+    bit-identical while collapsing the per-append file accumulation."""
+    from wd2sql_spark.sinks.lsh_store import compact_lsh_store
+
+    docs, corpus, delta = split
+    path = str(tmp_path_factory.mktemp("lsh-cpt") / "store")
+    write_lsh_store(corpus, path)
+    append_to_lsh_store(delta, path)
+
+    def snap():
+        return sorted(map(tuple, read_lsh_store(spark, path).collect()))
+
+    before = snap()
+    n_before = len(read_lsh_store(spark, path).inputFiles())
+    compact_lsh_store(spark, path)
+    assert snap() == before
+    assert len(read_lsh_store(spark, path).inputFiles()) < n_before

@@ -112,3 +112,26 @@ def test_append_equals_rebuild(spark, docs, tmp_path_factory):
         for r in build_postings(docs).collect()
     )
     assert stored == rebuilt
+
+
+def test_compaction_preserves_content_and_shrinks_files(spark, docs, tmp_path_factory):
+    """After admission appends, compaction must leave the relation
+    bit-identical while collapsing the per-append file accumulation."""
+    from wd2sql_spark.sinks.postings_store import compact_postings_store
+
+    path = str(tmp_path_factory.mktemp("postings-cpt") / "store")
+    write_postings_store(docs.filter(F.col("doc_id") % 3 == 0), path)
+    append_to_postings_store(docs.filter(F.col("doc_id") % 3 == 1), path)
+    append_to_postings_store(docs.filter(F.col("doc_id") % 3 == 2), path)
+
+    def snap():
+        return sorted(
+            (r["term"], r["doc_id"], tuple(r["positions"]), r["bucket"])
+            for r in read_postings_store(spark, path).collect()
+        )
+
+    before = snap()
+    n_files_before = len(read_postings_store(spark, path).inputFiles())
+    compact_postings_store(spark, path)
+    assert snap() == before
+    assert len(read_postings_store(spark, path).inputFiles()) < n_files_before

@@ -89,3 +89,15 @@ def probe_lsh_store(
     return incremental_index_probe(
         read_lsh_store(spark, path), delta_idx, k=k, min_est_jaccard=min_est_jaccard
     )
+
+
+def compact_lsh_store(spark: SparkSession, path: str) -> None:
+    """Periodic maintenance after many admission appends: rewrite the
+    band dataset through the canonical layout (range-spread + within-file
+    band_key sort) and swap atomically — file counts shrink back to one
+    write generation and per-file band_key ranges become tight again, so
+    probe-time row-group skipping recovers. Content is bit-identical
+    (pinned by tests/test_lsh_store.py)."""
+    from wd2sql_spark.sinks.compact import compact_dataset
+
+    compact_dataset(spark, f"{path}/bands", _layout, ["band"])

@@ -93,3 +93,14 @@ def phrase_from_store(
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
         F.min("p").cast("bigint").alias("first_pos"),
     )
+
+
+def compact_postings_store(spark: SparkSession, path: str) -> None:
+    """Periodic maintenance after many admission appends: rewrite the
+    postings dataset through the canonical layout (range-spread +
+    within-file term sort) and swap atomically — small per-append files
+    collapse and per-file term ranges tighten, restoring row-group
+    skipping. Content is bit-identical (tests/test_postings_store.py)."""
+    from wd2sql_spark.sinks.compact import compact_dataset
+
+    compact_dataset(spark, f"{path}/postings", _layout, ["bucket"])
