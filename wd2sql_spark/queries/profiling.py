@@ -286,3 +286,104 @@ def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stat, 6).alias("ks_stat"),
         F.when(stat > bound, "drift").otherwise("stable").alias("verdict"),
     ).orderBy("event_type")
+
+
+# Canonical row serializations for the checksum: integers and strings
+# only (cross-engine identical formatting); doubles enter as exact
+# integer cents, timestamps as epoch micros. '\x1f' (unit separator)
+# delimits; NULLs render as the '\x00' sentinel.
+_CKSUM_TABLES = {
+    "documents": (
+        "CAST(doc_id AS VARCHAR)",
+        "COALESCE(text, chr(0))",
+        "COALESCE(lang, chr(0))",
+        "COALESCE(source, chr(0))",
+        "CAST(n_chars AS VARCHAR)",
+    ),
+    "customer": (
+        "CAST(c_custkey AS VARCHAR)",
+        "COALESCE(c_name, chr(0))",
+        "CAST(c_nationkey AS VARCHAR)",
+        "COALESCE(c_mktsegment, chr(0))",
+        "CAST(CAST(round(c_acctbal * 100, 0) AS BIGINT) AS VARCHAR)",
+    ),
+    "events": (
+        "CAST(event_id AS VARCHAR)",
+        "CAST(user_id AS VARCHAR)",
+        "COALESCE(event_type, chr(0))",
+        "CAST(epoch_us(ts) AS VARCHAR)",
+        "CAST(CAST(round(value * 1000000, 0) AS BIGINT) AS VARCHAR)",
+    ),
+}
+
+_CKSUM_DIGEST = (
+    "CAST(('0x' || substring(md5(concat_ws(chr(31), {cols})), 1, 15)) AS BIGINT)"
+)
+
+CHECKSUM_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor({_CKSUM_DIGEST.format(cols=', '.join(cols))}) AS BIGINT) AS xor_checksum
+FROM {t}"""
+    for t, cols in sorted(_CKSUM_TABLES.items())
+) + "\nORDER BY table_name"
+
+
+@query("profile_table_checksum", oracle=CHECKSUM_ORACLE, category="profiling")
+def profile_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprints: per table, the row count and
+    the XOR of a 60-bit md5 digest of each row's canonical serialization
+    — the one-pass validation a 100 TB migration/copy/backfill runs on
+    both sides to prove the data survived (row-order independent, needs
+    no sort or join, and XOR is mergeable so partial aggregation
+    combines map-side; a single flipped byte in any row flips the
+    fingerprint).
+
+    Cross-engine exactness: the canonical serialization is integers and
+    strings only (doubles enter as exact integer cents/micro-units,
+    timestamps as epoch micros), md5 is bit-identical in both engines,
+    and XOR is associative/commutative — so the fingerprint matches
+    DuckDB regardless of partitioning or row order. One scan per table,
+    zero shuffles beyond each table's 1-row aggregate."""
+    outs = []
+    for t, _cols in sorted(_CKSUM_TABLES.items()):
+        rel = table(spark, sf_dir, t)
+        if t == "documents":
+            canon = F.concat_ws(
+                "\x1f",
+                F.col("doc_id").cast("string"),
+                F.coalesce(F.col("text"), F.lit("\x00")),
+                F.coalesce(F.col("lang"), F.lit("\x00")),
+                F.coalesce(F.col("source"), F.lit("\x00")),
+                F.col("n_chars").cast("string"),
+            )
+        elif t == "customer":
+            canon = F.concat_ws(
+                "\x1f",
+                F.col("c_custkey").cast("string"),
+                F.coalesce(F.col("c_name"), F.lit("\x00")),
+                F.col("c_nationkey").cast("string"),
+                F.coalesce(F.col("c_mktsegment"), F.lit("\x00")),
+                F.round(F.col("c_acctbal") * 100, 0).cast("long").cast("string"),
+            )
+        else:  # events
+            canon = F.concat_ws(
+                "\x1f",
+                F.col("event_id").cast("string"),
+                F.col("user_id").cast("string"),
+                F.coalesce(F.col("event_type"), F.lit("\x00")),
+                F.unix_micros(F.col("ts")).cast("string"),
+                F.round(F.col("value") * 1_000_000, 0).cast("long").cast("string"),
+            )
+        digest = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+        outs.append(
+            rel.select(digest.alias("d")).agg(
+                F.lit(t).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.bit_xor(F.col("d")).alias("xor_checksum"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("table_name")

@@ -231,6 +231,9 @@ _PRIORITY = (
     # MMR diversified top-k — greedy relevance-vs-redundancy selection,
     # the only probe of result diversification
     "retrieval_mmr_diversified",
+    # order-insensitive XOR-of-md5 table fingerprints — the migration
+    # validation primitive, the only probe of mergeable checksums
+    "profile_table_checksum",
     # streaming admission dedup: row-local banding + stream-static index
     # probe — the streaming×incremental crossover, full batch oracle
     "stream_incremental_neardup",
