@@ -28,14 +28,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# The most recent call's persisted partition layout. Bounded to ONE
-# relation: each new call unpersists the previous one (by then its result
-# has been materialized by the caller — battery queries run to completion
-# before the next starts), so repeated battery runs in a long-lived
-# session can't accumulate cached partitions (the r2-ADVICE leak shape).
-_LAST_PERSISTED: list[DataFrame] = []
-
-
 def assign_contiguous_ids(
     df: DataFrame,
     order_cols: list[str],
@@ -55,16 +47,19 @@ def assign_contiguous_ids(
         df.repartitionByRange(n_partitions, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id())
-        # persist pins the partition layout: the count job and the
-        # numbering job MUST see identical partitions for the offsets to
-        # be valid, and the cache guarantees it (rather than relying on
-        # the range sampler re-drawing identical boundaries per job).
-        # Callers unpersist after materializing the result.
-        .persist()
+        # EAGER localCheckpoint pins the partition layout: the count job
+        # and the numbering job MUST see identical partitions for the
+        # baked offsets to be valid, and the range sampler redraws
+        # boundaries per execution. A persist() is NOT enough — an
+        # earlier revision persisted here and unpersisted on the next
+        # call, which silently corrupted ids when a caller composed
+        # several assignments into one plan (the layout audit's three
+        # orderings): the unpersisted layouts re-executed with fresh
+        # boundaries under stale offsets. Checkpoint blocks are cleaned
+        # by the ContextCleaner when the relation is unreferenced, so
+        # repeated battery runs stay bounded.
+        .localCheckpoint(eager=True)
     )
-    while _LAST_PERSISTED:
-        _LAST_PERSISTED.pop().unpersist()
-    _LAST_PERSISTED.append(parts)
     counts = {
         r["_pid"]: r["n"]
         for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()

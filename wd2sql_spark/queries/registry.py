@@ -234,6 +234,10 @@ _PRIORITY = (
     # order-insensitive XOR-of-md5 table fingerprints — the migration
     # validation primitive, the only probe of mergeable checksums
     "profile_table_checksum",
+    # Hilbert vs Z-order vs linear under equal-row files — the locality
+    # comparison lakehouse clustering migrated over; also re-proves the
+    # id assigner after its checkpoint-pinning fix
+    "layout_hilbert_locality",
     # streaming admission dedup: row-local banding + stream-static index
     # probe — the streaming×incremental crossover, full batch oracle
     "stream_incremental_neardup",
