@@ -567,3 +567,173 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive training-pair construction
+# ---------------------------------------------------------------------------
+
+NEG_K = 3  # negatives kept per (anchor, positive) pair
+NEG_DRAWS = 6  # md5 draws per pair (collisions/exclusions consume a few)
+PAIR_J_MIN = 0.5  # positives: near-dup pairs at the cluster threshold
+
+
+def _pairs_oracle() -> str:
+    from wd2sql_spark.queries.llm_dedup import _CAPPED_SHINGLES_CTE
+
+    draws = ", ".join(str(j) for j in range(1, NEG_DRAWS + 1))
+    return f"""
+WITH {_CAPPED_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pos AS (
+  SELECT d1 AS anchor_id, d2 AS positive_id,
+         round(CAST(common AS DOUBLE)/(s1.n_sh + s2.n_sh - common), 6) AS jaccard
+  FROM cand JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE CAST(common AS DOUBLE)/(s1.n_sh + s2.n_sh - common) >= {PAIR_J_MIN}
+),
+sym AS (
+  SELECT anchor_id AS a, positive_id AS b FROM pos
+  UNION ALL SELECT positive_id, anchor_id FROM pos
+),
+dense AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS idx,
+         COUNT(*) OVER () AS n FROM documents
+),
+draws AS (
+  SELECT p.anchor_id, p.positive_id, p.jaccard, j.j,
+         CAST(('0x' || substring(md5(CAST(p.anchor_id AS VARCHAR) || ':'
+               || CAST(p.positive_id AS VARCHAR) || ':'
+               || CAST(j.j AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM pos p CROSS JOIN (SELECT unnest([{draws}]) AS j) j
+),
+cands AS (
+  SELECT d.anchor_id, d.positive_id, d.jaccard, d.j, dn.doc_id AS negative_id
+  FROM draws d JOIN dense dn ON dn.idx = (d.h % dn.n) + 1
+),
+ok AS (
+  SELECT c.*
+  FROM cands c
+  LEFT JOIN sym s ON s.a = c.anchor_id AND s.b = c.negative_id
+  WHERE c.negative_id <> c.anchor_id AND c.negative_id <> c.positive_id
+    AND s.a IS NULL
+),
+ranked AS (
+  SELECT anchor_id, positive_id, jaccard, negative_id,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id, positive_id ORDER BY j)
+           AS neg_rank
+  FROM ok
+)
+SELECT CAST(anchor_id AS BIGINT) AS anchor_id,
+       CAST(positive_id AS BIGINT) AS positive_id,
+       jaccard,
+       CAST(negative_id AS BIGINT) AS negative_id,
+       CAST(neg_rank AS BIGINT) AS neg_rank
+FROM ranked WHERE neg_rank <= {NEG_K}
+ORDER BY anchor_id, positive_id, neg_rank
+"""
+
+
+PAIRS_ORACLE = _pairs_oracle()
+
+
+@query("pairs_contrastive_build", oracle=PAIRS_ORACLE, category="llm_sampling")
+def pairs_contrastive_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair construction — the dataset builder for
+    embedding-model training (SimCSE/E5-style): each near-duplicate pair
+    (Jaccard ≥ {PAIR_J_MIN}, the cluster threshold) becomes an
+    (anchor, positive) example, and every example gets {NEG_K}
+    REPRODUCIBLE random negatives: md5(anchor:positive:draw) indexes into
+    the dense corpus enumeration, and draws that collide with the anchor,
+    the positive, or any of the anchor's near-dup partners are discarded
+    (the standard false-negative filter), keeping the first {NEG_K}
+    survivors in draw order. No RNG state anywhere — the same pairs come
+    out on any engine, cluster size, or run, which is what makes the
+    training set reproducible and the oracle exact.
+
+    Scale shape: positives ride the capped-df Jaccard join the dedup
+    family already pays; the dense index is the scalable contiguous-id
+    assigner (range exchange + driver prefix-sum — no global window); the
+    draw join is |pairs|·{NEG_DRAWS} rows against the N-row index, an
+    equi-join on the drawn position; the false-negative filter is a
+    broadcast-sized anti-join against the symmetrized pair set."""
+    from wd2sql_spark.operators import dedup as D
+    from wd2sql_spark.operators.ids_assign import assign_contiguous_ids
+    from wd2sql_spark.queries.llm_dedup import MAX_SHINGLE_DF
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = (
+        D.jaccard_pairs(docs, n=3, max_doc_freq=MAX_SHINGLE_DF)
+        .filter(F.col("jaccard") >= PAIR_J_MIN)
+        .select(
+            F.col("d1").alias("anchor_id"),
+            F.col("d2").alias("positive_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .persist()
+    )
+    sym = pairs.select(
+        F.col("anchor_id").alias("a"), F.col("positive_id").alias("b")
+    ).unionAll(
+        pairs.select(F.col("positive_id").alias("a"), F.col("anchor_id").alias("b"))
+    )
+    dense = assign_contiguous_ids(docs.select("doc_id"), ["doc_id"], id_col="idx")
+    n_docs = F.broadcast(dense.agg(F.count(F.lit(1)).alias("n")))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("anchor_id").cast("string"),
+                    F.col("positive_id").cast("string"),
+                    F.col("j").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    draws = (
+        pairs.select(
+            "anchor_id",
+            "positive_id",
+            "jaccard",
+            F.explode(F.sequence(F.lit(1), F.lit(NEG_DRAWS))).alias("j"),
+        )
+        .crossJoin(n_docs)
+        .withColumn("pos_idx", F.pmod(h, F.col("n")) + 1)
+    )
+    cands = draws.join(
+        dense.select(F.col("idx").alias("pos_idx"), F.col("doc_id").alias("negative_id")),
+        "pos_idx",
+    )
+    ok = (
+        cands.filter(
+            (F.col("negative_id") != F.col("anchor_id"))
+            & (F.col("negative_id") != F.col("positive_id"))
+        )
+        .join(
+            sym.withColumnRenamed("a", "anchor_id").withColumnRenamed("b", "negative_id"),
+            ["anchor_id", "negative_id"],
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("anchor_id", "positive_id").orderBy("j")
+    return (
+        ok.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= NEG_K)
+        .select(
+            F.col("anchor_id").cast("bigint"),
+            F.col("positive_id").cast("bigint"),
+            "jaccard",
+            F.col("negative_id").cast("bigint"),
+            "neg_rank",
+        )
+        .orderBy("anchor_id", "positive_id", "neg_rank")
+    )

@@ -238,6 +238,10 @@ _PRIORITY = (
     # comparison lakehouse clustering migrated over; also re-proves the
     # id assigner after its checkpoint-pinning fix
     "layout_hilbert_locality",
+    # contrastive (anchor, positive, negatives) dataset construction —
+    # the only probe of training-pair building with false-negative
+    # filtering and reproducible md5 negatives
+    "pairs_contrastive_build",
     # streaming admission dedup: row-local banding + stream-static index
     # probe — the streaming×incremental crossover, full batch oracle
     "stream_incremental_neardup",
