@@ -83,6 +83,34 @@ HEADLINE = (
     "retrieval_phrase_match",
 )
 
+# The 22 classic TPC-H query shapes, one registered query per number —
+# reported as a single power-run wall time (``tpch22_wall_time``) so the
+# classic suite has its own recognizable line beside the LLM battery.
+TPCH22 = (
+    "agg_pricing_summary",  # Q1
+    "subq_min_cost_supplier",  # Q2
+    "join_shipping_priority_topk",  # Q3
+    "subq_order_priority_check",  # Q4
+    "join_multiway_local_supplier_volume",  # Q5
+    "agg_forecast_revenue",  # Q6
+    "join_nation_pair_volume",  # Q7
+    "join_market_share",  # Q8
+    "join_profit_by_nation_year",  # Q9
+    "join_returned_item_ranking",  # Q10
+    "subq_important_supply_value",  # Q11
+    "agg_ship_priority_modes",  # Q12
+    "agg_customer_order_distribution",  # Q13
+    "agg_promo_revenue_ratio",  # Q14
+    "subq_top_supplier_revenue",  # Q15
+    "agg_supplier_variety",  # Q16
+    "subq_small_quantity_revenue",  # Q17
+    "subq_in_agg_large_orders",  # Q18
+    "join_disjunctive_predicate",  # Q19
+    "subq_excess_share_suppliers",  # Q20
+    "subq_sole_fault_suppliers",  # Q21
+    "subq_sales_opportunity_antijoin",  # Q22
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -145,6 +173,20 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
+    # TPC-H power run: the 22 classic shapes back-to-back, one warm
+    # execution each (cold/codegen paid by an untimed first pass; shapes
+    # already in HEADLINE are warm anyway). Sum = the classic suite's
+    # single-stream wall time at this SF.
+    tpch: dict[str, float] = {}
+    for name in TPCH22:
+        q = registry.get(name)
+        if q is None:
+            continue
+        force(q.fn(spark, sf_dir))
+        t0 = time.perf_counter()
+        force(q.fn(spark, sf_dir))
+        tpch[name] = round(time.perf_counter() - t0, 4)
+
     etl = _bench_etl(spark)
 
     print(
@@ -157,6 +199,8 @@ def main() -> None:
                 "cold_queries": cold,
                 "etl_wall_time": etl["etl_wall_time"],
                 "etl": etl,
+                "tpch22_wall_time": round(sum(tpch.values()), 4),
+                "tpch22": tpch,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "notes": {
                     "fixtures": (
