@@ -48,3 +48,17 @@ def test_no_unhashable_result_columns(spark, sf_dir):
             if isinstance(f.dataType, (ArrayType, MapType, StructType, BinaryType)):
                 offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert offenders == [], offenders
+
+
+def test_tpch22_power_run_names_resolve():
+    """bench.py's TPC-H power run references one registered, oracled
+    query per classic shape; a registry rename must fail here, not
+    silently shrink the published tpch22_wall_time."""
+    from bench import TPCH22
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(TPCH22) == 22 and len(set(TPCH22)) == 22
+    for name in TPCH22:
+        assert name in qs, name
+        assert name in oracles, name
