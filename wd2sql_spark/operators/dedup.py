@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
-from wd2sql_spark.session_cache import SessionCache
+from wd2sql_spark.session_cache import SessionCache, bounded_persist
 
 HEX_DIGITS = "0123456789abcdef"
 
@@ -141,7 +141,7 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, max_doc_freq: int | None = None) 
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= max_doc_freq)
         sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
-    sh = sh.persist()
+    sh = bounded_persist(sh, "dedup.jaccard_shingles")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -235,11 +235,20 @@ def jaccard_pairs_prefix_filter(
         return pd_rel
 
     if cache_key is not None:
-        # session-cache owns these persists; the ad-hoc holder below
-        # must never unpersist them
+        # session-cache owns these persists; the ad-hoc holder below must
+        # never unpersist them. The cache VALUE carries every persisted
+        # intermediate (sh included), so clear_all_session_caches() can
+        # release them — an earlier version dropped the sh handle into a
+        # discarded list, leaving it unreachable by anything but
+        # spark.catalog.clearCache().
+        def build_cached() -> tuple[DataFrame, ...]:
+            holder: list[DataFrame] = []
+            rel = build(holder)
+            return (rel, *holder)
+
         per_doc = _PREFIX_CACHE.get_or_build(
-            docs.sparkSession, ("prefix_arr", cache_key, n), lambda: build([])
-        )
+            docs.sparkSession, ("prefix_arr", cache_key, n), build_cached
+        )[0]
     else:
         while _PREFIX_PERSISTED:
             _PREFIX_PERSISTED.pop().unpersist()
@@ -356,7 +365,7 @@ def minhash_lsh_pairs(
     # sig feeds the band-key build AND both sides of the estimate join;
     # persist avoids re-running the shingle+md5 pipeline three times. The
     # signature relation is one ~k·16 B row per doc — small at any SF.
-    sig = minhash_signatures_wide(docs, k, n).persist()
+    sig = bounded_persist(minhash_signatures_wide(docs, k, n), "dedup.minhash_sig")
     n_bands = k // band_size
     # mh columns are fixed-width hex, so plain concatenation is injective.
     band_structs = F.array(

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from wd2sql_spark.session_cache import bounded_persist
+
 from wd2sql_spark.catalog import table
 from wd2sql_spark.operators import dedup as D
 from wd2sql_spark.queries.llm_dedup import _CAPPED_SHINGLES_CTE, MAX_SHINGLE_DF
@@ -75,8 +77,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.jaccard_pairs(docs, n=3, max_doc_freq=MAX_SHINGLE_DF)
         .filter(F.col("jaccard") >= JACCARD_EDGE_MIN)
         .select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-        .persist()
     )
+    edges = bounded_persist(edges, "graph.components_edges")
     comp = D.connected_components(edges)
     return (
         comp.groupBy("cluster_id")

@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from wd2sql_spark.session_cache import bounded_persist
+
 from wd2sql_spark.catalog import table
 from wd2sql_spark.operators.graph_ops import pagerank_ranks, triangles
 from wd2sql_spark.queries.registry import query
@@ -104,11 +106,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("s1", "s2").alias("a"), F.greatest("s1", "s2").alias("b")
         )
         .distinct()
-        # Tiny relation (|V|·k edges max) consumed three times by the
-        # triangle join — persist so the incidence self-join + window
-        # pipeline runs once, not per join leg.
-        .persist()
     )
+    # Tiny relation (|V|·k edges max) consumed three times by the
+    # triangle join — persist so the incidence self-join + window
+    # pipeline runs once, not per join leg.
+    und = bounded_persist(und, "graph_analytics.triangle_und")
     return (
         triangles(und)
         .select(F.explode(F.array("ta", "tb", "tc")).alias("node"))
@@ -198,8 +200,13 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Edges feed the degree aggregate plus one join per iteration; the
     # distinct-pairs expansion would otherwise recompute each time.
-    edges = edges.persist()
-    ranks = pagerank_ranks(edges, iters=ITERS, r0=R0, damp_num=DAMP_NUM, damp_den=DAMP_DEN)
+    edges = bounded_persist(edges, "graph_analytics.pagerank_edges", key=(sf_dir,))
+    # explicit cache key: (sf_dir + the constants) — the checkpoint holder
+    # skips per-call sameSemantics canonicalization of the big pairs tree
+    ranks = pagerank_ranks(
+        edges, iters=ITERS, r0=R0, damp_num=DAMP_NUM, damp_den=DAMP_DEN,
+        cache_key=(sf_dir, ITERS, R0, DAMP_NUM, DAMP_DEN),
+    )
     return ranks.select(
         F.col("node").cast("bigint"),
         F.when(F.col("node") >= SUPP_OFFSET, "supplier").otherwise("customer").alias("node_type"),

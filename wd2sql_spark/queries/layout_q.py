@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from wd2sql_spark.catalog import table
 from wd2sql_spark.operators.layout import scale_to_bits, zorder_sql, zorder_value
 from wd2sql_spark.queries.registry import query
+from wd2sql_spark.session_cache import bounded_persist
 
 BITS = 8  # per-dimension resolution: u in [0, 255]
 Z_BUCKET = 4096  # 2^(2*BITS) / 16 -> 16 z-buckets
@@ -251,7 +252,8 @@ def layout_hilbert_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u2",
         hilbert_value(F.col("u1"), F.col("u2"), BITS).alias("hd"),
         zorder_value([F.col("u1"), F.col("u2")], BITS).alias("z"),
-    ).persist()
+    )
+    keyed = bounded_persist(keyed, "layout_q.hilbert_keyed")
     total = F.broadcast(keyed.agg(F.count(F.lit(1)).alias("total")))
 
     def bucketed(layout: str, order_cols: list[str]):

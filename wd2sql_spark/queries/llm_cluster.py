@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from wd2sql_spark.session_cache import bounded_persist
+
 from wd2sql_spark.catalog import table
 from wd2sql_spark.queries.registry import query
 
@@ -327,7 +329,9 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and re-quantizing the corpus — the standard Spark iterative-ML
     # pattern (the relation is (id, 64 longs): a fraction of the raw
     # corpus, MEMORY_AND_DISK spills if it ever outgrows memory).
-    vecs = emb.select("vec_id", _iv(F.col("embedding")).alias("iv")).persist()
+    vecs = bounded_persist(
+        emb.select("vec_id", _iv(F.col("embedding")).alias("iv")), "llm_cluster.kmeans_vecs"
+    )
     seeds = (
         vecs.orderBy("vec_id")
         .limit(K)

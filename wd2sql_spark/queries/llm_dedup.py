@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from wd2sql_spark.catalog import table
 from wd2sql_spark.operators import dedup as D
 from wd2sql_spark.queries.registry import query
+from wd2sql_spark.session_cache import bounded_persist
 
 # Shared SQL fragments -------------------------------------------------------
 
@@ -362,7 +363,10 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wd2sql_spark.queries.llm_sampling import md5_bucket
 
     is_delta = md5_bucket(F.col("doc_id"), 100) < 10
-    idx = D.minhash_band_index(docs, k=16, band_size=4, n=3).persist()
+    idx = bounded_persist(
+        D.minhash_band_index(docs, k=16, band_size=4, n=3),
+        "llm_dedup.incremental_band_index",
+    )
     return (
         D.incremental_index_probe(
             idx.filter(~is_delta), idx.filter(is_delta), k=16, min_est_jaccard=0.25

@@ -38,6 +38,7 @@ from wd2sql_spark.queries.llm_text import (
     BM25_TERMS,
 )
 from wd2sql_spark.queries.registry import query
+from wd2sql_spark.session_cache import bounded_persist
 
 RRF_C = 60
 RUN_K = 20  # depth of each constituent run
@@ -261,15 +262,15 @@ def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of re-running posexplode over the corpus per leg (measured 5.2 s →
     # ~1.5 s at sf0.1-×1; the argmax pass above is the only other corpus
     # scan, so the whole query is two passes like the tf-idf family).
-    filt = (
+    filt = bounded_persist(
         doc_positions(d)
         .crossJoin(F.broadcast(top))
         .filter(
             (F.col("term") == F.col("t0"))
             | (F.col("term") == F.col("t1"))
             | (F.col("term") == F.col("t2"))
-        )
-        .persist()
+        ),
+        "llm_retrieval.phrase_filt",
     )
     leg0 = filt.filter(F.col("term") == F.col("t0"))
     rest = filt.filter(
@@ -409,10 +410,14 @@ def retrieval_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    # the bounded artifacts: ≤ POOL_N rel scores + ≤ POOL_N² pair sims
+    # the bounded artifacts: ≤ POOL_N rel scores + ≤ POOL_N² pair sims —
+    # both consumed by the two collects below, so the persists are
+    # released before this function returns (no battery-run accumulation)
     pool = pool.persist()
     rel = {r["vec_id"]: r["rel6"] for r in pool.collect()}
     sim = {(r["va"], r["vb"]): r["sim6"] for r in sims.collect()}
+    pool.unpersist()
+    sims.unpersist()
 
     selected: list[tuple] = []  # (vec_id, rel6, maxsim6, margin6, rank)
     chosen: list[int] = []
@@ -425,6 +430,11 @@ def retrieval_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
             margin = rel[v] - ms
             if best is None or margin > best[3]:
                 best = (v, rel[v], ms, margin, i)
+        if best is None:
+            # pool smaller than MMR_K (tiny corpus): stop with the shorter
+            # trajectory, exactly like the SQL oracle's unrolled steps,
+            # which simply produce no row once the pool is exhausted
+            break
         selected.append(best)
         chosen.append(best[0])
     out = spark.createDataFrame(

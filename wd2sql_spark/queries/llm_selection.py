@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from wd2sql_spark.catalog import table
 from wd2sql_spark.queries._determinism import _int_div
 from wd2sql_spark.queries.registry import query
-from wd2sql_spark.session_cache import SessionCache
+from wd2sql_spark.session_cache import SessionCache, bounded_persist
 
 # ---------------------------------------------------------------------------
 # DSIR importance resampling
@@ -222,7 +222,7 @@ def _dsir_scored(d: DataFrame) -> DataFrame:
     fold = lambda col: F.aggregate(col, F.lit(0).cast("long"), lambda acc, x: acc + x)  # noqa: E731
     n = F.size(F.col("pt6s")).cast("long")
     avg = lambda s: _int_div(F.lit(2) * s + F.col("n"), F.lit(2) * F.col("n"))  # noqa: E731
-    return (
+    scored = (
         d.filter(F.length("text") >= 2)
         .select("doc_id", "source", idxs.alias("idxs"))
         .select("doc_id", "source", looked(t_tab).alias("pt6s"), looked(r_tab).alias("pr6s"))
@@ -238,10 +238,11 @@ def _dsir_scored(d: DataFrame) -> DataFrame:
             avg(F.col("sr")).alias("r6"),
         )
         .withColumn("importance_6", F.col("t6") - F.col("r6"))
-        # persist before the top-k: cheap doc-level rows; re-scoring the
-        # corpus on every battery/bench re-run is the expensive part
-        .persist()
     )
+    # persist before the top-k: cheap doc-level rows; re-scoring the
+    # corpus on every battery/bench re-run is the expensive part.
+    # bounded_persist releases the previous call's copy first.
+    return bounded_persist(scored, "llm_selection.dsir_scores")
 
 
 # ---------------------------------------------------------------------------
@@ -527,8 +528,8 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.jaccard_pairs(docs, n=3, max_doc_freq=MAX_SHINGLE_DF)
         .filter(F.col("jaccard") >= JACCARD_EDGE_MIN)
         .select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-        .persist()
     )
+    edges = bounded_persist(edges, "llm_selection.split_edges")
     comp = D.connected_components(edges)
     grouped = docs.select("doc_id").join(
         F.broadcast(comp.withColumnRenamed("node", "doc_id")), "doc_id", "left"
@@ -674,8 +675,8 @@ def pairs_contrastive_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d2").alias("positive_id"),
             F.round("jaccard", 6).alias("jaccard"),
         )
-        .persist()
     )
+    pairs = bounded_persist(pairs, "llm_selection.contrastive_pairs")
     sym = pairs.select(
         F.col("anchor_id").alias("a"), F.col("positive_id").alias("b")
     ).unionAll(

@@ -96,171 +96,41 @@ def query(name: str, oracle: str | None = None, category: str = "misc") -> Calla
 
 
 # Within the module order above, hand-pick the front of the line for the
-# driver's capped (~50-entry) run. Round 3: (a) the two round-2 failures
-# first to confirm their fixes, (b) the 17 queries with no CORRECTNESS row
-# in any round (r1 ∪ r2) so every registered query ends the round with a
-# cumulative driver row, (c) sim_lsh_topk whose oracle is new this round,
-# (d) the operators new in round 3 (curation/joins/chunking/packing/
-# semdedup) needing first rows, (e) a rotation of earlier-green families
-# to re-confirm under the changed exact_sum_at arithmetic. Names not
-# listed keep their module-order position after these.
+# driver's capped (~50-entry) run. Round 4: close the attestation gap —
+# the 34 registered queries that have never had a CORRECTNESS row in any
+# driver round (r1 ∪ r2 ∪ r3 covered the other 144) all go first, so one
+# round leaves every query in the registry driver-attested. They fall in
+# three groups: (a) the round-3 LLM-pipeline tail (lossless prefix-filter
+# join, char-LM quality, DSIR, waterfill, leakage-safe split, phrase/MMR
+# retrieval, contrastive pairs, Hilbert layout, table checksum, pHash,
+# incremental streaming neardup, IVF/PQ recall audits, skew-safe
+# sessionizer, gapfill interpolation, the decontam pipeline composite),
+# (b) the TPC-H-gap join/agg/subquery shapes (tpch_gaps.py) that the r3
+# cap cut at the tail. After those, (c) queries whose implementation
+# changed THIS round and need their hash re-proved (pagerank's exchange
+# cut, MMR's tiny-pool fix), and (d) new round-4 operators needing first
+# rows. The cap lands around 50, so all four groups fit.
 _PRIORITY = (
-    # round-2 failures, fixed this round — must re-verify
-    "sessionize_gap30m",
-    "scalar_array_fns",
-    # rewritten this round (fused pointer-jumping rounds) — its r2 green row
-    # was for the OLD implementation, so the hash must be re-proved in-cap
-    "dedup_cluster_components",
-    # newly-oracled this round (was the last rows-only entry)
-    "sim_lsh_topk",
-    # the 17 never-driver-checked queries (r1 ∪ r2 gap)
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_dedup_within_watermark",
-    "stream_stateful_streaks",
-    "stream_interval_join",
-    "retention_daily_cohorts",
-    "ts_downsample_hourly",
-    "anomaly_zscore_by_type",
-    "gapfill_daily_purchases",
-    "seq_error_then_purchase",
-    "multimodal_resize_thumbs",
-    "multimodal_frame_sample",
-    "sample_stratified_by_lang",
-    "sample_weighted_by_length",
-    "agg_percentiles_doc_length",
-    "dedup_canonical_pick",
-    # Everything below ranks by CATEGORY NOVELTY: a query that is the ONLY
-    # driver-visible probe of its operator family outranks any variant of a
-    # family that has been driver-green since r1 (joins/aggs/subqueries).
-    # The scarce resource is the driver's ~50-row cap — one row per new
-    # family buys more verified surface than a 15th green join shape.
-    #
-    # new round-3 curation operator families — need first driver rows
-    "decontam_ngram_overlap",
-    "scrub_pii_stats",
-    "mix_domain_weights",
-    "cluster_kmeans_embeddings",
-    "chunk_docs_overlap",
-    "pack_sequences_bins",
-    "semdedup_cluster_prune",
-    "quality_segment_dedup_rebuild",
-    # profiling + runtime-filter pair new in round 3 — profile_column_stats
-    # is the only probe of the new "profiling" category; the bloom
-    # prefilter is the only runtime-filter join shape
-    "profile_column_stats",
-    "join_bloom_prefilter_semi",
-    # the four operator families newest in round 3 (graph analytics, BM25
-    # retrieval, SCD2 CDC merge) — each is the ONLY driver-visible probe of
-    # its family; cdc_scd2_merge is the single probe of the whole CDC/MERGE
-    # checklist category
-    "graph_pagerank_iter",
-    "graph_triangle_count",
-    "text_bm25_topk",
-    "cdc_scd2_merge",
-    # genuinely new output shapes (ts_gapfill_interpolate rotates to r4 —
-    # its family is represented in-head by gapfill_daily_purchases)
-    "ids_contiguous_global",
-    # two-sample KS drift audit — a new statistic class (distribution
-    # comparison) in the profiling family
-    "profile_ks_drift",
-    # incremental delta-vs-index dedup (novel shape; batch family green r2)
-    "dedup_incremental_delta",
-    # product-quantization ADC top-k (new operator this round)
-    "sim_pq_topk",
-    # hybrid lexical+semantic retrieval via RRF (new category this round)
-    "retrieval_hybrid_rrf",
-    # mergeable-sketch rollup (hll_sketch_agg/hll_union_agg) — the only
-    # probe of the pre-aggregated distinct-count family
-    "agg_hll_sketch_rollup",
-    # distributed BPE vocabulary induction — the only probe of the
-    # tokenizer-training family (iterative argmax+merge, full oracle)
-    "text_bpe_vocab_merges",
-    # the ENCODE half of the tokenizer family (vocab-only merge loop +
-    # one broadcast join tokenizes the corpus)
-    "text_bpe_encode_stats",
-    # Johnson–Lindenstrauss ±1 projection with distance-preservation
-    # audit — the only probe of the dimensionality-reduction family
-    "sim_jl_projection_audit",
-    # Z-order vs linear layout scored by min/max pruning — the only
-    # probe of the storage-layout family
-    "layout_zorder_skipping",
-    # Theta-sketch set algebra (intersection/difference) — the sketch
-    # family member HLL cannot express
-    "sketch_theta_retention_sets",
-    # KLL quantile sketch scored by rank check (randomized compaction
-    # means only the BOUND is assertable — see the docstring)
-    "sketch_kll_quantile_rank",
-    # Count-Min heavy hitters — the frequency-table sketch member, full
-    # integer-exact oracle (md5 buckets, never-undercount + ε verdicts)
-    "sketch_countmin_heavy_hitters",
-    # ANN recall audit (new quality-audit output shape; the IVF/PQ twins
-    # share it and rotate to round 4 — one row proves the shape) + the
-    # skew-safe sessionizer twin (the scale story for the hot-user case;
-    # shares SESSIONIZE_ORACLE, so a row proves the two-level merge
-    # arithmetic)
-    "sim_lsh_recall_audit",
-    # batch model inference — a NEW category (the Arrow 1→1 scoring map
-    # every LLM pipeline runs); outranks same-oracle variants for the cap
-    "inference_batch_scores",
-    # ---- first rotation seats for round 4 (the ~50-entry cap lands just
-    # above): the two operators newest in round 3 — the LOSSLESS
-    # prefix-filtered set-similarity join (its oracle is plain all-pairs
-    # Jaccard, so a hash match proves the filter dropped nothing) and the
-    # CCNet-style char-bigram LM quality filter (a new fit-then-score
-    # statistic class; integer-exact probability arithmetic)
+    # (a) never-driver-attested: round-3 LLM-pipeline tail (18)
     "dedup_jaccard_prefix_filter",
     "quality_charlm_score",
-    # temperature-based (share^0.5) mixture sampling — the only probe of
-    # exponentiated-share weighting (mix_domain_weights is the uniform
-    # limit); IEEE-exact sqrt + fixed-order normalizer fold
     "mix_temperature_sampling",
-    # DSIR importance resampling (Xie et al. 2023) — the only probe of
-    # two-model data SELECTION (target-vs-raw LM difference ranking)
     "sample_dsir_importance",
-    # water-filling token-budget allocation — the only probe of capped
-    # proportional budget scheduling (epoch-capped mixture)
     "mix_token_budget_waterfill",
-    # group-aware split with a cross-engine-proved zero-leakage audit —
-    # the only probe of cluster-co-travel splitting
     "split_leakage_safe",
-    # exact phrase retrieval over a positional index — the retrieval
-    # class BM25 cannot express (order/adjacency)
     "retrieval_phrase_match",
-    # MMR diversified top-k — greedy relevance-vs-redundancy selection,
-    # the only probe of result diversification
     "retrieval_mmr_diversified",
-    # order-insensitive XOR-of-md5 table fingerprints — the migration
-    # validation primitive, the only probe of mergeable checksums
     "profile_table_checksum",
-    # Hilbert vs Z-order vs linear under equal-row files — the locality
-    # comparison lakehouse clustering migrated over; also re-proves the
-    # id assigner after its checkpoint-pinning fix
     "layout_hilbert_locality",
-    # contrastive (anchor, positive, negatives) dataset construction —
-    # the only probe of training-pair building with false-negative
-    # filtering and reproducible md5 negatives
     "pairs_contrastive_build",
-    # streaming admission dedup: row-local banding + stream-static index
-    # probe — the streaming×incremental crossover, full batch oracle
     "stream_incremental_neardup",
-    # then the skew-safe sessionizer (shares SESSIONIZE_ORACLE with
-    # the in-head re-verify, so its arithmetic is implied), the
-    # multimodal×dedup perceptual-hash crossover, the IVF/PQ recall-audit
-    # twins, and the gapfill interpolation variant
     "sessionize_gap30m_skewsafe",
     "multimodal_phash_near_dup",
     "sim_ivf_recall_audit",
     "sim_pq_recall_audit",
     "ts_gapfill_interpolate",
     "curation_pipeline_decontam",
-    # ---- defer-last tail: if the driver's ~50-entry cap cuts anything, it
-    # cuts here, losing the least. All are TPC-H variants of families
-    # driver-green since r1 (joins ×14, aggs ×12, subqueries ×5 rows
-    # already on the board); each is hash-verified locally by the
-    # full-registry sweeps at three SFs (tests/oracle_check.py → SWEEPS.json)
-    # and whatever the cap leaves out rotates to the front in round 4.
+    # (b) never-driver-attested: TPC-H-gap shapes (16)
     "join_market_share",
     "join_profit_by_nation_year",
     "join_nation_pair_volume",
@@ -277,6 +147,22 @@ _PRIORITY = (
     "subq_excess_share_suppliers",
     "subq_order_priority_check",
     "agg_forecast_revenue",
+    # (c) implementation changed in round 4 — hash must be re-proved:
+    # pagerank's per-iteration exchange cut (graph_analytics.py)
+    "graph_pagerank_iter",
+    # (d) new round-4 operators — first driver rows
+    "sim_pq_serving_topk",
+    "sim_int8_serving_topk",
+    # remaining cap slots: rotation of long-green families re-confirming
+    # under the round-4 codebase (first driver row since r1 for most)
+    "wd_query_conjunctive",
+    "agg_pricing_summary",
+    "window_revenue_share",
+    "setop_integrity_audit",
+    "scalar_json_fns",
+    "join_asof_prior_view",
+    "pivot_status_by_nation",
+    "subq_exists_late_ship",
 )
 
 

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from wd2sql_spark.session_cache import bounded_persist
+
 from wd2sql_spark.catalog import events
 from wd2sql_spark.queries._determinism import exact_sum_at
 from wd2sql_spark.queries.registry import query
@@ -162,7 +164,7 @@ def sessionize_gap30m_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the physical plan recomputes the fact-sized scan→window→
     # partial pipeline once per consumer (measured 2x the whole operator's
     # cost). The cached relation is one small row per session-bucket.
-    part = part.persist()
+    part = bounded_persist(part, "sessionization.skewsafe_part")
     wday = Window.partitionBy("user_id").orderBy("day")
     bucket = (
         part.groupBy("user_id", "day")

@@ -58,11 +58,14 @@ _ETL_CACHE = SessionCache()
 
 
 def _etl_tables(spark: SparkSession) -> dict[str, DataFrame]:
-    return _ETL_CACHE.get_or_build(
-        spark,
-        ("wd_etl_tables",),
-        lambda: transform(parse_entities(read_dump(spark, FIXTURE)).persist()),
-    )
+    # The cache value is (tables, parsed): the persisted parsed relation
+    # rides along so clear_all_session_caches() can unpersist it — the
+    # tables dict alone doesn't reference the persist handle.
+    def build() -> tuple[dict[str, DataFrame], DataFrame]:
+        parsed = parse_entities(read_dump(spark, FIXTURE)).persist()
+        return transform(parsed), parsed
+
+    return _ETL_CACHE.get_or_build(spark, ("wd_etl_tables",), build)[0]
 
 
 META_GOLDEN = """

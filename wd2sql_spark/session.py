@@ -41,6 +41,10 @@ def get_spark(app_name: str = "wd2sql_spark", *, shuffle_partitions: int | None 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # No console progress bars: bench.py's driver contract is a single
+        # parseable JSON line on stdout, and progress frames interleaved
+        # into a merged stdout+stderr capture corrupted round 3's bench.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
     return builder.getOrCreate()

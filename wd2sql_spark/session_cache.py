@@ -27,10 +27,137 @@ from pyspark.sql import SparkSession
 # plan generation to the reproducible fresh-build shape.
 _ALL_CACHES: "weakref.WeakSet[SessionCache]" = weakref.WeakSet()
 
+# Per-site single-generation persist holders (see ``bounded_persist``).
+_BOUNDED: dict[str, list] = {}
+
+
+def _unpersist_value(value: Any) -> None:
+    """Unpersist every DataFrame reachable in a cache value — values may be
+    a bare DataFrame or a tuple/list of relations (multi-relation builds
+    like the prefix-filter join keep intermediate persists alive via the
+    cache entry precisely so this sweep can release them)."""
+    if isinstance(value, (tuple, list)):
+        for v in value:
+            _unpersist_value(v)
+        return
+    if isinstance(value, dict):
+        for v in value.values():
+            _unpersist_value(v)
+        return
+    unpersist = getattr(value, "unpersist", None)
+    if callable(unpersist):
+        try:
+            unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to release
+
 
 def clear_all_session_caches() -> None:
+    """Reset every build-once cache AND release their executor storage.
+
+    An earlier version only dropped the dict entries, so a rebuild after
+    clearing double-persisted the same data (the old entry's persisted
+    relation stayed pinned in the block manager, unreachable by anything
+    but ``spark.catalog.clearCache()``)."""
     for cache in list(_ALL_CACHES):
+        for _, value in cache._entries.values():
+            _unpersist_value(value)
         cache._entries.clear()
+    for slot in list(_BOUNDED):
+        for df in _BOUNDED.pop(slot):
+            _unpersist_value(df)
+
+
+def bounded_persist(df, slot: str, key: tuple | None = None):
+    """Persist ``df``, first unpersisting whatever the previous call on
+    this ``slot`` persisted.
+
+    For query functions whose returned lazy plan references a persisted
+    intermediate (so the function itself can never unpersist it), this
+    bounds executor storage to ONE call's worth per site: a battery or
+    bench loop that invokes the same query repeatedly no longer
+    accumulates dead cached relations (the eviction/spill interference
+    tools/scale_experiment.py measured as a 5x slowdown on co-resident
+    queries). Same idiom as ``operators/dedup._PREFIX_PERSISTED``.
+
+    ``key``: optional explicit identity (e.g. ``(sf_dir,)``) — skips the
+    per-call ``sameSemantics`` canonicalization, which costs ~0.3-0.5 s
+    on corpus-sized build trees (measured on pagerank's cooccurrence
+    pairs plan). Callers passing ``key`` own its completeness: the key
+    must capture everything that changes the relation.
+    """
+    held = _BOUNDED.get(slot)
+    if held:
+        prev, held_key = held[0], (held[1] if len(held) > 1 else None)
+        if key is not None and held_key is not None:
+            try:
+                same = held_key == key and prev.sparkSession is df.sparkSession
+            except Exception:
+                same = False
+        else:
+            try:
+                same = prev.sparkSession is df.sparkSession and prev.sameSemantics(df)
+            except Exception:
+                same = False  # held relation's session is gone
+        if same:
+            # identical call on the same session: KEEP the built cache —
+            # this is the warm-pass regime the bench measures; dropping
+            # and re-persisting the same plan would force a rebuild per
+            # call and also defeat eager-materialization partitioning
+            # reuse (pagerank's edges relation)
+            return prev
+        for p in _BOUNDED.pop(slot):
+            _unpersist_value(p)
+    out = df.persist()
+    _BOUNDED[slot] = [out, key]
+    return out
+
+
+def bounded_checkpoint(df, slot: str, key: tuple | None = None):
+    """``bounded_persist``'s lineage-truncating sibling: materialize ``df``
+    with ``localCheckpoint(eager=True)`` and hold ONE generation per slot.
+
+    Use instead of persist when the relation feeds an UNROLLED iterative
+    plan (pagerank, k-means): a persisted relation keeps its whole build
+    subtree in the logical plan, so each unrolled round re-prints — and
+    AQE re-schedules — the build lineage (measured on pagerank at sf0.1:
+    14 jobs/run, 2.1 s warm; checkpointed: 8 exchanges in the plan text,
+    1.2 s warm). The checkpointed DataFrame's plan is a LogicalRDD leaf
+    that PRESERVES the pre-checkpoint partitioning and ordering, so a
+    repartition+sortWithinPartitions layout survives for join reuse.
+
+    The held generation is keyed by the PRE-checkpoint plan (``anchor``):
+    a semantically identical call returns the already-materialized
+    relation; a different plan on the same slot replaces it (the old
+    checkpoint's blocks are released by Spark's ContextCleaner once the
+    reference drops).
+    """
+    held = _BOUNDED.get(slot)
+    if held and len(held) == 3:
+        anchor, held_key, ckpt = held
+        if key is not None and held_key is not None:
+            # explicit keys skip sameSemantics: canonicalizing a large
+            # pre-checkpoint plan costs ~0.5 s per call on the pagerank
+            # build tree, which dwarfs the warm execution it guards
+            same = held_key == key and anchor.sparkSession is df.sparkSession
+        else:
+            try:
+                same = anchor.sparkSession is df.sparkSession and anchor.sameSemantics(df)
+            except Exception:
+                same = False
+        if same:
+            return ckpt
+        _BOUNDED.pop(slot, None)
+    ckpt = df.localCheckpoint(eager=True)
+    _BOUNDED[slot] = [df, key, ckpt]
+    return ckpt
+
+
+def cached_relation_count(spark: SparkSession) -> int:
+    """Number of logical relations currently pinned in the session's
+    CacheManager — the battery-end hygiene assertion reads this."""
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    return 0 if jcm.isEmpty() else int(jcm.numCachedEntries())
 
 
 class SessionCache:
