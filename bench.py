@@ -86,6 +86,15 @@ HEADLINE = (
     # exact phrase retrieval: trigram argmax + term-filtered positional
     # adjacency joins — the candidate volume is the judged risk
     "retrieval_phrase_match",
+    # round-4 additions: the full similarity family (VERDICT r3 task 5 —
+    # sim_bruteforce/lsh were absent from PLANS.md) and the serving-shaped
+    # quantized paths whose corpus side never touches the float vectors
+    "sim_bruteforce_topk",
+    "sim_lsh_topk",
+    "sim_pq_serving_topk",
+    "sim_int8_serving_topk",
+    # IVF+PQ composite (IVFADC): list pruning x code scoring in one plan
+    "sim_ivfpq_topk",
 )
 
 # The 22 classic TPC-H query shapes, one registered query per number —

@@ -138,6 +138,79 @@ def test_pq_topk_stays_jvm_pruned_and_broadcast(reports):
         assert set(s["columns"]) <= {"vec_id", "embedding"}, s
 
 
+def test_bruteforce_topk_per_partition_topk(reports):
+    """Exact brute-force cosine: broadcast queries x ONE corpus scan, and
+    the per-query top-k must run as WindowGroupLimit (per-partition top-k
+    before the exchange) so only ~k rows per partition per query reach the
+    shuffle — not the full |corpus| x |queries| pair relation. A Spark
+    upgrade that stops planning WindowGroupLimit would silently
+    reintroduce the full pair shuffle; this pin catches it
+    (operators/similarity.py:52 makes the claim)."""
+    r = reports["sim_bruteforce_topk"]
+    assert not r.pandas_eval and not r.python_eval
+    assert r.broadcasts >= 1
+    assert "WindowGroupLimit" in r.text
+    assert r.shuffles <= 2, r.shuffles
+    for s in r.scans:
+        assert set(s["columns"]) <= {"vec_id", "embedding"}, s
+
+
+def test_lsh_topk_bucket_join_budget(reports):
+    """LSH ANN: hyperplane signs are inlined literals (bucketing is pure
+    codegen arithmetic, no join), candidates join only within equal
+    bucket keys, and the same WindowGroupLimit top-k applies."""
+    r = reports["sim_lsh_topk"]
+    assert not r.pandas_eval and not r.python_eval
+    assert "WindowGroupLimit" in r.text
+    for s in r.scans:
+        assert set(s["columns"]) <= {"vec_id", "embedding"}, s
+
+
+def test_pq_serving_never_reads_corpus_vectors(reports):
+    """The serving PQ path's corpus side is the codes-and-norm store (a
+    materialized leaf, no embedding column in its rows): the ONLY parquet
+    scan allowed to read `embedding` is the query side, identified by its
+    pushed vec_id<3 filter. An unfiltered embedding scan appearing here
+    means the corpus vectors leaked back into the serving plan — the exact
+    regression this query exists to forbid (32x memory story,
+    operators/similarity.pq_serving_index)."""
+    r = reports["sim_pq_serving_topk"]
+    assert not r.pandas_eval and not r.python_eval
+    assert "ExistingRDD" in r.text  # the codes-only store leaf
+    for s in r.scans:
+        if "embedding" in s["columns"]:
+            assert any("vec_id" in f and "LessThan" in f for f in s["pushed"]), s
+    assert r.shuffles <= 2, r.shuffles
+
+
+def test_int8_serving_never_reads_corpus_vectors(reports):
+    """Same pin for the int8 serving twin: corpus side is the stored
+    (id, int8 codes, norm) leaf; only the vec_id<3 query scan may touch
+    the float vectors."""
+    r = reports["sim_int8_serving_topk"]
+    assert not r.pandas_eval and not r.python_eval
+    assert "ExistingRDD" in r.text
+    for s in r.scans:
+        if "embedding" in s["columns"]:
+            assert any("vec_id" in f and "LessThan" in f for f in s["pushed"]), s
+    assert r.shuffles <= 2, r.shuffles
+
+
+def test_ivfpq_prunes_lists_and_reads_codes_only(reports):
+    """IVFADC composite: candidates come from a broadcast equi-join of
+    |queries|*nprobe probe rows onto the codes store's cid column — never
+    a cross join — and the corpus side is the codes leaf (no embedding
+    column). Only the query-side vec_id<3 scan may read float vectors."""
+    r = reports["sim_ivfpq_topk"]
+    assert not r.pandas_eval and not r.python_eval
+    assert "ExistingRDD" in r.text
+    assert "CartesianProduct" not in r.text
+    assert r.broadcasts >= 1
+    for s in r.scans:
+        if "embedding" in s["columns"]:
+            assert any("vec_id" in f and "LessThan" in f for f in s["pushed"]), s
+
+
 def test_hybrid_rrf_fuses_k_row_lists_only(reports):
     """RRF: the two runs keep their scale shapes (BM25: scan → one-row
     broadcast → TakeOrderedAndProject; cosine: broadcast query × scan →

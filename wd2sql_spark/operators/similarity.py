@@ -720,6 +720,338 @@ def pq_topk(
     )
 
 
+def pq_serving_index(
+    corpus: DataFrame,
+    cache_key: str,
+    n_sub: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[tuple[int, list[float]]]], DataFrame]:
+    """Codes-ONLY PQ store: (neighbor_id, acn, code0..code{n_sub-1}).
+
+    The audit index (:func:`pq_index`) deliberately carries the float
+    vector and its exact norm so every retrieval can report its true
+    quantization error; this is the SERVING twin, where the whole point
+    of PQ is that the float vectors are NOT resident — 8 small codes +
+    one norm per vector (~16 B vs 256 B of floats, the 32x cut that
+    decides whether a billion-vector index fits executor memory). The
+    materialized rows hold nothing but id, reconstruction norm, and
+    codes; a query plan over this relation cannot touch ``embedding``
+    on the corpus side even by accident (pinned by
+    tests/test_plan_audit.py::test_pq_serving_never_reads_corpus_vectors).
+    Build scans the corpus once per (session, cache_key); at 100 TB this
+    relation is the written parquet table queries scan instead of the
+    vectors (the ivf_store/postings_store convention)."""
+    global _PQ_INDEX_CACHE
+    if _PQ_INDEX_CACHE is None:
+        from wd2sql_spark.session_cache import SessionCache
+
+        _PQ_INDEX_CACHE = SessionCache()
+
+    def build():
+        codebook = pq_codebook(corpus, n_sub, ks, dim, id_col, vec_col)
+        enc = (
+            _pq_encoded(corpus, codebook, dim, id_col, vec_col)
+            .select("neighbor_id", "acn", *[f"code{m}" for m in range(n_sub)])
+            .localCheckpoint(eager=True)
+        )
+        return codebook, enc
+
+    return _PQ_INDEX_CACHE.get_or_build(
+        corpus.sparkSession,
+        ("serving", cache_key, n_sub, ks, dim, id_col, vec_col),
+        build,
+    )
+
+
+def pq_serving_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_sub: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """:func:`pq_topk` in the serving regime: identical ADC arithmetic
+    (same codebook, same fixed-order folds — the pq_cosine values are
+    bit-identical to the audit path's), but the corpus side reads ONLY
+    the codes-and-norm store; no exact cosine, because the store has no
+    vectors to compute it from. The query side still reads its own raw
+    vector — ADC is asymmetric by design (Jegou et al. 2011: quantize
+    the corpus, not the queries). Output: (query_id, neighbor_id,
+    pq_cosine, rank)."""
+    codebook, c = pq_serving_index(
+        corpus, cache_key or "adhoc", n_sub, ks, dim, id_col, vec_col
+    )
+    sub = dim // n_sub
+
+    def _lut(m: int):
+        return lambda cc: dot(_subvec(F.col(vec_col), m, sub), cc["cv"])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+        *[
+            F.transform(_pq_struct_array(codebook[m]), _lut(m)).alias(f"lut{m}")
+            for m in range(n_sub)
+        ],
+    )
+    pq_dot = F.aggregate(
+        F.array(
+            *[F.element_at(F.col(f"lut{m}"), F.col(f"code{m}") + 1) for m in range(n_sub)]
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(pq_dot / (F.col("qn") * F.col("acn")), 6).alias("pq_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "pq_cosine", "rank")
+    )
+
+
+_IVFPQ_INDEX_CACHE = None  # lazy SessionCache (see _IVF_INDEX_CACHE)
+
+
+def ivfpq_serving_index(
+    corpus: DataFrame,
+    cache_key: str,
+    n_centroids: int = 16,
+    n_sub: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]], DataFrame]:
+    """IVF+PQ serving store: (neighbor_id, cid, acn, code0..code{n_sub-1})
+    — the FAISS IVFADC layout (Jegou et al. 2011 §V): each vector binned
+    by its nearest coarse centroid AND stored as PQ codes, so a query
+    prunes to nprobe lists at the scan and scores survivors by table
+    lookup. No float vector in the stored rows; at 100 TB this is a
+    parquet table partitioned by cid holding ~17 B/vector. Returns
+    (coarse_centroids, pq_codebook, store)."""
+    global _IVFPQ_INDEX_CACHE
+    if _IVFPQ_INDEX_CACHE is None:
+        from wd2sql_spark.session_cache import SessionCache
+
+        _IVFPQ_INDEX_CACHE = SessionCache()
+
+    def build():
+        centroids = collect_centroids(corpus, n_centroids, id_col, vec_col)
+        codebook = pq_codebook(corpus, n_sub, ks, dim, id_col, vec_col)
+        enc = (
+            _pq_encoded(corpus, codebook, dim, id_col, vec_col)
+            .select(
+                "neighbor_id",
+                ivf_assign(F.col("cv"), centroids).alias("cid"),
+                "acn",
+                *[f"code{m}" for m in range(n_sub)],
+            )
+            .localCheckpoint(eager=True)
+        )
+        return centroids, codebook, enc
+
+    return _IVFPQ_INDEX_CACHE.get_or_build(
+        corpus.sparkSession,
+        (cache_key, n_centroids, n_sub, ks, dim, id_col, vec_col),
+        build,
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """IVF+PQ top-k (IVFADC): each query ranks the coarse centroids by
+    cosine, probes its ``nprobe`` best lists, and ADC-scores ONLY the
+    codes stored in those lists — composing :func:`ivf_topk`'s
+    (n_centroids/nprobe)x scan pruning with :func:`pq_serving_topk`'s
+    32x code compression, the both-axes shape a billion-vector serving
+    index actually uses. Probe selection uses the same IEEE cosine and
+    (score DESC, cid) tie order as the IVF oracle; scoring is the same
+    fixed-order ADC fold as the PQ oracle, so the composite is fully
+    hash-checkable. Candidates join on cid equality (a broadcast of
+    |queries|·nprobe probe rows), never a cross join. Output:
+    (query_id, neighbor_id, pq_cosine, rank)."""
+    centroids, codebook, c = ivfpq_serving_index(
+        corpus, cache_key or "adhoc", n_centroids, n_sub, ks, dim, id_col, vec_col
+    )
+    sub = dim // n_sub
+
+    def _lut(m: int):
+        return lambda cc: dot(_subvec(F.col(vec_col), m, sub), cc["cv"])
+
+    scored_arr = F.transform(
+        _centroid_struct_array(centroids),
+        lambda cc: F.struct(
+            cosine(F.col("qv"), cc["cv"], na=F.col("qn")).alias("score"),
+            cc["cid"].alias("cid"),
+        ),
+    )
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+        *[
+            F.transform(_pq_struct_array(codebook[m]), _lut(m)).alias(f"lut{m}")
+            for m in range(n_sub)
+        ],
+    ).withColumn("probe", F.explode(scored_arr))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("probe.score").desc(), F.col("probe.cid")
+    )
+    probes = (
+        q0.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qn", F.col("probe.cid").alias("cid"),
+                *[f"lut{m}" for m in range(n_sub)])
+    )
+    pq_dot = F.aggregate(
+        F.array(
+            *[F.element_at(F.col(f"lut{m}"), F.col(f"code{m}") + 1) for m in range(n_sub)]
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(c, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(pq_dot / (F.col("qn") * F.col("acn")), 6).alias("pq_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "pq_cosine", "rank")
+    )
+
+
+_INT8_INDEX_CACHE = None  # lazy SessionCache (see _IVF_INDEX_CACHE)
+
+
+def int8_serving_index(
+    corpus: DataFrame,
+    cache_key: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Int8 serving store: (neighbor_id, cq int8-array, cqn norm) — the
+    4x-smaller resident corpus for :func:`int8_serving_topk`. Like
+    :func:`pq_serving_index`, the materialized rows carry no float
+    vector; the integer norm is precomputed so scoring is one integer
+    zip-fold + one divide per pair."""
+    global _INT8_INDEX_CACHE
+    if _INT8_INDEX_CACHE is None:
+        from wd2sql_spark.session_cache import SessionCache
+
+        _INT8_INDEX_CACHE = SessionCache()
+
+    def qnorm(col: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda x: (x * x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).cast("double")
+        )
+
+    def build() -> DataFrame:
+        q8 = quantize_int8(F.col(vec_col))
+        return corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            q8.alias("cq"),
+            qnorm(q8).alias("cqn"),
+        ).localCheckpoint(eager=True)
+
+    return _INT8_INDEX_CACHE.get_or_build(
+        corpus.sparkSession, (cache_key, id_col, vec_col), build
+    )
+
+
+def int8_serving_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """:func:`quantized_topk` in the serving regime: the corpus side is
+    the stored int8 index (no float vectors resident), the query side
+    quantizes its own raw vector, and the score is the same integer-
+    domain cosine (per-vector scales cancel; values bit-identical to the
+    audit path's q_cosine). Output: (query_id, neighbor_id, q_cosine,
+    rank)."""
+    c = int8_serving_index(corpus, cache_key or "adhoc", id_col, vec_col)
+
+    def qnorm(col: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda x: (x * x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).cast("double")
+        )
+
+    q8 = quantize_int8(F.col(vec_col))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        q8.alias("qq"),
+        qnorm(q8).alias("qqn"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(qdot.cast("double") / (F.col("qqn") * F.col("cqn")), 6).alias("q_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("q_cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "q_cosine", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -463,6 +463,197 @@ def sim_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_SERVING_ORACLE = f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+ms AS (SELECT unnest(range(0, 8)) AS m),
+sub AS (
+  SELECT e.vec_id, ms.m, c.j, {_PQ_D2} AS d2
+  FROM embeddings e CROSS JOIN ms CROSS JOIN cent c),
+codes AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+    FROM sub) t WHERE rn = 1),
+anorm AS (
+  SELECT cd.vec_id,
+         sqrt(list_sum(list(list_sum(list_transform(range(1, 9), k ->
+           CAST(c.cv[cd.m*8+k] AS DOUBLE) * CAST(c.cv[cd.m*8+k] AS DOUBLE)))
+           ORDER BY cd.m))) AS acn
+  FROM codes cd JOIN cent c ON c.j = cd.code
+  GROUP BY cd.vec_id),
+pairs AS (
+  SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
+         list_sum(list(list_sum(list_transform(range(1, 9), k ->
+           CAST(q.embedding[cd.m*8+k] AS DOUBLE) * CAST(c.cv[cd.m*8+k] AS DOUBLE)))
+           ORDER BY cd.m)) AS pq_dot
+  FROM embeddings q
+  JOIN codes cd ON cd.vec_id <> q.vec_id
+  JOIN cent c ON c.j = cd.code
+  WHERE q.vec_id < 3
+  GROUP BY q.vec_id, cd.vec_id),
+scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         round(p.pq_dot / (sqrt({_DOT.format(a='q', b='q')}) * a.acn), 6) AS pq_cosine
+  FROM pairs p
+  JOIN anorm a ON a.vec_id = p.neighbor_id
+  JOIN embeddings q ON q.vec_id = p.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, pq_cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pq_cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, pq_cosine, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@query("sim_pq_serving_topk", oracle=PQ_SERVING_ORACLE, category="llm-similarity")
+def sim_pq_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-5 in the SERVING regime (VERDICT r3 task 8): identical
+    scoring to sim_pq_topk — same codebook, same fixed-order folds, so
+    pq_cosine is bit-identical — but the corpus side reads ONLY the
+    codes-and-norm store (operators/similarity.pq_serving_index: rows of
+    id + acn + 8 codes, ~16 B vs 256 B of floats). No exact_cosine
+    column: the store holds no vectors to compute one from, which is the
+    point — the audit twins (sim_pq_topk, sim_pq_recall_audit) own the
+    error story, this query owns the memory story. The plan is pinned by
+    tests/test_plan_audit.py: no parquet scan of the corpus embedding
+    column may appear."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return S.pq_serving_topk(
+        emb, queries, k=5, n_sub=8, ks=16, dim=64, cache_key=sf_dir
+    ).orderBy("query_id", "rank")
+
+
+IVFPQ_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding, c.cid, {_cos_expr('e.embedding', 'c.cv')} AS score
+  FROM embeddings e CROSS JOIN cent c),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+    FROM assign_scored) t WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+    FROM assign_scored WHERE vec_id < 3) t WHERE rn <= 4),
+pqcent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+ms AS (SELECT unnest(range(0, 8)) AS m),
+sub AS (
+  SELECT e.vec_id, ms.m, c.j,
+         list_sum(list_transform(range(1, 9), k ->
+           (CAST(e.embedding[ms.m*8+k] AS DOUBLE) - CAST(c.cv[ms.m*8+k] AS DOUBLE))
+           * (CAST(e.embedding[ms.m*8+k] AS DOUBLE) - CAST(c.cv[ms.m*8+k] AS DOUBLE)))) AS d2
+  FROM embeddings e CROSS JOIN ms CROSS JOIN pqcent c),
+codes AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+    FROM sub) t WHERE rn = 1),
+anorm AS (
+  SELECT cd.vec_id,
+         sqrt(list_sum(list(list_sum(list_transform(range(1, 9), k ->
+           CAST(c.cv[cd.m*8+k] AS DOUBLE) * CAST(c.cv[cd.m*8+k] AS DOUBLE)))
+           ORDER BY cd.m))) AS acn
+  FROM codes cd JOIN pqcent c ON c.j = cd.code
+  GROUP BY cd.vec_id),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_sum(list(list_sum(list_transform(range(1, 9), k ->
+           CAST(q.embedding[cd.m*8+k] AS DOUBLE) * CAST(c.cv[cd.m*8+k] AS DOUBLE)))
+           ORDER BY cd.m)) AS pq_dot
+  FROM probes p
+  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+  JOIN codes cd ON cd.vec_id = a.vec_id
+  JOIN pqcent c ON c.j = cd.code
+  JOIN embeddings q ON q.vec_id = p.query_id
+  GROUP BY p.query_id, a.vec_id),
+scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         round(p.pq_dot / (sqrt({_DOT.format(a='q', b='q')}) * an.acn), 6) AS pq_cosine
+  FROM pairs p
+  JOIN anorm an ON an.vec_id = p.neighbor_id
+  JOIN embeddings q ON q.vec_id = p.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, pq_cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pq_cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, pq_cosine, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@query("sim_ivfpq_topk", oracle=IVFPQ_ORACLE, category="llm-similarity")
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ top-5 — the FAISS IVFADC composite (Jegou et al. 2011 §V),
+    and the shape a real billion-vector serving index uses: the query
+    ranks 16 coarse centroids, probes its best 4 lists (the IVF 4x scan
+    prune; a parquet store partitioned by cid prunes at the file level),
+    and ADC-scores ONLY the PQ codes stored in those lists (8 lookups
+    per pair over a ~17 B/vector store — no float vector resident).
+    Probe ranking reuses the IVF oracle's (score DESC, cid) order and
+    scoring the PQ oracle's fixed-order folds, so the whole composite is
+    hash-checkable: the DuckDB twin chains both oracles' CTEs. Recall vs
+    exact brute force inherits both audits' knobs (nprobe, n_sub/ks)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return S.ivfpq_topk(
+        emb, queries, k=5, n_centroids=16, nprobe=4, n_sub=8, ks=16, dim=64,
+        cache_key=sf_dir,
+    ).orderBy("query_id", "rank")
+
+
+INT8_SERVING_ORACLE = f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT)) AS q8
+  FROM s),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(CAST(list_sum(list_transform(range(1, len(a.q8) + 1),
+                                            k -> CAST(a.q8[k] AS BIGINT) * b.q8[k])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(a.q8, x -> CAST(x AS BIGINT) * x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(b.q8, x -> CAST(x AS BIGINT) * x)) AS DOUBLE))),
+               6) AS q_cosine
+  FROM qz a JOIN qz b ON a.vec_id < 3 AND a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, q_cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY q_cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, q_cosine, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@query("sim_int8_serving_topk", oracle=INT8_SERVING_ORACLE, category="llm-similarity")
+def sim_int8_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 top-5 in the SERVING regime: corpus side is the stored
+    (id, int8 codes, integer norm) index — 4x smaller than the float
+    rows, no embedding column resident — and the query side quantizes
+    its own vector at probe time. q_cosine is bit-identical to
+    sim_quantized_topk's (same integer zip-fold, scales cancel); the
+    exact-cosine error audit lives on the audit twin, not here. Plan
+    pinned by tests/test_plan_audit.py alongside the PQ serving twin."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return S.int8_serving_topk(emb, queries, k=5, cache_key=sf_dir).orderBy(
+        "query_id", "rank"
+    )
+
+
 CENTROID_ORACLE = """
 WITH dims AS (
   SELECT vec_id, label,

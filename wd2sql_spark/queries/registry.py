@@ -153,6 +153,7 @@ _PRIORITY = (
     # (d) new round-4 operators — first driver rows
     "sim_pq_serving_topk",
     "sim_int8_serving_topk",
+    "sim_ivfpq_topk",
     # remaining cap slots: rotation of long-green families re-confirming
     # under the round-4 codebase (first driver row since r1 for most)
     "wd_query_conjunctive",
