@@ -164,6 +164,10 @@ _PRIORITY = (
     "join_asof_prior_view",
     "pivot_status_by_nation",
     "subq_exists_late_ship",
+    "join_skew_salted",
+    "flagship_semi_join_enrich",
+    "funnel_view_click_purchase",
+    "join_range_clicks_after_error",
 )
 
 
