@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from wd2sql_spark.catalog import table
 from wd2sql_spark.queries._determinism import exact_sum_at
-from wd2sql_spark.queries.llm_sampling import md5_bucket
 from wd2sql_spark.queries.registry import query
 from wd2sql_spark.session_cache import SessionCache
 
@@ -101,10 +100,16 @@ _BLOOM_PROBES = 3  # k: fill ~27% at 430 keys -> FP ~2%
 
 
 def _bloom_positions(key, probes: int = _BLOOM_PROBES, bits: int = _BLOOM_BITS):
-    """k salted md5 bit positions for `key` — same arithmetic as
-    md5_bucket, salted per probe so the probes are independent."""
+    """k salted bit positions for `key`, from xxhash64 — salted per probe
+    so the probes are independent. xxhash64, not md5: the bloom internals
+    never appear in the oracle (correctness is structural — the exact
+    semi-join behind the filter removes false positives), so the
+    cross-engine-hash rule doesn't apply, and xxhash is JVM-cheap where
+    the former per-row md5(concat) triple dominated the fact scan
+    (measured below). Build and probe share this one definition, which
+    is what makes false negatives impossible."""
     return [
-        md5_bucket(F.concat(key.cast("string"), F.lit(f":{j}")), bits)
+        F.pmod(F.xxhash64(key.cast("long"), F.lit(j)), F.lit(bits)).cast("long")
         for j in range(probes)
     ]
 
