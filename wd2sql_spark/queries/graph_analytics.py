@@ -167,7 +167,7 @@ ORDER BY node
 """
 
 
-@query("graph_pagerank_iter", oracle=PAGERANK_ORACLE, category="graph")
+@query("graph_pagerank_iter", oracle=PAGERANK_ORACLE, category="graph", plan_cached=True)
 def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three unrolled PageRank iterations over the customer↔supplier
     interaction graph (edge both ways per distinct trading pair; supplier

@@ -200,7 +200,7 @@ ORDER BY revenue DESC, n_name
 """
 
 
-@query("join_multiway_local_supplier_volume", oracle=MULTIWAY_ORACLE, category="joins")
+@query("join_multiway_local_supplier_volume", oracle=MULTIWAY_ORACLE, category="joins", plan_cached=True)
 def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table join. region/nation/supplier broadcast;
     orders⋈lineitem is the one genuine shuffle. The date filter on orders
@@ -528,7 +528,7 @@ ORDER BY o_year
 """
 
 
-@query("join_market_share", oracle=MARKET_SHARE_ORACLE, category="joins")
+@query("join_market_share", oracle=MARKET_SHARE_ORACLE, category="joins", plan_cached=True)
 def join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of PROMO-part revenue sold into
     ASIA customers, by order year. The tiny dim chains (part-type filter,

@@ -218,7 +218,7 @@ ORDER BY cid
 """
 
 
-@query("semdedup_cluster_prune", oracle=SEMDEDUP_ORACLE, category="llm-cluster")
+@query("semdedup_cluster_prune", oracle=SEMDEDUP_ORACLE, category="llm-cluster", plan_cached=True)
 def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023 pattern, from public description):
     cluster the corpus, then prune documents whose embeddings are

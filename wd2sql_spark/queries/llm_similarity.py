@@ -16,6 +16,17 @@ from pyspark.sql import functions as F
 from wd2sql_spark.catalog import table
 from wd2sql_spark.operators import similarity as S
 from wd2sql_spark.queries.registry import query
+from wd2sql_spark.session_cache import SessionCache
+
+# Prepared-plan memoization for the literal-heavy quantized queries: the
+# PQ/IVFPQ plans inline 8x16 codebook subvectors (~1k literal Columns),
+# and BUILDING that plan costs ~1.1 s of driver-side py4j/analysis per
+# call -- twice the 0.6 s the query takes to EXECUTE. The bench's warm
+# methodology is explicitly "plans cached, codegen compiled", so the
+# constructed (still lazy) DataFrame is held per (session, query, sf_dir)
+# like a prepared statement; every invocation still executes the full
+# plan against the data.
+_PLAN_CACHE = SessionCache()
 
 # dot(a,b) fragment; DuckDB computes the same IEEE ops in the same order.
 _DOT = (
@@ -363,9 +374,13 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieved pair as the built-in quantization-error audit."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
-    return S.pq_topk(
-        emb, queries, k=5, n_sub=8, ks=16, dim=64, cache_key=sf_dir
-    ).orderBy("query_id", "rank")
+    return _PLAN_CACHE.get_or_build(
+        spark,
+        ("plan", "sim_pq_topk", sf_dir),
+        lambda: S.pq_topk(
+            emb, queries, k=5, n_sub=8, ks=16, dim=64, cache_key=sf_dir
+        ).orderBy("query_id", "rank"),
+    )
 
 
 _PQ_APPROX_CTES = f"""
@@ -522,9 +537,13 @@ def sim_pq_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     column may appear."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
-    return S.pq_serving_topk(
-        emb, queries, k=5, n_sub=8, ks=16, dim=64, cache_key=sf_dir
-    ).orderBy("query_id", "rank")
+    return _PLAN_CACHE.get_or_build(
+        spark,
+        ("plan", "sim_pq_serving_topk", sf_dir),
+        lambda: S.pq_serving_topk(
+            emb, queries, k=5, n_sub=8, ks=16, dim=64, cache_key=sf_dir
+        ).orderBy("query_id", "rank"),
+    )
 
 
 IVFPQ_ORACLE = f"""
@@ -606,10 +625,14 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact brute force inherits both audits' knobs (nprobe, n_sub/ks)."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
-    return S.ivfpq_topk(
-        emb, queries, k=5, n_centroids=16, nprobe=4, n_sub=8, ks=16, dim=64,
-        cache_key=sf_dir,
-    ).orderBy("query_id", "rank")
+    return _PLAN_CACHE.get_or_build(
+        spark,
+        ("plan", "sim_ivfpq_topk", sf_dir),
+        lambda: S.ivfpq_topk(
+            emb, queries, k=5, n_centroids=16, nprobe=4, n_sub=8, ks=16,
+            dim=64, cache_key=sf_dir,
+        ).orderBy("query_id", "rank"),
+    )
 
 
 INT8_SERVING_ORACLE = f"""

@@ -85,12 +85,44 @@ class Query:
     doc: str = ""
 
 
-def query(name: str, oracle: str | None = None, category: str = "misc") -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str,
+    oracle: str | None = None,
+    category: str = "misc",
+    plan_cached: bool = False,
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a query. ``plan_cached=True`` memoizes the CONSTRUCTED
+    (still lazy) DataFrame per (session, sf_dir) — prepared-statement
+    semantics: every invocation still executes the full plan against the
+    data, but the driver-side plan build (py4j Column construction +
+    Catalyst analysis, measured at 0.5-1.2 s for literal-heavy or deeply
+    composed plans) is paid once per session. This matches the bench's
+    declared warm methodology ("plans cached, codegen compiled").
+
+    Do NOT set it on queries whose WORK happens at construction time
+    (BPE training's eager merge-loop checkpoints, MMR's greedy collects):
+    memoizing those would misreport their cost as near-zero.
+    """
+
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, category=category, doc=fn.__doc__ or "")
-        return fn
+        use = fn
+        if plan_cached:
+            from wd2sql_spark.session_cache import SessionCache
+
+            cache = SessionCache()
+
+            def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+                return cache.get_or_build(
+                    spark, ("plan", name, sf_dir), lambda: fn(spark, sf_dir)
+                )
+
+            wrapped.__name__ = fn.__name__
+            wrapped.__doc__ = fn.__doc__
+            use = wrapped
+        REGISTRY[name] = Query(name=name, fn=use, oracle=oracle, category=category, doc=fn.__doc__ or "")
+        return use
 
     return deco
 
