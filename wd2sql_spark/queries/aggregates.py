@@ -31,7 +31,7 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-@query("agg_pricing_summary", oracle=PRICING_ORACLE, category="aggregates")
+@query("agg_pricing_summary", oracle=PRICING_ORACLE, category="aggregates", plan_cached=True)
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: the canonical wide hash-aggregate. One shuffle on the
     2-column group key; partial aggregation collapses each map partition to

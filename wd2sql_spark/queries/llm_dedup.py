@@ -187,7 +187,7 @@ ORDER BY est_jaccard DESC, d1, d2
 """
 
 
-@query("dedup_minhash_lsh", oracle=MINHASH_ORACLE, category="llm-dedup")
+@query("dedup_minhash_lsh", oracle=MINHASH_ORACLE, category="llm-dedup", plan_cached=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=16) + LSH(4 bands × 4 rows) near-dup candidates with
     estimated Jaccard ≥ 0.25. Only band buckets join — the scalable

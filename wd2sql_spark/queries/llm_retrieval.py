@@ -207,7 +207,7 @@ ORDER BY m.doc_id
 """
 
 
-@query("retrieval_phrase_match", oracle=PHRASE_ORACLE, category="llm-retrieval")
+@query("retrieval_phrase_match", oracle=PHRASE_ORACLE, category="llm-retrieval", plan_cached=True)
 def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT phrase retrieval over a positional index — the retrieval
     class BM25's bag-of-terms scoring cannot express (order and adjacency

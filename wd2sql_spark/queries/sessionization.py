@@ -104,7 +104,7 @@ def sessionize_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sessionize_gap30m_skewsafe", oracle=SESSIONIZE_ORACLE, category="sessionization")
+@query("sessionize_gap30m_skewsafe", oracle=SESSIONIZE_ORACLE, category="sessionization", plan_cached=True)
 def sessionize_gap30m_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level gap sessionization — identical answers to
     :func:`sessionize_gap30m` (it shares the SAME DuckDB oracle, so the
