@@ -19,10 +19,19 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 
 def test_coverage_md_regenerates():
+    import sys as _sys
+
     import gen_coverage
 
+    _sys.path.insert(0, REPO)
+    from wd2sql_spark.queries import load_all_modules
+
     expected = gen_coverage.generate()
+    # content sanity: the generator must cover the ENTIRE live registry —
+    # this is the assertion with teeth now that staleness self-heals
     assert expected.startswith("# COVERAGE"), "generator produced garbage"
+    for name in load_all_modules():
+        assert f"| {name} |" in expected, f"{name} missing from COVERAGE.md"
     path = os.path.join(REPO, "COVERAGE.md")
     with open(path) as f:
         actual = f.read()

@@ -8,8 +8,12 @@ site) — so that:
 1. re-running the same query does NOT accumulate cached relations
    (the battery/bench loop regime; unbounded growth caused the measured
    5x eviction-interference slowdown in tools/scale_experiment.py), and
-2. ``clear_all_session_caches()`` releases EVERYTHING, leaving the
-   session's CacheManager empty — no relation survives unreachable.
+2. ``clear_all_session_caches()`` releases every PERSISTED relation,
+   leaving the session's CacheManager empty — no persisted relation
+   survives unreachable. (localCheckpoint blocks are a separate class:
+   they have no synchronous release API and are invisible to the
+   CacheManager, so this test bounds them only via property 1 — one
+   generation per slot — not via the ==0 assertion.)
 
 The queries below are the sites ADVICE r3 flagged plus every other
 bounded_persist site: incremental dedup's band index, phrase retrieval's

@@ -413,6 +413,31 @@ def ivf_topk(
     )
 
 
+def int8_norm(col: Column) -> Column:
+    """sqrt of the exact integer sum of squares of an int8 array — the
+    ONE definition of the quantized norm, shared by the audit path
+    (:func:`quantized_topk`) and the serving store
+    (:func:`int8_serving_index`) so their q_cosine values cannot
+    diverge."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("double")
+    )
+
+
+def int8_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two int8 arrays (single definition
+    for audit + serving, like :func:`int8_norm`)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def quantize_int8(vec: Column) -> Column:
     """Symmetric per-vector int8 quantization: scale = max|x|/127,
     q_i = round(x_i / scale). 4× memory cut for a stored ANN corpus (the
@@ -444,32 +469,19 @@ def quantized_topk(
     top-k), but the score is the integer-domain cosine — the memory-bound
     regime where the corpus is stored quantized. Output adds the exact
     cosine of each retrieved pair so recall/error can be audited."""
-    def qnorm(col: Column) -> Column:
-        return F.sqrt(
-            F.aggregate(
-                F.transform(col, lambda x: (x * x).cast("long")),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).cast("double")
-        )
-
     def side(df: DataFrame, idalias: str, v: str, qcol: str, n8: str, nx: str) -> DataFrame:
         q8 = quantize_int8(F.col(vec_col))
         return df.select(
             F.col(id_col).alias(idalias),
             F.col(vec_col).alias(v),
             q8.alias(qcol),
-            qnorm(q8).alias(n8),
+            int8_norm(q8).alias(n8),
             l2_norm(F.col(vec_col)).alias(nx),
         )
 
     q = side(queries, "query_id", "qv", "qq", "qqn", "qn")
     c = side(corpus, "neighbor_id", "cv", "cq", "cqn", "cn")
-    qdot = F.aggregate(
-        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: (x * y).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    qdot = int8_dot(F.col("qq"), F.col("cq"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -483,11 +495,8 @@ def quantized_topk(
             ).alias("exact_cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("q_cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "q_cosine", "exact_cosine", "rank")
+    return ranked_topk(
+        scored, "q_cosine", k, ["query_id", "neighbor_id", "q_cosine", "exact_cosine", "rank"]
     )
 
 
@@ -635,6 +644,55 @@ def pq_index(
     )
 
 
+def pq_query_luts(codebook: list[list[tuple[int, list[float]]]], vec_col: str, dim: int) -> list[Column]:
+    """Per-subspace query lookup tables, LUT_m[j] = <q_m, c_mj> — the ONE
+    definition shared by the audit (:func:`pq_topk`), serving
+    (:func:`pq_serving_topk`), and IVFADC (:func:`ivfpq_topk`) paths, so
+    a change to the fold or subvector slicing cannot silently break the
+    bit-identical-scores contract between them.
+
+    NB: binding a loop variable via a second lambda parameter default
+    (``lambda cc, _m=m: ...``) is WRONG here — PySpark passes a 2-arg
+    transform lambda (element, index), so the "default" gets overwritten
+    by the array-index column. The closure factory keeps the lambda
+    unary."""
+    n_sub = len(codebook)
+    sub = dim // n_sub
+
+    def _lut(m: int):
+        return lambda cc: dot(_subvec(F.col(vec_col), m, sub), cc["cv"])
+
+    return [
+        F.transform(_pq_struct_array(codebook[m]), _lut(m)).alias(f"lut{m}")
+        for m in range(n_sub)
+    ]
+
+
+def pq_adc_dot(n_sub: int) -> Column:
+    """ADC score: Σ_m LUT_m[code_m] as a fixed-order left-fold over the
+    m-ordered array — single definition for all three PQ paths (the
+    oracles replay exactly this order)."""
+    return F.aggregate(
+        F.array(
+            *[F.element_at(F.col(f"lut{m}"), F.col(f"code{m}") + 1) for m in range(n_sub)]
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ranked_topk(scored: DataFrame, score_col: str, k: int, out_cols: list[str]) -> DataFrame:
+    """Per-query top-k tail shared by every similarity path: rank by
+    (score DESC, neighbor_id) inside each query_id — planned as
+    WindowGroupLimit, the per-partition top-k the plan audit pins."""
+    w = Window.partitionBy("query_id").orderBy(F.col(score_col).desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(*out_cols)
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -674,30 +732,12 @@ def pq_topk(
     else:
         codebook = pq_codebook(corpus, n_sub, ks, dim, id_col, vec_col)
         c = _pq_encoded(corpus, codebook, dim, id_col, vec_col)
-    sub = dim // n_sub
-
-    # NB: binding the loop variable via a second lambda parameter default
-    # (``lambda cc, _m=m: ...``) is WRONG here — PySpark passes a 2-arg
-    # transform lambda (element, index), so the "default" gets overwritten
-    # by the array-index column. A closure factory keeps the lambda unary.
-    def _lut(m: int):
-        return lambda cc: dot(_subvec(F.col(vec_col), m, sub), cc["cv"])
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         l2_norm(F.col(vec_col)).alias("qn"),
-        *[
-            F.transform(_pq_struct_array(codebook[m]), _lut(m)).alias(f"lut{m}")
-            for m in range(n_sub)
-        ],
-    )
-    pq_dot = F.aggregate(
-        F.array(
-            *[F.element_at(F.col(f"lut{m}"), F.col(f"code{m}") + 1) for m in range(n_sub)]
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+        *pq_query_luts(codebook, vec_col, dim),
     )
     scored = (
         F.broadcast(q)
@@ -706,23 +746,20 @@ def pq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(pq_dot / (F.col("qn") * F.col("acn")), 6).alias("pq_cosine"),
+            F.round(pq_adc_dot(n_sub) / (F.col("qn") * F.col("acn")), 6).alias("pq_cosine"),
             F.round(
                 cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
             ).alias("exact_cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("pq_cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "pq_cosine", "exact_cosine", "rank")
+    return ranked_topk(
+        scored, "pq_cosine", k, ["query_id", "neighbor_id", "pq_cosine", "exact_cosine", "rank"]
     )
 
 
 def pq_serving_index(
     corpus: DataFrame,
-    cache_key: str,
+    cache_key: str | None,
     n_sub: int = 8,
     ks: int = 16,
     dim: int = 64,
@@ -759,6 +796,11 @@ def pq_serving_index(
         )
         return codebook, enc
 
+    if cache_key is None:
+        # no identity for this corpus → build fresh (the pq_topk
+        # convention). Caching under a shared sentinel key would hand a
+        # SECOND corpus in the same session the FIRST corpus's index.
+        return build()
     return _PQ_INDEX_CACHE.get_or_build(
         corpus.sparkSession,
         ("serving", cache_key, n_sub, ks, dim, id_col, vec_col),
@@ -785,28 +827,11 @@ def pq_serving_topk(
     vector — ADC is asymmetric by design (Jegou et al. 2011: quantize
     the corpus, not the queries). Output: (query_id, neighbor_id,
     pq_cosine, rank)."""
-    codebook, c = pq_serving_index(
-        corpus, cache_key or "adhoc", n_sub, ks, dim, id_col, vec_col
-    )
-    sub = dim // n_sub
-
-    def _lut(m: int):
-        return lambda cc: dot(_subvec(F.col(vec_col), m, sub), cc["cv"])
-
+    codebook, c = pq_serving_index(corpus, cache_key, n_sub, ks, dim, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         l2_norm(F.col(vec_col)).alias("qn"),
-        *[
-            F.transform(_pq_struct_array(codebook[m]), _lut(m)).alias(f"lut{m}")
-            for m in range(n_sub)
-        ],
-    )
-    pq_dot = F.aggregate(
-        F.array(
-            *[F.element_at(F.col(f"lut{m}"), F.col(f"code{m}") + 1) for m in range(n_sub)]
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+        *pq_query_luts(codebook, vec_col, dim),
     )
     scored = (
         F.broadcast(q)
@@ -815,15 +840,10 @@ def pq_serving_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(pq_dot / (F.col("qn") * F.col("acn")), 6).alias("pq_cosine"),
+            F.round(pq_adc_dot(n_sub) / (F.col("qn") * F.col("acn")), 6).alias("pq_cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("pq_cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "pq_cosine", "rank")
-    )
+    return ranked_topk(scored, "pq_cosine", k, ["query_id", "neighbor_id", "pq_cosine", "rank"])
 
 
 _IVFPQ_INDEX_CACHE = None  # lazy SessionCache (see _IVF_INDEX_CACHE)
@@ -831,7 +851,7 @@ _IVFPQ_INDEX_CACHE = None  # lazy SessionCache (see _IVF_INDEX_CACHE)
 
 def ivfpq_serving_index(
     corpus: DataFrame,
-    cache_key: str,
+    cache_key: str | None,
     n_centroids: int = 16,
     n_sub: int = 8,
     ks: int = 16,
@@ -867,6 +887,8 @@ def ivfpq_serving_index(
         )
         return centroids, codebook, enc
 
+    if cache_key is None:
+        return build()  # no corpus identity → never share a cache entry
     return _IVFPQ_INDEX_CACHE.get_or_build(
         corpus.sparkSession,
         (cache_key, n_centroids, n_sub, ks, dim, id_col, vec_col),
@@ -899,13 +921,8 @@ def ivfpq_topk(
     |queries|·nprobe probe rows), never a cross join. Output:
     (query_id, neighbor_id, pq_cosine, rank)."""
     centroids, codebook, c = ivfpq_serving_index(
-        corpus, cache_key or "adhoc", n_centroids, n_sub, ks, dim, id_col, vec_col
+        corpus, cache_key, n_centroids, n_sub, ks, dim, id_col, vec_col
     )
-    sub = dim // n_sub
-
-    def _lut(m: int):
-        return lambda cc: dot(_subvec(F.col(vec_col), m, sub), cc["cv"])
-
     scored_arr = F.transform(
         _centroid_struct_array(centroids),
         lambda cc: F.struct(
@@ -917,10 +934,7 @@ def ivfpq_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         l2_norm(F.col(vec_col)).alias("qn"),
-        *[
-            F.transform(_pq_struct_array(codebook[m]), _lut(m)).alias(f"lut{m}")
-            for m in range(n_sub)
-        ],
+        *pq_query_luts(codebook, vec_col, dim),
     ).withColumn("probe", F.explode(scored_arr))
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("probe.score").desc(), F.col("probe.cid")
@@ -931,13 +945,6 @@ def ivfpq_topk(
         .select("query_id", "qn", F.col("probe.cid").alias("cid"),
                 *[f"lut{m}" for m in range(n_sub)])
     )
-    pq_dot = F.aggregate(
-        F.array(
-            *[F.element_at(F.col(f"lut{m}"), F.col(f"code{m}") + 1) for m in range(n_sub)]
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     scored = (
         F.broadcast(probes)
         .join(c, "cid")
@@ -945,15 +952,10 @@ def ivfpq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(pq_dot / (F.col("qn") * F.col("acn")), 6).alias("pq_cosine"),
+            F.round(pq_adc_dot(n_sub) / (F.col("qn") * F.col("acn")), 6).alias("pq_cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("pq_cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "pq_cosine", "rank")
-    )
+    return ranked_topk(scored, "pq_cosine", k, ["query_id", "neighbor_id", "pq_cosine", "rank"])
 
 
 _INT8_INDEX_CACHE = None  # lazy SessionCache (see _IVF_INDEX_CACHE)
@@ -961,7 +963,7 @@ _INT8_INDEX_CACHE = None  # lazy SessionCache (see _IVF_INDEX_CACHE)
 
 def int8_serving_index(
     corpus: DataFrame,
-    cache_key: str,
+    cache_key: str | None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -976,23 +978,16 @@ def int8_serving_index(
 
         _INT8_INDEX_CACHE = SessionCache()
 
-    def qnorm(col: Column) -> Column:
-        return F.sqrt(
-            F.aggregate(
-                F.transform(col, lambda x: (x * x).cast("long")),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).cast("double")
-        )
-
     def build() -> DataFrame:
         q8 = quantize_int8(F.col(vec_col))
         return corpus.select(
             F.col(id_col).alias("neighbor_id"),
             q8.alias("cq"),
-            qnorm(q8).alias("cqn"),
+            int8_norm(q8).alias("cqn"),
         ).localCheckpoint(eager=True)
 
+    if cache_key is None:
+        return build()  # no corpus identity → never share a cache entry
     return _INT8_INDEX_CACHE.get_or_build(
         corpus.sparkSession, (cache_key, id_col, vec_col), build
     )
@@ -1012,27 +1007,12 @@ def int8_serving_topk(
     domain cosine (per-vector scales cancel; values bit-identical to the
     audit path's q_cosine). Output: (query_id, neighbor_id, q_cosine,
     rank)."""
-    c = int8_serving_index(corpus, cache_key or "adhoc", id_col, vec_col)
-
-    def qnorm(col: Column) -> Column:
-        return F.sqrt(
-            F.aggregate(
-                F.transform(col, lambda x: (x * x).cast("long")),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).cast("double")
-        )
-
+    c = int8_serving_index(corpus, cache_key, id_col, vec_col)
     q8 = quantize_int8(F.col(vec_col))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         q8.alias("qq"),
-        qnorm(q8).alias("qqn"),
-    )
-    qdot = F.aggregate(
-        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: (x * y).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+        int8_norm(q8).alias("qqn"),
     )
     scored = (
         F.broadcast(q)
@@ -1041,15 +1021,14 @@ def int8_serving_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(qdot.cast("double") / (F.col("qqn") * F.col("cqn")), 6).alias("q_cosine"),
+            F.round(
+                int8_dot(F.col("qq"), F.col("cq")).cast("double")
+                / (F.col("qqn") * F.col("cqn")),
+                6,
+            ).alias("q_cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("q_cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "q_cosine", "rank")
-    )
+    return ranked_topk(scored, "q_cosine", k, ["query_id", "neighbor_id", "q_cosine", "rank"])
 
 
 def cosine_near_dup_pairs(

@@ -218,7 +218,10 @@ ORDER BY cid
 """
 
 
-@query("semdedup_cluster_prune", oracle=SEMDEDUP_ORACLE, category="llm-cluster", plan_cached=True)
+# NOT plan_cached: the adaptive-k sample count (a corpus-scan job) runs
+# at construction, so memoizing would misreport that cost as free — the
+# exact case the plan_cached docstring forbids.
+@query("semdedup_cluster_prune", oracle=SEMDEDUP_ORACLE, category="llm-cluster")
 def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023 pattern, from public description):
     cluster the corpus, then prune documents whose embeddings are

@@ -53,12 +53,21 @@ def _unpersist_value(value: Any) -> None:
 
 
 def clear_all_session_caches() -> None:
-    """Reset every build-once cache AND release their executor storage.
+    """Reset every build-once cache and release what can be released.
 
-    An earlier version only dropped the dict entries, so a rebuild after
-    clearing double-persisted the same data (the old entry's persisted
-    relation stayed pinned in the block manager, unreachable by anything
-    but ``spark.catalog.clearCache()``)."""
+    PERSISTED relations are unpersisted immediately (an earlier version
+    only dropped the dict entries, so a rebuild after clearing
+    double-persisted the same data — the old entry's persisted relation
+    stayed pinned in the block manager, unreachable by anything but
+    ``spark.catalog.clearCache()``). LOCALCHECKPOINT-backed values have
+    no synchronous release API: ``unpersist()`` on them is a no-op, so
+    dropping the reference here leaves their blocks to Spark's
+    ContextCleaner after GC — eventual, not immediate. Correspondingly,
+    ``cached_relation_count`` observes only CacheManager entries
+    (persisted relations), NOT checkpoint blocks; the battery-end
+    hygiene assertion proves no persisted relation leaks, while
+    checkpoint storage is bounded by the one-generation-per-slot
+    discipline rather than by that counter."""
     for cache in list(_ALL_CACHES):
         for _, value in cache._entries.values():
             _unpersist_value(value)
@@ -155,7 +164,9 @@ def bounded_checkpoint(df, slot: str, key: tuple | None = None):
 
 def cached_relation_count(spark: SparkSession) -> int:
     """Number of logical relations currently pinned in the session's
-    CacheManager — the battery-end hygiene assertion reads this."""
+    CacheManager — the battery-end hygiene assertion reads this. Counts
+    PERSISTED relations only; localCheckpoint blocks are invisible to
+    the CacheManager (see ``clear_all_session_caches``)."""
     jcm = spark._jsparkSession.sharedState().cacheManager()
     return 0 if jcm.isEmpty() else int(jcm.numCachedEntries())
 

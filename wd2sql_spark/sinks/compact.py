@@ -97,7 +97,18 @@ def compact_dataset(
     os.rename(live, old)
     os.rename(tmp, live)
     # Verify the new generation actually reads before dropping the only
-    # other complete copy; if this raises, .old is still on disk and
-    # recover_dataset can restore it.
-    spark.read.parquet(live).count()
+    # other complete copy. On failure, ROLL BACK in place: leaving the
+    # unreadable generation as live would defeat recover_dataset (which
+    # treats an existing live dir as healthy) and a retry would rewrite
+    # FROM the bad generation and delete .old — discarding the last
+    # verified copy. The failed generation is preserved beside the store
+    # for debugging.
+    try:
+        spark.read.parquet(live).count()
+    except Exception:
+        failed = live + ".failed"
+        shutil.rmtree(failed, ignore_errors=True)
+        os.rename(live, failed)
+        os.rename(old, live)
+        raise
     shutil.rmtree(old, ignore_errors=True)
