@@ -125,11 +125,17 @@ def _one_shifted(pos):
 
 _BLOOM_WORDS_CACHE = SessionCache()
 
-BLOOM_SEMI_ORACLE = """
+# The ONE definition of the dim-side selectivity knob — used by the Spark
+# filter, the oracle SQL, and the bloom-words cache key (ADVICE r4 #3: a
+# duplicated literal in the cache key would let a threshold edit silently
+# reuse a bloom filter built for the old predicate).
+BLOOM_ACCTBAL_MIN = 7000.0
+
+BLOOM_SEMI_ORACLE = f"""
 SELECT o_orderpriority, COUNT(*) AS n_orders,
        ((2 * SUM(CAST(round(o_totalprice * 1000000, 0) AS BIGINT)) + 10000) // 20000) / 100.0 AS total_price
 FROM orders
-WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal >= 7000.0)
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal >= {BLOOM_ACCTBAL_MIN})
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
@@ -158,7 +164,7 @@ def join_bloom_prefilter_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook precedent (operators/similarity.py:174 — deliberate,
     documented, constant-size).
     """
-    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") >= 7000.0)
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") >= BLOOM_ACCTBAL_MIN)
     dim_keys = c.select(F.col("c_custkey").alias("k"))
 
     def build_words() -> list[int]:
@@ -181,7 +187,7 @@ def join_bloom_prefilter_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the materialized runtime-filter reuse AQE does across stages of
     # one query, extended across queries of one session.
     words = _BLOOM_WORDS_CACHE.get_or_build(
-        spark, ("bloom_words", sf_dir, 7000.0), build_words
+        spark, ("bloom_words", sf_dir, BLOOM_ACCTBAL_MIN), build_words
     )
     words_lit = F.array(*[F.lit(w).cast("long") for w in words])
 

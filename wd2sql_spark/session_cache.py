@@ -12,11 +12,46 @@ entries are swept on access.
 
 from __future__ import annotations
 
+import os
 import weakref
 from collections.abc import Callable
 from typing import Any
 
 from pyspark.sql import SparkSession
+
+
+def _explicit_key_hit(prev, held_key: tuple, df, key: tuple) -> bool:
+    """Whether an explicit-key slot hit may serve the held relation.
+
+    Explicit keys skip ``sameSemantics`` for speed, so they are trusted —
+    but not blindly (ADVICE r4 #2: slots are process-global strings, and
+    two call paths sharing slot+key with DIFFERENT upstream plans would
+    silently serve stale results). Two guards:
+
+    - always: the schemas must match — free (both plans are analyzed
+      anyway) and catches the coarse collision class (different column
+      sets under one key);
+    - ``WD2SQL_CACHE_DEBUG=1``: additionally run the full
+      ``sameSemantics`` check and RAISE if the explicit key claimed a hit
+      the plans disagree with — the mode to run the test battery in when
+      touching cache keys.
+    """
+    try:
+        same = (
+            held_key == key
+            and prev.sparkSession is df.sparkSession
+            and prev.schema == df.schema
+        )
+    except Exception:
+        return False
+    if same and os.environ.get("WD2SQL_CACHE_DEBUG") == "1":
+        if not prev.sameSemantics(df):
+            raise AssertionError(
+                f"session_cache: explicit key {key!r} hit a held relation whose "
+                "plan differs (sameSemantics=False) — the key does not capture "
+                "the data identity; include sf_dir/params or namespace the slot"
+            )
+    return same
 
 
 # Every live SessionCache instance, so plan documentation can reset them
@@ -99,10 +134,7 @@ def bounded_persist(df, slot: str, key: tuple | None = None):
     if held:
         prev, held_key = held[0], (held[1] if len(held) > 1 else None)
         if key is not None and held_key is not None:
-            try:
-                same = held_key == key and prev.sparkSession is df.sparkSession
-            except Exception:
-                same = False
+            same = _explicit_key_hit(prev, held_key, df, key)
         else:
             try:
                 same = prev.sparkSession is df.sparkSession and prev.sameSemantics(df)
@@ -148,7 +180,9 @@ def bounded_checkpoint(df, slot: str, key: tuple | None = None):
             # explicit keys skip sameSemantics: canonicalizing a large
             # pre-checkpoint plan costs ~0.5 s per call on the pagerank
             # build tree, which dwarfs the warm execution it guards
-            same = held_key == key and anchor.sparkSession is df.sparkSession
+            # (schema equality + optional debug sameSemantics audit in
+            # _explicit_key_hit guard the key-collision hazard)
+            same = _explicit_key_hit(anchor, held_key, df, key)
         else:
             try:
                 same = anchor.sparkSession is df.sparkSession and anchor.sameSemantics(df)

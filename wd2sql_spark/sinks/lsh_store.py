@@ -64,7 +64,15 @@ def append_to_lsh_store(
 
 def read_lsh_store(spark: SparkSession, path: str) -> DataFrame:
     """The store as the band-index relation (column order restored: the
-    partition column comes back last from the scan)."""
+    partition column comes back last from the scan).
+
+    Heals an interrupted compaction swap on open (ADVICE r4 #4): a crash
+    between compact's two renames leaves no live ``bands`` dir but a
+    complete ``.old`` generation — recover it here so the store is
+    readable on FIRST read, not only after the next compaction run."""
+    from wd2sql_spark.sinks.compact import recover_dataset
+
+    recover_dataset(f"{path}/bands")
     raw = spark.read.parquet(f"{path}/bands")
     mh_cols = sorted(
         (c for c in raw.columns if c.startswith("mh")), key=lambda c: int(c[2:])

@@ -68,7 +68,13 @@ def read_postings_store(
 ) -> DataFrame:
     """The store as the postings relation; with ``terms`` given, the scan
     carries bucket partition filters (directory pruning) + a term filter
-    (row-group skipping via the within-file term sort)."""
+    (row-group skipping via the within-file term sort).
+
+    Heals an interrupted compaction swap on open (ADVICE r4 #4; see
+    read_lsh_store)."""
+    from wd2sql_spark.sinks.compact import recover_dataset
+
+    recover_dataset(f"{path}/postings")
     rel = spark.read.parquet(f"{path}/postings")
     if terms is not None:
         bks = sorted({term_bucket(t, buckets) for t in terms})
