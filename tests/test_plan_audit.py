@@ -389,6 +389,21 @@ def test_sessionize_skewsafe_bounded_exchanges(reports):
         assert set(s["columns"]) <= {"user_id", "ts", "event_id", "event_type", "value"}, s
 
 
+def test_ntile_distribution_no_global_window(reports):
+    """The global-rank distribution family must NOT plan a single-
+    partition global window (VERDICT r4 #1 — the last weak-at-100× plan):
+    rank comes from the range-repartition + prefix-sum technique
+    (operators/ids_assign.global_order_rank) and ntile/cume_dist/
+    percent_rank are row-local arithmetic over (rank, total). Budget:
+    the _pid window exchange + the presentation sort; zero
+    SinglePartition stages; scan pruned to the two needed columns."""
+    r = reports["window_ntile_distribution"]
+    assert "SinglePartition" not in r.text
+    assert r.shuffles <= 2, r.shuffles
+    for s in r.scans:
+        assert set(s["columns"]) <= {"o_orderkey", "o_totalprice"}, s
+
+
 def test_funnel_single_data_shuffle(reports):
     """Both nested window passes and the per-user aggregate share
     HashPartitioning(user_id); the trailing single-row global agg moves

@@ -136,6 +136,11 @@ SCALE_QUERIES = (
     "split_leakage_safe",
     # MMR: one brute-force top-N pass + a pool-sized greedy.
     "retrieval_mmr_diversified",
+    # round-5: the global-rank distribution family after the single-
+    # partition-window removal (range exchange + per-partition counts +
+    # row-local arithmetic — expect e ~ 1, where the old global window
+    # would serialize the whole table through one task).
+    "window_ntile_distribution",
 )
 
 

@@ -42,6 +42,27 @@ def assign_contiguous_ids(
     Cost: one range exchange + one count-only job + one in-partition
     window. No single-partition stage anywhere; driver traffic is one
     long per partition."""
+    out, _ = global_order_rank(
+        df, order_cols, id_col=id_col, n_partitions=n_partitions
+    )
+    return out
+
+
+def global_order_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    id_col: str = "global_id",
+    n_partitions: int = 32,
+) -> tuple[DataFrame, int]:
+    """:func:`assign_contiguous_ids` plus the TOTAL row count, for free —
+    the prefix-sum step already collects every partition's count, so the
+    total is their sum, not an extra job.
+
+    This is the scale-safe building block for the whole global-rank
+    distribution family (``ntile``/``cume_dist``/``percent_rank``): with
+    (rank, total) in hand those are row-local arithmetic, so no
+    single-partition global window ever enters the plan (VERDICT r4 #1)."""
     cols = [F.col(c) for c in order_cols]
     parts = (
         df.repartitionByRange(n_partitions, *cols)
@@ -73,9 +94,10 @@ def assign_contiguous_ids(
         pairs = [x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
         offset_expr = F.element_at(F.create_map(*pairs), F.col("_pid")).cast("long")
     w = Window.partitionBy("_pid").orderBy(*cols)
-    return (
+    ranked = (
         parts.withColumn(
             id_col, (offset_expr + F.row_number().over(w)).cast("long")
         )
         .drop("_pid")
     )
+    return ranked, acc

