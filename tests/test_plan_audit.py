@@ -38,6 +38,36 @@ def test_no_row_at_a_time_python_anywhere(reports):
     assert offenders == []
 
 
+def test_shuffle_census_counts_unique_nodes(spark, sf_dir):
+    """A persisted relation consumed by several joins prints its build
+    subtree (same node ids) once per reference in formatted explain; the
+    census must count each exchange ONCE — they execute once (VERDICT r4
+    task #6: the prefix-filter join read 18 by occurrence, 5 by node)."""
+    from pyspark.sql import functions as F
+
+    from wd2sql_spark.plans.audit import plan_report
+
+    base = (
+        spark.range(1000)
+        .groupBy((F.col("id") % 7).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    try:
+        two_refs = base.alias("a").join(base.alias("b"), "k").join(base.alias("c"), "k")
+        r = plan_report(two_refs)
+        # one exchange for the groupBy (printed 3x) + at most the join's
+        # own exchanges; occurrence-counting would read >= 3 for the agg alone
+        occurrences = r.text.split("\n\n")[0].count("Exchange (")
+        assert r.shuffles + r.broadcasts < occurrences
+        import re
+
+        uniq = set(re.findall(r"(?<!Reused)Exchange \((\d+)\)", r.text.split("\n\n")[0]))
+        assert r.shuffles + r.broadcasts == len(uniq)
+    finally:
+        base.unpersist()
+
+
 def test_multiway_join_plan(reports):
     r = reports["join_multiway_local_supplier_volume"]
     assert any("EqualTo(r_name,EUROPE)" in f for f in r.pushed_filters)

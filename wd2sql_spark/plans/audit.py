@@ -69,10 +69,18 @@ def explain_formatted(df: DataFrame) -> str:
 def plan_report(df: DataFrame) -> PlanReport:
     text = explain_formatted(df)
     rep = PlanReport(text=text)
-    rep.broadcasts = len(re.findall(r"\bBroadcastExchange\b", text.split("\n\n")[0]))
-    # "Exchange" tree nodes that are not broadcasts are shuffle exchanges.
+    # Count UNIQUE node ids, not text occurrences: formatted explain
+    # re-prints a shared subtree (an InMemoryRelation's build plan, a
+    # reused exchange) once per consumer reference, all with the SAME node
+    # ids — the subtree executes once, so occurrence-counting overstates
+    # the real shuffle work (the prefix-filter join read 18 where only 5
+    # distinct exchanges run; VERDICT r4 task #6). ReusedExchange nodes
+    # are references, not executions, and are excluded outright.
     tree = text.split("\n\n")[0]
-    rep.shuffles = len(re.findall(r"(?<!Broadcast)Exchange \(", tree))
+    rep.broadcasts = len(set(re.findall(r"(?<!Reused)BroadcastExchange \((\d+)\)", tree)))
+    rep.shuffles = len(
+        set(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange \((\d+)\)", tree))
+    )
     rep.python_eval = "BatchEvalPython" in text
     rep.pandas_eval = bool(re.search(r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas", text))
     rep.codegen_spans = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", text)))
