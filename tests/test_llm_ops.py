@@ -61,22 +61,25 @@ def test_ivf_topk_recall_vs_brute_force(spark, emb):
 
 
 def test_pq_codes_are_exact_on_codebook_vectors(spark, emb):
-    """The codebook is the 16 lowest-id vectors, so each must encode to
-    its own index in EVERY subspace (distance 0, tie-break lowest j), and
-    its PQ-reconstruction norm must equal its true norm — pinning the
-    slice arithmetic, the argmin tie-break, and the norm LUTs at once."""
+    """A vector assembled FROM the trained codebook (row j = subspace
+    centroid j concatenated across all subspaces) must encode to a
+    zero-distance code in EVERY subspace — i.e. the chosen centroid's
+    subvector equals the input's. This pins the slice arithmetic and the
+    argmin with trained codebooks (r5): the chosen j may be lower than
+    the row's own index only if two trained centroids coincide, so the
+    assertion is on reconstruction equality, not index identity."""
     cb = S.pq_codebook(emb, n_sub=8, ks=16, dim=64)
+    rows = [
+        (j, [x for m in range(8) for x in cb[m][j][1]]) for j in range(16)
+    ]
+    df = spark.createDataFrame(rows, "j int, embedding array<double>")
     codes = S.pq_codes(F.col("embedding"), cb, dim=64)
-    first16 = (
-        emb.orderBy("vec_id")
-        .limit(16)
-        .select(
-            "vec_id", *[codes[m].alias(f"c{m}") for m in range(8)]
-        )
-        .collect()
-    )
-    for rank, r in enumerate(sorted(first16, key=lambda r: r.vec_id)):
-        assert [r[f"c{m}"] for m in range(8)] == [rank] * 8
+    got = df.select("j", *[codes[m].alias(f"c{m}") for m in range(8)]).collect()
+    for r in got:
+        for m in range(8):
+            chosen = cb[m][r[f"c{m}"]][1]
+            assert chosen == cb[m][r.j][1], (r.j, m, r[f"c{m}"])
+            assert r[f"c{m}"] <= r.j  # ties break to the lowest j
 
 
 def test_pq_topk_recall_and_self_reconstruction(spark, emb):

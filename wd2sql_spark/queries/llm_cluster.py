@@ -21,83 +21,27 @@ total, independent of corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wd2sql_spark.session_cache import bounded_persist
 
 from wd2sql_spark.catalog import table
+# The quantize/assign/update kernel is shared with ANN codebook training
+# (operators/similarity.train_centroids) — one definition, one oracle
+# grammar; see operators/kmeans.py for the determinism argument that used
+# to live here.
+from wd2sql_spark.operators.kmeans import (
+    OFFSET,
+    SCALE,
+    assign_int as _assign,
+    iv_quantize as _iv,
+    update_int as _update,
+)
 from wd2sql_spark.queries.registry import query
 
 K = 4  # clusters (seeded from the K lowest vec_ids)
 DIM = 64
-SCALE = 1_000_000
-# Components live in ~[-0.6, 0.6]; the offset makes every quantized value
-# positive so the half-up integer division in the centroid update needs
-# no sign handling (Spark `div` truncates toward zero, DuckDB `//`
-# floors — they agree only for non-negative operands). Distances are
-# invariant to a common offset.
-OFFSET = 1_000_000
-
-
-def _iv(col: Column) -> Column:
-    """array<long> quantized components: round(x·10⁶) + OFFSET."""
-    return F.transform(
-        col, lambda x: F.round(x.cast("double") * SCALE, 0).cast("long") + OFFSET
-    )
-
-
-def _sqdist(a: Column, b: Column) -> Column:
-    """Σ (aᵢ−bᵢ)² as an exact integer fold."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-
-
-def _assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, iv) × centroids → (vec_id, iv, cid, dist).
-
-    The centroid relation (cid, c) collapses to ONE row carrying a sorted
-    array of structs, broadcast onto the corpus; per-vector argmin is
-    ``array_min`` over (dist, cid) structs — lexicographic min = smallest
-    distance, ties to the lowest cid, matching the SQL twin's
-    ``ORDER BY dist, cid`` rank."""
-    cent_row = cent.agg(
-        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents")
-    )
-    scored = F.transform(
-        F.col("cents"),
-        lambda c: F.struct(_sqdist(F.col("iv"), c["c"]).alias("dist"), c["cid"].alias("cid")),
-    )
-    amin = F.array_min(scored)
-    return (
-        vecs.crossJoin(F.broadcast(cent_row))
-        .select("vec_id", "iv", amin["cid"].alias("cid"), amin["dist"].alias("dist"))
-    )
-
-
-def _update(assigned: DataFrame) -> DataFrame:
-    """Per-cluster centroid: half-up rounded per-dim mean, entirely in
-    integer arithmetic — c = (2·Σv + n) div (2·n), exact and identical in
-    both engines for the non-negative quantized values."""
-    dims = assigned.select("cid", F.posexplode("iv").alias("dim", "v"))
-    per = dims.groupBy("cid", "dim").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
-    )
-    c = F.call_function(
-        "div", F.lit(2) * F.col("s") + F.col("n"), F.lit(2) * F.col("n")
-    )
-    return (
-        per.select("cid", "dim", c.alias("c"))
-        .groupBy("cid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda t: t["c"]
-            ).alias("c")
-        )
-    )
 
 
 _IVT = f"""

@@ -42,9 +42,9 @@ def write_ivf_store(
     vec_col: str = "embedding",
 ) -> None:
     """Build the IVF index from ``corpus`` and write it as a partitioned
-    store. One corpus pass: the same deterministic lowest-id codebook and
-    argmax assignment as the in-session index (shared ``_scored_base``),
-    minus the transient scores array."""
+    store. The same deterministic k-means-trained codebook and argmax
+    assignment as the in-session index (shared ``collect_centroids`` /
+    ``_scored_base``), minus the transient scores array."""
     spark = corpus.sparkSession
     centroids = collect_centroids(corpus, n_centroids, id_col, vec_col)
     base = _scored_base(corpus, centroids, id_col, vec_col)
