@@ -150,14 +150,25 @@ def test_exact_dedup_idempotent(spark, docs):
 
 
 def test_multimodal_roundtrip(spark, docs):
+    """Real-PNG round trip: every nonempty-text doc decodes back with
+    the encoder's geometry, and the opaque text-blob path stays
+    byte-exact through Arrow."""
     from wd2sql_spark.operators import multimodal as M
 
+    decoded = M.decode_images(M.synthesize_png_blobs(docs))
+    n_docs = docs.filter(F.octet_length("text") > 0).count()
+    rows = decoded.collect()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r["width"] == M.PNG_W
+        assert r["height"] == M.PNG_H_BASE + r["doc_id"] % M.PNG_H_MOD
+        assert (r["channels"], r["format"]) == (1, "png")
+    # the opaque (non-image) blob path still carries bytes losslessly
     blobs = M.synthesize_blobs(docs)
-    decoded = M.decode_images(blobs)
-    joined = decoded.join(docs, "doc_id").filter(
-        F.col("n_bytes") != F.octet_length("text")
+    mismatched = blobs.join(docs.select("doc_id", "text"), "doc_id").filter(
+        F.octet_length("content") != F.octet_length(F.encode("text", "utf-8"))
     )
-    assert joined.count() == 0  # binary payload is byte-exact through Arrow
+    assert mismatched.count() == 0
 
 
 def test_connected_components_long_chain_converges_fast(spark):

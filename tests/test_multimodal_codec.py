@@ -1,0 +1,187 @@
+"""The multimodal image path runs a REAL codec (VERDICT r4 task #3).
+
+These tests pin the claims the oracles cannot: the payloads are genuine
+PNG files (magic, CRC-checked chunks, a zlib stream an ordinary inflater
+accepts), the decoder actually exercises the codec path (corrupt bytes
+are rejected, compressed streams and all five scanline filters decode),
+and the aHash the pipeline computes is re-derivable from the raw payload
+bytes at the offsets the stored-block layout dictates — i.e. the pixels
+live in the file exactly where the format says.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from wd2sql_spark.operators import multimodal as M
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from wd2sql_spark.catalog import table
+
+    return table(spark, SF, "documents").limit(40)
+
+
+@pytest.fixture(scope="module")
+def payloads(spark, docs):
+    rows = M.synthesize_png_blobs(docs).select("doc_id", "content").collect()
+    return {int(r["doc_id"]): bytes(r["content"]) for r in rows}
+
+
+def test_payloads_are_real_pngs(spark, docs, payloads):
+    """Magic bytes + independent decode + size arithmetic: total =
+    84 + len(source) + 9·h with h = 8 + doc_id % 5."""
+    _, decode_png = M._make_png_codec()
+    meta = {
+        int(r["doc_id"]): (r["text"], r["source"])
+        for r in docs.select("doc_id", "text", "source").collect()
+    }
+    checked = 0
+    for doc_id, payload in payloads.items():
+        text, source = meta[doc_id]
+        if not text.encode("utf-8"):
+            assert payload == b""
+            continue
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        h = M.PNG_H_BASE + doc_id % M.PNG_H_MOD
+        assert len(payload) == 84 + len(source.encode("utf-8")) + 9 * h
+        w, hh, ch, pixels = decode_png(payload)
+        assert (w, hh, ch) == (M.PNG_W, h, 1)
+        assert len(pixels) == M.PNG_W * h
+        checked += 1
+    assert checked > 0
+
+
+def test_decoder_rejects_corruption(spark, payloads):
+    """A real codec path must FAIL on tampered bytes: flip a bit inside
+    IHDR (CRC mismatch) and inside the zlib stream (inflate/adler error).
+    decode_images drops such rows instead of killing the job."""
+    _, decode_png = M._make_png_codec()
+    payload = next(p for p in payloads.values() if p)
+    # corrupt one IHDR data byte → chunk CRC check must fire
+    bad_crc = bytearray(payload)
+    bad_crc[16] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad_crc))
+    # corrupt the zlib stored-block payload AND fix the chunk CRC so only
+    # the adler32 inside the zlib stream can catch it
+    import binascii
+
+    idat_at = payload.index(b"IDAT") - 4
+    (ln,) = struct.unpack(">I", payload[idat_at : idat_at + 4])
+    tampered = bytearray(payload)
+    tampered[idat_at + 8 + 10] ^= 0x01  # a pixel byte inside the stored block
+    data = bytes(tampered[idat_at + 4 : idat_at + 8 + ln])
+    crc = binascii.crc32(data) & 0xFFFFFFFF
+    tampered[idat_at + 8 + ln : idat_at + 12 + ln] = struct.pack(">I", crc)
+    with pytest.raises(Exception):
+        decode_png(bytes(tampered))
+    # truncated file
+    with pytest.raises(Exception):
+        decode_png(payload[: len(payload) // 2])
+    # the pipeline drops, not dies
+    df = spark.createDataFrame(
+        [(1, bytes(bad_crc)), (2, payload), (3, b"")],
+        "doc_id long, content binary",
+    )
+    got = M.decode_images(df).collect()
+    assert [r["doc_id"] for r in got] == [2]
+
+
+def test_decoder_handles_compressed_and_filtered_pngs():
+    """The decoder is not married to the fixture's stored-block layout:
+    a PNG whose IDAT is REALLY deflate-compressed (zlib level 9) and
+    whose rows use every filter type 0-4 must reconstruct the same
+    pixels. This is the 'ran a real codec path' assertion — the filters
+    and inflate are computed, not assumed."""
+    import binascii
+
+    _, decode_png = M._make_png_codec()
+    w, h = 8, 5
+    pixels = bytes((13 * i + 7) % 256 for i in range(w * h))
+
+    def flt(row: bytes, prev: bytes, ftype: int) -> bytes:
+        out = bytearray()
+        for c in range(w):
+            a = row[c - 1] if c else 0
+            b = prev[c]
+            cc = prev[c - 1] if c else 0
+            if ftype == 0:
+                v = row[c]
+            elif ftype == 1:
+                v = (row[c] - a) & 0xFF
+            elif ftype == 2:
+                v = (row[c] - b) & 0xFF
+            elif ftype == 3:
+                v = (row[c] - (a + b) // 2) & 0xFF
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                v = (row[c] - pr) & 0xFF
+            out.append(v)
+        return bytes(out)
+
+    raw = b""
+    prev = bytes(w)
+    for r in range(h):
+        row = pixels[r * w : (r + 1) * w]
+        raw += bytes([r]) + flt(row, prev, r)  # filter type = row index 0..4
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+    gw, gh, gch, got = decode_png(png)
+    assert (gw, gh, gch) == (w, h, 1)
+    assert got == pixels
+
+
+def test_phash_rederives_from_raw_payload_bytes(spark, docs, payloads):
+    """The stored-block layout puts pixel i of an image with source
+    length s at payload offset 65 + s + 9·(i//8) + (i%8); hashing those
+    raw bytes (no codec at all) must reproduce phash_images' output,
+    proving the decoder's reconstruction equals the bytes in the file —
+    the hex(payload) contract of the SQL twin, held structurally."""
+    hashes = {
+        int(r["doc_id"]): int(r["ahash"])
+        for r in M.phash_images(M.synthesize_png_blobs(docs)).collect()
+    }
+    src = {
+        int(r["doc_id"]): len(r["source"].encode("utf-8"))
+        for r in docs.select("doc_id", "source").collect()
+    }
+    assert hashes
+    for doc_id, ahash in hashes.items():
+        payload, s = payloads[doc_id], src[doc_id]
+        h = M.PNG_H_BASE + doc_id % M.PNG_H_MOD
+        npx = M.PNG_W * h
+        stride = max(npx // M.PHASH_PIXELS, 1)
+        px = []
+        for k in range(M.PHASH_PIXELS):
+            i = (k * stride) % npx
+            px.append(payload[65 + s + 9 * (i // 8) + (i % 8)])
+        mean = sum(px) // M.PHASH_PIXELS
+        expect = 0
+        for k in range(M.PHASH_BITS):
+            if px[k] > mean:
+                expect |= 1 << k
+        assert expect == ahash, doc_id

@@ -1,11 +1,12 @@
 """Multimodal column plumbing: images/audio/video as opaque BINARY columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-The container has no image/audio libraries, so the codec layer is STUBBED
-(deterministic fake decode, clearly marked); everything Spark-side — the
-schemas, the Arrow batch shapes, the mapInPandas signatures, partitioning
-behavior — is real and tested. Swap ``_fake_decode`` for a PIL/ffmpeg call
-and the pipeline is production-shaped.
+The IMAGE path is a REAL codec end-to-end (VERDICT r4 task #3): the
+fixture builder writes genuine PNG files (stdlib zlib + CRC-32 chunks —
+no PIL needed) and the decode stages parse the chunk grammar, verify
+every CRC and the zlib/adler32 stream, and reconstruct scanlines through
+the full PNG filter set (types 0-4). Only the VIDEO demux stage remains a
+stub (no ffmpeg in the container; ``frame_sample`` documents the swap).
 
 Scale notes: binary payloads ride the same columnar machinery as any other
 column (Parquet BYTE_ARRAY + Arrow LargeBinary); mapInPandas streams
@@ -32,53 +33,225 @@ DECODED_SCHEMA = (
 
 THUMB_SCHEMA = "doc_id bigint, thumb_width bigint, thumb_height bigint, scale double"
 
+PNG_W = 8  # fixed width: the aHash grid is 8 columns
+PNG_H_BASE = 8
+PNG_H_MOD = 5  # height = 8 + doc_id % 5 — real per-image geometry variation
+
+
+def _make_png_codec():
+    """PNG encoder/decoder pair on the stdlib (zlib, struct, binascii) —
+    a REAL codec path: CRC-32-checked chunk grammar, a genuine zlib
+    stream (inflate validates the adler32 trailer), and full scanline
+    filter reconstruction (types 0-4, the Paeth predictor included).
+    Grayscale-8 only — the variant the fixture writes; anything else
+    raises and the per-record tolerance drops the row.
+
+    Defined inside a factory so the returned functions are NOT module
+    attributes: cloudpickle then ships them BY VALUE into the Arrow
+    workers instead of by reference, keeping the pipeline runnable on
+    workers that cannot import ``wd2sql_spark``.
+
+    The encoder emits the IDAT zlib stream as ONE STORED deflate block
+    (level-0, still a fully valid zlib stream any inflater accepts), so
+    the raw pixel bytes sit at a computable payload offset —
+    tests/test_multimodal_codec.py exploits that to re-derive the aHash
+    from the raw payload bytes alone, proving the pixels live in the file
+    exactly where the format says."""
+    import binascii
+    import struct
+    import zlib
+
+    def _chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def encode_png(pixels: bytes, w: int, h: int, src: bytes) -> bytes:
+        raw = b"".join(b"\x00" + pixels[r * w : (r + 1) * w] for r in range(h))
+        if len(raw) > 0xFFFF:
+            raise ValueError("stored-block encoder is for small images only")
+        z = (
+            b"\x78\x01\x01"
+            + struct.pack("<HH", len(raw), len(raw) ^ 0xFFFF)
+            + raw
+            + struct.pack(">I", zlib.adler32(raw) & 0xFFFFFFFF)
+        )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"tEXt", b"src\x00" + src)
+            + _chunk(b"IDAT", z)
+            + _chunk(b"IEND", b"")
+        )
+
+    def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+        """→ (width, height, channels, reconstructed pixel bytes)."""
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG")
+        pos, dims, idat = 8, None, b""
+        while pos + 12 <= len(payload):
+            (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+            typ = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + ln]
+            (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+            if binascii.crc32(typ + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"bad CRC in {typ!r}")
+            if typ == b"IHDR":
+                w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+                if (depth, ctype, comp, filt, inter) != (8, 0, 0, 0, 0):
+                    raise ValueError("unsupported PNG variant")
+                dims = (w, h)
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        if dims is None or not idat:
+            raise ValueError("missing IHDR/IDAT")
+        w, h = dims
+        raw = zlib.decompress(idat)  # real inflate; validates adler32
+        if len(raw) != h * (w + 1):
+            raise ValueError("scanline size mismatch")
+        out = bytearray()
+        prev = bytearray(w)
+        for r in range(h):
+            f = raw[r * (w + 1)]
+            line = bytearray(raw[r * (w + 1) + 1 : (r + 1) * (w + 1)])
+            for c in range(w):
+                a = line[c - 1] if c else 0  # bpp = 1 for gray-8
+                b = prev[c]
+                cc = prev[c - 1] if c else 0
+                if f == 0:
+                    rec = line[c]
+                elif f == 1:
+                    rec = (line[c] + a) & 0xFF
+                elif f == 2:
+                    rec = (line[c] + b) & 0xFF
+                elif f == 3:
+                    rec = (line[c] + (a + b) // 2) & 0xFF
+                elif f == 4:
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                    rec = (line[c] + pr) & 0xFF
+                else:
+                    raise ValueError(f"bad filter type {f}")
+                line[c] = rec
+            out += line
+            prev = line
+        return w, h, 1, bytes(out)
+
+    return encode_png, decode_png
+
 
 def synthesize_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stand-in media: utf-8 bytes of the text as the BINARY payload plus
-    typed metadata — the exact column layout a real ingest would produce
-    (content BINARY, media_type STRING, meta MAP)."""
+    """Stand-in OPAQUE media (the video/audio shape): utf-8 bytes of the
+    text as the BINARY payload plus typed metadata — the exact column
+    layout a real ingest would produce (content BINARY, media_type
+    STRING, meta MAP). The image pipelines use
+    :func:`synthesize_png_blobs` instead, whose payloads are real PNGs."""
     return docs.select(
         "doc_id",
         F.encode(F.col(text_col), "utf-8").alias("content"),
-        F.lit("image/fake").alias("media_type"),
+        F.lit("application/octet-stream").alias("media_type"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+
+
+def synthesize_png_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """REAL image payloads: each doc becomes an 8×h grayscale PNG
+    (h = 8 + doc_id % PNG_H_MOD) whose pixels are a fixed-stride byte
+    sample of the utf-8 text — pixel i = text_byte[(i·max(n//npx,1)) % n]
+    — plus a tEXt chunk carrying the doc's source (so payload SIZE varies
+    with real metadata, not just geometry). Deterministic end-to-end, so
+    the DuckDB oracles re-derive byte counts and pixel values from the
+    documents table while Spark runs the actual encoder and decoder.
+    Empty-text docs get an empty payload (nothing to encode); the decode
+    stages drop them — the same per-record tolerance rule as the ETL.
+    """
+    enc = F.encode(F.col(text_col), "utf-8")
+    base = docs.select(
+        "doc_id", enc.alias("tb"), F.col("source").alias("source")
+    )
+    encode_png, _ = _make_png_codec()
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def build(doc_id: int, tb: bytes, source: str) -> bytes:
+            n = len(tb)
+            if n == 0:
+                return b""
+            h = PNG_H_BASE + doc_id % PNG_H_MOD
+            npx = PNG_W * h
+            stride = max(n // npx, 1)
+            pixels = bytes(tb[(i * stride) % n] for i in range(npx))
+            return encode_png(pixels, PNG_W, h, source.encode("utf-8"))
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "content": [
+                        build(int(d), bytes(t), s)
+                        for d, t, s in zip(pdf["doc_id"], pdf["tb"], pdf["source"])
+                    ],
+                    "source": pdf["source"],
+                }
+            )
+
+    return base.mapInPandas(
+        batches, schema="doc_id bigint, content binary, source string"
+    ).select(
+        "doc_id",
+        "content",
+        F.lit("image/png").alias("media_type"),
         F.create_map(F.lit("source"), F.col("source")).alias("meta"),
     )
 
 
 def decode_images(blobs: DataFrame) -> DataFrame:
-    """Arrow-batched decode: BINARY column → typed metadata rows.
+    """Arrow-batched REAL decode: BINARY column → typed metadata rows via
+    the stdlib PNG codec (chunk grammar + CRC verification + inflate +
+    filter reconstruction — see :func:`_make_png_codec`).
 
     mapInPandas (not a scalar UDF) because decode is 1→1 but wants batch
     amortization and the freedom to drop undecodable rows (a scalar UDF
-    must return exactly one value per row).
-
-    The codec is nested in the batch closure so cloudpickle ships it BY
-    VALUE — a module-level helper would pickle by reference and require
-    ``wd2sql_spark`` importable on the Python workers, an environment
-    assumption the grading driver need not satisfy."""
+    must return exactly one value per row) — empty or corrupt payloads
+    drop, per-record tolerance."""
+    _, decode_png = _make_png_codec()
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        def fake_decode(payload: bytes) -> tuple[int, int, int, str]:
-            """STUB — deterministic fake image decode. A real impl:
-                from PIL import Image; img = Image.open(io.BytesIO(payload))
-                return (*img.size, len(img.getbands()), img.format)
-            (PIL is not in this container.) The fake derives dimensions
-            from the payload so results are stable and verifiable."""
-            n = len(payload)
-            return (64 + n % 577, 64 + (n * 31) % 353, 3, "fake/raw")
-
         for pdf in it:
-            decoded = [fake_decode(b) for b in pdf["content"]]
+            rows: dict[str, list] = {
+                k: []
+                for k in ("doc_id", "n_bytes", "width", "height", "channels", "format")
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    w, h, ch, _pixels = decode_png(bytes(payload))
+                except Exception:
+                    continue  # undecodable row: drop, don't kill the job
+                rows["doc_id"].append(int(doc_id))
+                rows["n_bytes"].append(len(payload))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(ch)
+                rows["format"].append("png")
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "n_bytes": [len(b) for b in pdf["content"]],
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "channels": [d[2] for d in decoded],
-                    "format": [d[3] for d in decoded],
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int64"),
+                    "height": pd.Series(rows["height"], dtype="int64"),
+                    "channels": pd.Series(rows["channels"], dtype="int64"),
+                    "format": pd.Series(rows["format"], dtype="object"),
                 }
             )
 
@@ -135,26 +308,27 @@ PHASH_BITS = 56  # hash bits kept (bits 0..55 -> 7 bands of 8; int64-safe)
 
 
 def phash_images(blobs: DataFrame) -> DataFrame:
-    """Arrow-batched perceptual hash (average-hash / aHash) over the
-    BINARY payload: sample PHASH_PIXELS bytes at a fixed stride from the
-    decoded buffer (the stub's stand-in for the 8x8 downscaled grayscale
-    image), take the integer mean, and set bit k when pixel k exceeds it.
-    Exact integer arithmetic end-to-end, so the SQL twin reproduces the
-    hash from hex(payload) bit-for-bit. Rows with an empty payload are
-    dropped (nothing to hash) — the oracle filters octet_length > 0.
-
-    A real impl swaps the stride sampler for PIL decode + 8x8 resize;
-    everything downstream (banding, hamming verify) is unchanged. Like
-    decode_images, the hasher is nested so cloudpickle ships it by
-    value."""
+    """Arrow-batched perceptual hash (average-hash / aHash) over REAL
+    image payloads: run the actual PNG decoder (CRC + inflate + filter
+    reconstruction), sample PHASH_PIXELS pixels at a fixed stride from
+    the reconstructed pixel buffer (the small-image stand-in for the 8×8
+    downscale a PIL impl would do), take the integer mean, and set bit k
+    when pixel k exceeds it. The hash arithmetic is exact integers over
+    deterministically-encoded pixels, so the SQL twin re-derives the same
+    bits from the documents table the encoder sampled. Undecodable or
+    empty payloads drop (per-record tolerance); the oracle filters
+    empty-text docs the same way. Like decode_images, the codec functions
+    are factory-local so cloudpickle ships them by value."""
+    _, decode_png = _make_png_codec()
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         def ahash(payload: bytes) -> int:
-            n = len(payload)
-            stride = max(n // PHASH_PIXELS, 1)
-            px = [payload[(k * stride) % n] for k in range(PHASH_PIXELS)]
+            _w, _h, _ch, pixels = decode_png(payload)
+            npx = len(pixels)
+            stride = max(npx // PHASH_PIXELS, 1)
+            px = [pixels[(k * stride) % npx] for k in range(PHASH_PIXELS)]
             mean = sum(px) // PHASH_PIXELS
             h = 0
             for k in range(PHASH_BITS):
@@ -163,12 +337,19 @@ def phash_images(blobs: DataFrame) -> DataFrame:
             return h
 
         for pdf in it:
-            keep = [len(b) > 0 for b in pdf["content"]]
-            sub = pdf[keep]
+            ids: list[int] = []
+            hashes: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    h = ahash(bytes(payload))
+                except Exception:
+                    continue
+                ids.append(int(doc_id))
+                hashes.append(h)
             yield pd.DataFrame(
                 {
-                    "doc_id": sub["doc_id"].astype("int64"),
-                    "ahash": [ahash(b) for b in sub["content"]],
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ahash": pd.Series(hashes, dtype="int64"),
                 }
             )
 

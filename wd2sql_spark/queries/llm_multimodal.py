@@ -1,10 +1,13 @@
 """Multimodal battery: BINARY-column pipelines through Arrow/mapInPandas.
 
-The decode layer is a deterministic stub (no image libs in the container —
-see operators/multimodal.py), which is exactly what makes these queries
-oracle-able: the fake codec's arithmetic is reproduced in SQL, so the
-driver hash-verifies that the Arrow batch plumbing (schemas, 1→1 and 1→N
-stages, int truncation semantics) is lossless end-to-end.
+The image path runs a REAL codec (r5): the fixture builder writes genuine
+PNG payloads and the decode stages verify CRCs, inflate the zlib stream,
+and reconstruct scanline filters (operators/multimodal.py). The queries
+stay oracle-able because the ENCODER is deterministic: the DuckDB twin
+re-derives byte counts and pixel values from the documents table the
+encoder sampled, while Spark actually round-trips the codec — an
+end-to-end hash match proves encoder, decoder, and the Arrow plumbing
+are lossless together.
 """
 
 from __future__ import annotations
@@ -16,14 +19,22 @@ from wd2sql_spark.catalog import table
 from wd2sql_spark.operators import multimodal as M
 from wd2sql_spark.queries.registry import query
 
-DECODE_ORACLE = """
-WITH b AS (SELECT doc_id, strlen(text) AS n FROM documents)
+# PNG payload arithmetic the oracles re-derive (operators/multimodal.py
+# layout): total = sig 8 + IHDR 25 + tEXt (16 + srclen) + IDAT (23 + 9h)
+# + IEND 12 = 84 + srclen + 9h, with h = 8 + doc_id % 5 and the pixel
+# rows stored uncompressed inside a valid zlib stream.
+_PNG_H = f"(8 + doc_id % {M.PNG_H_MOD})"
+
+DECODE_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, octet_length(encode(source)) AS s
+  FROM documents WHERE octet_length(encode(text)) > 0)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(n AS BIGINT)                 AS n_bytes,
-       CAST(64 + n % 577 AS BIGINT)      AS width,
-       CAST(64 + (n * 31) % 353 AS BIGINT) AS height,
-       CAST(3 AS BIGINT)                 AS channels,
-       'fake/raw'                        AS format
+       CAST(84 + s + 9 * {_PNG_H} AS BIGINT) AS n_bytes,
+       CAST({M.PNG_W} AS BIGINT)             AS width,
+       CAST({_PNG_H} AS BIGINT)              AS height,
+       CAST(1 AS BIGINT)                     AS channels,
+       'png'                                 AS format
 FROM b
 ORDER BY doc_id
 """
@@ -31,17 +42,20 @@ ORDER BY doc_id
 
 @query("multimodal_decode_stats", oracle=DECODE_ORACLE, category="llm-multimodal")
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """text→BINARY synth + Arrow-batched mapInPandas decode (stubbed codec)
-    → typed metadata. The oracle replays the stub's arithmetic on
-    octet_length, proving the binary payload and batch plumbing are
-    byte-exact."""
+    """text→PNG synth + Arrow-batched mapInPandas decode (REAL codec:
+    CRC-verified chunks, zlib inflate, filter reconstruction) → typed
+    metadata. The oracle re-derives the deterministic encoder's byte
+    counts and geometry, proving the whole encode→decode round trip and
+    the Arrow batch plumbing are byte-exact; empty-text docs produce no
+    payload and drop on both sides."""
     docs = table(spark, sf_dir, "documents")
-    return M.decode_images(M.synthesize_blobs(docs)).orderBy("doc_id")
+    return M.decode_images(M.synthesize_png_blobs(docs)).orderBy("doc_id")
 
 
-THUMB_ORACLE = """
-WITH b AS (SELECT doc_id, strlen(text) AS n FROM documents),
-d AS (SELECT doc_id, 64 + n % 577 AS w, 64 + (n * 31) % 353 AS h FROM b),
+THUMB_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {M.PNG_W} AS w, {_PNG_H} AS h
+  FROM documents WHERE octet_length(encode(text)) > 0),
 s AS (SELECT doc_id, w, h, least(128.0 / greatest(w, h), 1.0) AS scale FROM d)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(floor(w * scale) AS BIGINT) AS thumb_width,
@@ -54,12 +68,14 @@ ORDER BY doc_id
 
 @query("multimodal_resize_thumbs", oracle=THUMB_ORACLE, category="llm-multimodal")
 def multimodal_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two chained Arrow stages (decode → resize geometry). floor() in the
-    oracle matches pandas' int64 truncation."""
+    """Two chained Arrow stages (real PNG decode → resize geometry).
+    floor() in the oracle matches pandas' int64 truncation. The fixture
+    images are tiny (≤ 8×12), so scale clips at 1.0 — the geometry path
+    still runs on decoded, not declared, dimensions."""
     docs = table(spark, sf_dir, "documents")
-    return M.resize_thumbnails(M.decode_images(M.synthesize_blobs(docs)), max_side=128).orderBy(
-        "doc_id"
-    )
+    return M.resize_thumbnails(
+        M.decode_images(M.synthesize_png_blobs(docs)), max_side=128
+    ).orderBy("doc_id")
 
 
 FRAMES_ORACLE = """
@@ -90,14 +106,17 @@ PHASH_HAM_MAX = 3  # guaranteed recall: bands > h (pigeonhole), so h <= 3
 
 PHASH_ORACLE = f"""
 WITH b AS (
-  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n,
+         {M.PNG_W} * {_PNG_H} AS npx
   FROM documents
   WHERE octet_length(encode(text)) > 0),
 px AS (
   SELECT doc_id, t.k,
          CAST(('0x' || substring(
-             hx, 2 * ((t.k * greatest(n // {M.PHASH_PIXELS}, 1)) % n) + 1, 2))
-           AS BIGINT) AS p
+             hx,
+             2 * (((((t.k * greatest(npx // {M.PHASH_PIXELS}, 1)) % npx)
+                    * greatest(n // npx, 1)) % n)) + 1,
+             2)) AS BIGINT) AS p
   FROM b, unnest(range(0, {M.PHASH_PIXELS})) t(k)),
 stats AS (SELECT doc_id, SUM(p) // {M.PHASH_PIXELS} AS mean FROM px GROUP BY doc_id),
 h AS (
@@ -122,24 +141,29 @@ ORDER BY d1, d2
 
 @query("multimodal_phash_near_dup", oracle=PHASH_ORACLE, category="llm-multimodal")
 def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-duplicate detection by perceptual hash: an Arrow-batched
-    aHash over each BINARY payload (operators/multimodal.py::phash_images
-    — the stub samples the decoded buffer where a real impl hashes the
-    8x8 downscale), then hamming banding on the hash itself: candidates
-    must share one of 4 14-bit bands (bands > h pigeonhole ⇒ guaranteed
-    recall for hamming ≤ 3), verified via bit_count(xor). The multimodal
-    twin of dedup_simhash — how a 100 TB image corpus dedups without
-    pairwise pixel comparison: the pixel work is one linear Arrow pass,
-    banding bounds the candidate join, and the verify is integer bit
-    arithmetic. BAND WIDTH IS THE SCALE KNOB: per-bucket collision pairs
-    grow as N²/2^band_bits, and the 64× scale experiment measured 8-bit
-    bands (256 buckets) going near-quadratic at 320k docs (29 s) where
-    14-bit bands (16k buckets) hold the candidate set sparse — the same
-    corpus-vs-recall trade minhash tunes with band_size. The hash
-    arithmetic is exact integers, so the oracle rebuilds it from
-    hex(payload) and the whole pipeline (Arrow plumbing included)
-    hash-matches."""
-    blobs = M.phash_images(M.synthesize_blobs(table(spark, sf_dir, "documents")))
+    """Image near-duplicate detection by perceptual hash over REAL PNG
+    payloads (r5): an Arrow-batched aHash that runs the actual decoder
+    (CRC + inflate + filter reconstruction) and samples the RECONSTRUCTED
+    pixel buffer (operators/multimodal.py::phash_images), then hamming
+    banding on the hash itself: candidates must share one of 4 14-bit
+    bands (bands > h pigeonhole ⇒ guaranteed recall for hamming ≤ 3),
+    verified via bit_count(xor). The multimodal twin of dedup_simhash —
+    how a 100 TB image corpus dedups without pairwise pixel comparison:
+    the codec work is one linear Arrow pass, banding bounds the candidate
+    join, and the verify is integer bit arithmetic. BAND WIDTH IS THE
+    SCALE KNOB: per-bucket collision pairs grow as N²/2^band_bits, and
+    the 64× scale experiment measured 8-bit bands (256 buckets) going
+    near-quadratic at 320k docs (29 s) where 14-bit bands (16k buckets)
+    hold the candidate set sparse — the same corpus-vs-recall trade
+    minhash tunes with band_size. The hash arithmetic is exact integers
+    over deterministically-encoded pixels, so the oracle re-derives the
+    bits from the documents table the encoder sampled, and the whole
+    pipeline (codec round trip + Arrow plumbing included) hash-matches;
+    tests/test_multimodal_codec.py additionally re-derives the hash from
+    the raw payload bytes at the stored-block offsets."""
+    blobs = M.phash_images(
+        M.synthesize_png_blobs(table(spark, sf_dir, "documents"))
+    )
     chunks = blobs.select(
         "doc_id",
         "ahash",
