@@ -33,17 +33,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # each from the candidate-generation-heavy LLM families (minhash dedup, IVF
 # ANN, jaccard-graph clustering, the composed curation pass) so a perf
 # regression in the riskiest plans is visible round-over-round.
+#
+# ROTATED per round (VERDICT r4 task #5, like _PRIORITY): r5 dropped 19
+# cheap/low-risk members (scalar fns, simple setops/filters, and the four
+# shapes TPCH22 already times) and swapped in 24 heavies that had
+# correctness attestation but no recorded bench number — sketches,
+# iterative graph, BM25/tf-idf/MMR retrieval, the recall audits, the
+# kmeans trainer, streaming's incremental near-dup batch twin, and the
+# queries whose implementation changed this round (ntile's distributed
+# rank, the trained-codebook ANN family, the real-PNG multimodal pair).
 HEADLINE = (
+    # long-standing heavy core
     "flagship_semi_join_enrich",
-    "agg_pricing_summary",
-    "join_multiway_local_supplier_volume",
     "window_topk_per_group",
-    "window_frames_running",
-    "setop_union_distinct",
-    "scalar_explode_wordcount",
-    "scalar_json_fns",
-    "filter_predicates",
-    "sort_limit_topk",
     "sessionize_gap30m",
     "sessionize_gap30m_skewsafe",
     "funnel_view_click_purchase",
@@ -52,49 +54,52 @@ HEADLINE = (
     "dedup_cluster_components",
     "curation_pipeline_summary",
     "decontam_ngram_overlap",
-    "scrub_pii_stats",
-    "chunk_docs_overlap",
     "pack_sequences_bins",
     "semdedup_cluster_prune",
-    "join_market_share",
-    "agg_customer_order_distribution",
     "quality_segment_dedup_rebuild",
-    "agg_forecast_revenue",
-    "subq_min_cost_supplier",
     "graph_pagerank_iter",
     "cdc_scd2_merge",
-    "profile_column_stats",
-    "join_bloom_prefilter_semi",
     "dedup_incremental_delta",
     "sim_pq_topk",
     "retrieval_hybrid_rrf",
     "text_bpe_vocab_merges",
     "layout_zorder_skipping",
     "sketch_theta_retention_sets",
-    "text_bpe_encode_stats",
     "multimodal_phash_near_dup",
-    "profile_ks_drift",
-    "inference_batch_scores",
-    # round-3 late additions: the prefix-filtered Jaccard join (its
-    # candidate volume is the judged risk) and the char-LM scorer (two
-    # corpus scans + a broadcast model — expected flat)
     "dedup_jaccard_prefix_filter",
     "quality_charlm_score",
-    # DSIR data selection: two inlined charlm models + a narrow scoring
-    # scan + TakeOrdered top-k — expected ~charlm-shaped cost
     "sample_dsir_importance",
-    # exact phrase retrieval: trigram argmax + term-filtered positional
-    # adjacency joins — the candidate volume is the judged risk
     "retrieval_phrase_match",
-    # round-4 additions: the full similarity family (VERDICT r3 task 5 —
-    # sim_bruteforce/lsh were absent from PLANS.md) and the serving-shaped
-    # quantized paths whose corpus side never touches the float vectors
     "sim_bruteforce_topk",
     "sim_lsh_topk",
     "sim_pq_serving_topk",
     "sim_int8_serving_topk",
-    # IVF+PQ composite (IVFADC): list pruning x code scoring in one plan
     "sim_ivfpq_topk",
+    # r5 rotation: first bench numbers for these
+    "window_ntile_distribution",
+    "cluster_kmeans_embeddings",
+    "graph_triangle_count",
+    "sketch_kll_quantile_rank",
+    "sketch_countmin_heavy_hitters",
+    "agg_hll_sketch_rollup",
+    "profile_table_checksum",
+    "text_bm25_topk",
+    "text_keywords_tfidf",
+    "retrieval_mmr_diversified",
+    "split_leakage_safe",
+    "curation_pipeline_decontam",
+    "sim_cosine_near_dup",
+    "sim_quantized_topk",
+    "sim_ivf_recall_audit",
+    "sim_pq_recall_audit",
+    "multimodal_decode_stats",
+    "layout_hilbert_locality",
+    "ts_gapfill_interpolate",
+    "dedup_exact",
+    "dedup_simhash",
+    "ids_contiguous_global",
+    "join_skew_salted",
+    "stream_incremental_neardup",
 )
 
 # The 22 classic TPC-H query shapes, one registered query per number —
@@ -202,6 +207,7 @@ def main() -> None:
         tpch[name] = round(time.perf_counter() - t0, 4)
 
     etl = _bench_etl(spark)
+    streaming = _bench_streaming(spark, sf_dir)
 
     full = {
                 "metric": "headline_query_wall_time",
@@ -211,6 +217,7 @@ def main() -> None:
                 "cold_queries": cold,
                 "etl_wall_time": etl["etl_wall_time"],
                 "etl": etl,
+                "streaming": streaming,
                 "tpch22_wall_time": round(sum(tpch.values()), 4),
                 "tpch22": tpch,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -289,6 +296,77 @@ def main() -> None:
     }
     line = json.dumps(slim, separators=(",", ":"))
     print(line, flush=True)
+
+
+def _bench_streaming(spark, sf_dir: str) -> dict:
+    """Streaming throughput evidence (VERDICT r4 task #8): the streaming
+    queries are correctness-attested via batch-equivalent oracles; this
+    records what they COST.
+
+    - ``neardup``: end-to-end wall time of the registered
+      stream_incremental_neardup (streamed delta banded row-locally and
+      probed against the static corpus LSH index, availableNow), with
+      rows/s over the full streamed document scan.
+    - ``cdc``: the foreachBatch MERGE sink (streaming/cdc_sink.py) folding
+      the ENTIRE events table into keyed state in multiple micro-batches
+      (maxBytesPerTrigger splits the file), reporting rows/s and mean
+      per-batch commit latency — the exactly-once upsert loop a real CDC
+      consumer runs."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from wd2sql_spark.queries import load_all_modules
+    from wd2sql_spark.streaming.cdc_sink import (
+        _generations,
+        read_state,
+        upsert_sink,
+    )
+
+    registry = load_all_modules()
+    out: dict = {}
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    t0 = time.perf_counter()
+    registry["stream_incremental_neardup"].fn(spark, sf_dir).count()
+    wall = time.perf_counter() - t0
+    out["neardup_wall_time"] = round(wall, 4)
+    out["neardup_input_rows"] = n_docs
+    out["neardup_rows_per_s"] = round(n_docs / wall, 1)
+
+    root = tempfile.mkdtemp(prefix="cdc-bench-")
+    try:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        n_events = events.count()
+        state_dir = os.path.join(root, "state")
+        q = (
+            spark.readStream.schema(events.schema)
+            .option("maxBytesPerTrigger", str(1 << 20))
+            .parquet(f"{sf_dir}/events*.parquet")
+            .writeStream.foreachBatch(upsert_sink(state_dir))
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .queryName(f"cdc_bench_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        t0 = time.perf_counter()
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        q.stop()
+        # generations are v=<batch_id> dirs and older ones are pruned
+        # post-commit, so the newest id + 1 = micro-batch count
+        gens = _generations(state_dir)
+        n_batches = (max(gens) + 1) if gens else 1
+        state_rows = read_state(spark, state_dir).count()
+        out["cdc_wall_time"] = round(wall, 4)
+        out["cdc_input_rows"] = n_events
+        out["cdc_rows_per_s"] = round(n_events / wall, 1)
+        out["cdc_micro_batches"] = n_batches
+        out["cdc_mean_batch_latency_s"] = round(wall / max(n_batches, 1), 4)
+        out["cdc_state_keys"] = state_rows
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def _bench_etl(spark) -> dict:
