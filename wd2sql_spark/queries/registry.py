@@ -128,78 +128,69 @@ def query(
 
 
 # Within the module order above, hand-pick the front of the line for the
-# driver's capped (~50-entry) run. Round 4: close the attestation gap —
-# the 34 registered queries that have never had a CORRECTNESS row in any
-# driver round (r1 ∪ r2 ∪ r3 covered the other 144) all go first, so one
-# round leaves every query in the registry driver-attested. They fall in
-# three groups: (a) the round-3 LLM-pipeline tail (lossless prefix-filter
-# join, char-LM quality, DSIR, waterfill, leakage-safe split, phrase/MMR
-# retrieval, contrastive pairs, Hilbert layout, table checksum, pHash,
-# incremental streaming neardup, IVF/PQ recall audits, skew-safe
-# sessionizer, gapfill interpolation, the decontam pipeline composite),
-# (b) the TPC-H-gap join/agg/subquery shapes (tpch_gaps.py) that the r3
-# cap cut at the tail. After those, (c) queries whose implementation
-# changed THIS round and need their hash re-proved (pagerank's exchange
-# cut, MMR's tiny-pool fix), and (d) new round-4 operators needing first
-# rows. The cap lands around 50, so all four groups fit.
+# driver's capped (~50-entry) run. Round 5 (every query has a green row
+# in r1–r4; the union is complete): (a) queries whose IMPLEMENTATION or
+# ORACLE changed this round — the trained-codebook ANN family (IVF/PQ
+# Lloyd training, r4 task #2), the real-PNG multimodal battery (r4 task
+# #3), the distributed-rank ntile rewrite (r4 task #1), the kmeans /
+# semdedup pair (refactored onto the shared operators/kmeans.py kernel),
+# and the bloom semi-join (threshold constant hoist) — their hashes must
+# be re-proved by the driver, not just locally. Then (b) the stalest
+# re-confirmations: queries whose only driver row is from round 1, oldest
+# families first, so attestation age stays bounded across rounds.
 _PRIORITY = (
-    # (a) never-driver-attested: round-3 LLM-pipeline tail (18)
-    "dedup_jaccard_prefix_filter",
-    "quality_charlm_score",
-    "mix_temperature_sampling",
-    "sample_dsir_importance",
-    "mix_token_budget_waterfill",
-    "split_leakage_safe",
-    "retrieval_phrase_match",
-    "retrieval_mmr_diversified",
-    "profile_table_checksum",
-    "layout_hilbert_locality",
-    "pairs_contrastive_build",
-    "stream_incremental_neardup",
-    "sessionize_gap30m_skewsafe",
-    "multimodal_phash_near_dup",
+    # (a) changed this round — re-prove (15)
+    "window_ntile_distribution",
+    "sim_ivf_topk",
+    "sim_pq_topk",
+    "sim_pq_serving_topk",
+    "sim_ivfpq_topk",
     "sim_ivf_recall_audit",
     "sim_pq_recall_audit",
-    "ts_gapfill_interpolate",
-    "curation_pipeline_decontam",
-    # (b) never-driver-attested: TPC-H-gap shapes (16)
-    "join_market_share",
-    "join_profit_by_nation_year",
-    "join_nation_pair_volume",
-    "agg_customer_order_distribution",
-    "agg_promo_revenue_ratio",
-    "subq_sales_opportunity_antijoin",
-    "subq_sole_fault_suppliers",
-    "subq_min_cost_supplier",
-    "subq_important_supply_value",
-    "agg_ship_priority_modes",
-    "subq_top_supplier_revenue",
-    "agg_supplier_variety",
-    "subq_small_quantity_revenue",
-    "subq_excess_share_suppliers",
-    "subq_order_priority_check",
-    "agg_forecast_revenue",
-    # (c) implementation changed in round 4 — hash must be re-proved:
-    # pagerank's per-iteration exchange cut (graph_analytics.py)
-    "graph_pagerank_iter",
-    # (d) new round-4 operators — first driver rows
-    "sim_pq_serving_topk",
-    "sim_int8_serving_topk",
-    "sim_ivfpq_topk",
-    # remaining cap slots: rotation of long-green families re-confirming
-    # under the round-4 codebase (first driver row since r1 for most)
-    "wd_query_conjunctive",
-    "agg_pricing_summary",
-    "window_revenue_share",
-    "setop_integrity_audit",
-    "scalar_json_fns",
-    "join_asof_prior_view",
-    "pivot_status_by_nation",
-    "subq_exists_late_ship",
-    "join_skew_salted",
-    "flagship_semi_join_enrich",
-    "funnel_view_click_purchase",
-    "join_range_clicks_after_error",
+    "cluster_kmeans_embeddings",
+    "semdedup_cluster_prune",
+    "multimodal_decode_stats",
+    "multimodal_resize_thumbs",
+    "multimodal_frame_sample",
+    "multimodal_phash_near_dup",
+    "join_bloom_prefilter_semi",
+    "dedup_jaccard_prefix_filter",
+    # (b) stalest: only driver row is r1 (35)
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_histogram_totalprice",
+    "agg_min_max_by",
+    "agg_rollup",
+    "agg_stats_moments",
+    "filter_predicates",
+    "join_anti_customers_without_orders",
+    "join_basket_cooccurrence",
+    "join_cross_small",
+    "join_disjunctive_predicate",
+    "join_full_outer",
+    "join_inner_broadcast",
+    "join_left_outer",
+    "join_multiway_local_supplier_volume",
+    "join_returned_item_ranking",
+    "join_semi_suppliers_with_bulk_lines",
+    "join_shipping_priority_topk",
+    "point_lookup_by_label",
+    "projection_compute",
+    "setop_distinct",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_all",
+    "setop_union_distinct",
+    "sort_limit_topk",
+    "subq_in_agg_large_orders",
+    "subq_max_revenue_supplier",
+    "subq_scalar_avg_part",
+    "subq_scalar_global_avg",
+    "unpivot_part_measures",
+    "window_frames_running",
+    "window_lag_lead",
 )
 
 
