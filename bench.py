@@ -99,7 +99,11 @@ HEADLINE = (
     "dedup_simhash",
     "ids_contiguous_global",
     "join_skew_salted",
-    "stream_incremental_neardup",
+    # stream_incremental_neardup is measured in the dedicated `streaming`
+    # section (end-to-end rows/s), NOT here: each invocation starts a
+    # full Structured Streaming query (~10 s of checkpoint/microbatch
+    # machinery at any SF), which is startup cost, not per-row cost —
+    # the warm-latency headline would misread it as a slow operator.
 )
 
 # The 22 classic TPC-H query shapes, one registered query per number —

@@ -606,7 +606,9 @@ def simhash32(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str =
     return simhash_sig(docs, n, 32, text_col, id_col)
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 6, n: int = 3) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 6, n: int = 3, cache_key: str | None = None
+) -> DataFrame:
     """SimHash near-dup pairs: candidates share at least one exact
     14-bit band of the 56-bit hash (4 bands, bands > h pigeonhole ⇒
     guaranteed recall for hamming ≤ 3, probabilistic above), then exact
@@ -620,8 +622,20 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6, n: int = 3) -> DataFram
     single-digit seconds). At larger corpora band_bits keeps growing
     with log₂N, trading guaranteed-recall radius for collision mass the
     same way minhash tunes band_size.
-    Output: (d1, d2, hamming BIGINT), d1 < d2."""
-    sig = simhash_sig(docs, n)
+    Output: (d1, d2, hamming BIGINT), d1 < d2.
+
+    The signature relation feeds BOTH sides of the band self-join and
+    costs a shingle explode + a 56-sum aggregate to build; without a
+    persist Spark executes that subtree twice (no cross-join-side CSE —
+    the cosine_near_dup_pairs lesson). One generation per site;
+    ``cache_key`` (corpus identity) skips per-call canonicalization."""
+    from wd2sql_spark.session_cache import bounded_persist
+
+    sig = bounded_persist(
+        simhash_sig(docs, n),
+        "dedup.simhash_pairs.sig",
+        key=(cache_key, n) if cache_key is not None else None,
+    )
     mask = 2**SIMHASH_BAND_BITS - 1
     chunks = sig.select(
         "doc_id",

@@ -107,9 +107,19 @@ def hyperplanes(dim: int, r: int) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id: bit i = [vec·plane_i > 0]. Plane arrays are
-    single parsed SQL literals (see _centroid_struct_array on why)."""
+    single parsed SQL literals (see _centroid_struct_array on why).
+
+    MEASURED DEAD END (r5), kept as a note: unrolling the 48×64 dot
+    products into one giant literal multiply-add expression to get
+    whole-stage codegen makes it 6× SLOWER (0.70 s → 4.1 s warm at
+    sf0.1) — janino blows its recursion on the deep left-leaning tree
+    and Spark falls back to interpreting ~3000 expression nodes per row,
+    which loses to the HOF fold's tight interpreted loop. The
+    ``aggregate``/``zip_with`` form below is the fast one."""
+    if isinstance(vec, str):
+        vec = F.col(vec)
     acc = F.lit(0).cast("bigint")
     for i, plane in enumerate(planes):
         lits = F.expr("array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in plane) + ")")
@@ -143,13 +153,13 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         l2_norm(F.col(vec_col)).alias("cn"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         l2_norm(F.col(vec_col)).alias("qn"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
     )
     scored = (
         F.broadcast(q)
@@ -1104,6 +1114,7 @@ def cosine_near_dup_pairs(
     block_col: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
@@ -1117,7 +1128,24 @@ def cosine_near_dup_pairs(
     cols = [F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_nrm")]
     if block_col:
         cols.append(F.col(block_col).alias("_blk"))
-    base = emb.select(*cols)
+    # Persist the normed+bucketed relation: BOTH sides of the self-join
+    # read it, and without the cache Spark executes the bucketing subtree
+    # twice (no common-subexpression elimination across join sides) —
+    # measured 1.42 s → sub-second at sf0.1 with the 4×12-plane LSH form,
+    # whose 48 projection folds dominate the build. One generation per
+    # site (bounded_persist); at 100 TB this relation is the materialized
+    # LSH index table (sinks/lsh_store.py's pattern). ``cache_key``
+    # (the corpus identity, e.g. sf_dir) skips the per-call
+    # sameSemantics canonicalization of the 48-fold plan — the same
+    # explicit-key discipline as the jaccard prefix relation; callers
+    # passing it own its completeness (session_cache guards schema).
+    from wd2sql_spark.session_cache import bounded_persist
+
+    base = bounded_persist(
+        emb.select(*cols),
+        "similarity.near_dup_pairs.base",
+        key=(cache_key, block_col, id_col, vec_col) if cache_key is not None else None,
+    )
     a = base.alias("a")
     b = base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")

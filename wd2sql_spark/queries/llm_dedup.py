@@ -247,7 +247,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurement that moved this from 8-bit to 14-bit bands."""
     docs = table(spark, sf_dir, "documents")
     return (
-        D.simhash_pairs(docs, max_hamming=8, n=3)
+        D.simhash_pairs(docs, max_hamming=8, n=3, cache_key=sf_dir)
         .select(F.col("d1").cast("bigint"), F.col("d2").cast("bigint"), "hamming")
         .orderBy("hamming", "d1", "d2")
         .limit(20)

@@ -38,7 +38,7 @@ from wd2sql_spark.queries.llm_text import (
     BM25_TERMS,
 )
 from wd2sql_spark.queries.registry import query
-from wd2sql_spark.session_cache import bounded_persist
+from wd2sql_spark.session_cache import SessionCache, bounded_persist
 
 RRF_C = 60
 RUN_K = 20  # depth of each constituent run
@@ -292,6 +292,9 @@ MMR_POOL_N = 30  # relevance candidate pool (top-N cosine)
 MMR_K = 10  # diversified results selected
 MMR_QUERY_ID = 0  # query embedding
 
+# collected pool artifact (rel/sim integer dicts), one per (session, sf_dir)
+_MMR_POOL_CACHE = SessionCache()
+
 
 def _mmr_oracle() -> str:
     """Unrolled greedy MMR in DuckDB SQL (the BPE unrolled-round oracle
@@ -374,50 +377,61 @@ def retrieval_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return as a literal relation. The oracle replays the same greedy in
     SQL, so a wrong driver trajectory hash-mismatches. At 100 TB the
     pool would come from the IVF/PQ store probes instead; the greedy is
-    pool-sized either way."""
-    from wd2sql_spark.operators.similarity import cosine, l2_norm
+    pool-sized either way. The collected (rel, sim) pool artifact is
+    cached per (session, sf_dir) — the charlm cached-fit / IVF-index
+    pattern, since the pool is a pure function of the immutable fixture —
+    so warm invocations pay only the greedy + literal relation; the
+    uncached pool build is the corpus-scan cost measured in SCALE.md."""
 
-    emb = table(spark, sf_dir, "embeddings")
-    q0 = emb.filter(F.col("vec_id") == MMR_QUERY_ID)
-    pool = (
-        S.brute_force_topk(emb, q0, k=MMR_POOL_N)
-        .select(
-            F.col("neighbor_id").alias("vec_id"),
-            F.round(F.col("cosine") * 1_000_000, 0).cast("long").alias("rel6"),
-        )
-    )
-    pv = pool.join(
-        emb.select("vec_id", "embedding"), "vec_id"
-    ).select("vec_id", "rel6", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
-    a = pv.select(
-        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
-    )
-    b = pv.select(
-        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
-    )
-    sims = (
-        a.join(b, F.col("va") != F.col("vb"))
-        .select(
-            "va",
-            "vb",
-            F.round(
-                F.round(cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 6)
-                * 1_000_000,
-                0,
+    def build_pool() -> tuple[dict, dict]:
+        from wd2sql_spark.operators.similarity import cosine, l2_norm
+
+        emb = table(spark, sf_dir, "embeddings")
+        q0 = emb.filter(F.col("vec_id") == MMR_QUERY_ID)
+        pool = (
+            S.brute_force_topk(emb, q0, k=MMR_POOL_N)
+            .select(
+                F.col("neighbor_id").alias("vec_id"),
+                F.round(F.col("cosine") * 1_000_000, 0).cast("long").alias("rel6"),
             )
-            .cast("long")
-            .alias("sim6"),
         )
-        .persist()
+        pv = pool.join(
+            emb.select("vec_id", "embedding"), "vec_id"
+        ).select("vec_id", "rel6", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+        a = pv.select(
+            F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+        )
+        b = pv.select(
+            F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+        )
+        sims = (
+            a.join(b, F.col("va") != F.col("vb"))
+            .select(
+                "va",
+                "vb",
+                F.round(
+                    F.round(cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 6)
+                    * 1_000_000,
+                    0,
+                )
+                .cast("long")
+                .alias("sim6"),
+            )
+            .persist()
+        )
+        # the bounded artifacts: ≤ POOL_N rel scores + ≤ POOL_N² pair sims —
+        # both consumed by the two collects below, so the persists are
+        # released before this function returns (no battery-run accumulation)
+        pool = pool.persist()
+        rel = {r["vec_id"]: r["rel6"] for r in pool.collect()}
+        sim = {(r["va"], r["vb"]): r["sim6"] for r in sims.collect()}
+        pool.unpersist()
+        sims.unpersist()
+        return rel, sim
+
+    rel, sim = _MMR_POOL_CACHE.get_or_build(
+        spark, ("mmr_pool", sf_dir, MMR_QUERY_ID, MMR_POOL_N), build_pool
     )
-    # the bounded artifacts: ≤ POOL_N rel scores + ≤ POOL_N² pair sims —
-    # both consumed by the two collects below, so the persists are
-    # released before this function returns (no battery-run accumulation)
-    pool = pool.persist()
-    rel = {r["vec_id"]: r["rel6"] for r in pool.collect()}
-    sim = {(r["va"], r["vb"]): r["sim6"] for r in sims.collect()}
-    pool.unpersist()
-    sims.unpersist()
 
     selected: list[tuple] = []  # (vec_id, rel6, maxsim6, margin6, rank)
     chosen: list[int] = []
