@@ -83,7 +83,12 @@ def _lsh_bucket_sql(col: str, r: int = 4, dim: int = 64, start: int = 0) -> str:
 
 
 NEAR_DUP_TABLES = 4  # LSH amplification: T independent tables ...
-NEAR_DUP_R = 12  # ... of r planes each (2^12 = 4096 buckets per table)
+NEAR_DUP_R = 14  # ... of r planes each (2^14 = 16384 buckets per table)
+# r moved 12 → 14 in r5: once the bucketing build was persisted (it used
+# to be recomputed per join side and mask everything else), the 64×
+# scale run showed the within-bucket candidate mass T·N²/2^r as the
+# dominant term (e 1.4 at 128k vectors with 4096 buckets/table). Wider
+# buckets are the documented knob — r grows with log₂N.
 
 
 def _near_dup_oracle() -> str:
@@ -116,17 +121,18 @@ LIMIT 20
 @query("sim_cosine_near_dup", oracle=_near_dup_oracle(), category="llm-similarity", plan_cached=True)
 def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: top-20 most similar pairs found by
-    MULTI-TABLE random-hyperplane LSH — 4 independent tables of 12
-    planes (4096 buckets each), candidates = within-bucket pairs of any
+    MULTI-TABLE random-hyperplane LSH — 4 independent tables of 14
+    planes (16384 buckets each), candidates = within-bucket pairs of any
     table, deduped, then exact cosine. The standard LSH amplification:
     more planes per table keeps the candidate join sparse (pairs grow as
     T·N²/2^r — the 64× scale run measured the former single-table r=4
-    form, 16 buckets, going quadratic at 25.5 s by 8×), and the extra
-    tables buy back the recall that narrow buckets cost (a cos≈0.95
-    neighbor pair agrees on one full 12-plane pattern with p≈0.28, on at
-    least one of 4 tables with p≈0.73; exact clones always collide).
-    The oracle inlines the same md5-derived hyperplane tables, so bucket
-    ids match bit-for-bit."""
+    form, 16 buckets, going quadratic at 25.5 s by 8×, and r=12 showing
+    the same term again at 128k vectors once the bucketing build was
+    cached), and the extra tables buy back the recall that narrow
+    buckets cost (a cos≈0.95 neighbor pair agrees on one full 14-plane
+    pattern with p≈0.22, on at least one of 4 tables with p≈0.64; exact
+    clones always collide). The oracle inlines the same md5-derived
+    hyperplane tables, so bucket ids match bit-for-bit."""
     emb = table(spark, sf_dir, "embeddings")
     planes = S.hyperplanes(64, NEAR_DUP_TABLES * NEAR_DUP_R)
     bucketed = emb.select(
