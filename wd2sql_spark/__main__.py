@@ -55,6 +55,13 @@ def main(argv: list[str] | None = None) -> int:
         "'store': ONE table-partitioned write (the reference's write-once "
         "row semantics), read back via etl.pipeline.read_table",
     )
+    p.add_argument(
+        "--progress",
+        action="store_true",
+        help="redraw live stage progress on stderr while the job runs "
+        "(the reference's per-1000-entities status line, main.rs:108-118; "
+        "the SQLite export additionally reports each commit batch)",
+    )
     args = p.parse_args(argv)
 
     from wd2sql_spark.etl.pipeline import read_table, wd2spark
@@ -66,22 +73,38 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     spark = get_spark("wd2sql_spark-cli")
-    paths = wd2spark(
-        spark, args.dump, args.out_dir, staged=not args.no_staged, layout=args.layout
-    )
-    for name in sorted(paths):
-        print(f"wrote {name} -> {paths[name]}")
 
-    if args.sqlite:
-        from wd2sql_spark.sinks.sqlite import export_sqlite
+    import contextlib
 
-        if args.layout == "store":
-            tables = {name: read_table(spark, args.out_dir, name) for name in paths}
-        else:
-            tables = {name: spark.read.parquet(path) for name, path in paths.items()}
-        counts = export_sqlite(tables, args.sqlite)
-        total = sum(counts.values())
-        print(f"wrote sqlite {args.sqlite} ({total} rows over {len(counts)} tables)")
+    if args.progress:
+        from wd2sql_spark.etl.progress import JobProgress
+
+        progress_cm = JobProgress(spark, label="wd2spark")
+    else:
+        progress_cm = contextlib.nullcontext()
+
+    with progress_cm:
+        paths = wd2spark(
+            spark, args.dump, args.out_dir, staged=not args.no_staged, layout=args.layout
+        )
+        for name in sorted(paths):
+            print(f"wrote {name} -> {paths[name]}")
+
+        if args.sqlite:
+            from wd2sql_spark.sinks.sqlite import export_sqlite
+
+            if args.layout == "store":
+                tables = {name: read_table(spark, args.out_dir, name) for name in paths}
+            else:
+                tables = {name: spark.read.parquet(path) for name, path in paths.items()}
+            on_progress = None
+            if args.progress:
+                def on_progress(table_name: str, n: int) -> None:
+                    # the reference's per-commit cadence (main.rs:223-237)
+                    print(f"[wd2sqlite] {table_name}: {n} rows", file=sys.stderr, flush=True)
+            counts = export_sqlite(tables, args.sqlite, on_progress=on_progress)
+            total = sum(counts.values())
+            print(f"wrote sqlite {args.sqlite} ({total} rows over {len(counts)} tables)")
     return 0
 
 
