@@ -97,6 +97,7 @@ HEADLINE = (
     "ts_gapfill_interpolate",
     "dedup_exact",
     "dedup_simhash",
+    "dedup_substring_spans",
     "ids_contiguous_global",
     "join_skew_salted",
     # stream_incremental_neardup is measured in the dedicated `streaming`

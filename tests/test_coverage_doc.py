@@ -32,7 +32,7 @@ def test_coverage_md_regenerates():
     # content sanity: the generator must cover the ENTIRE live registry —
     # this is the assertion with teeth now that staleness self-heals
     assert expected.startswith("# COVERAGE"), "generator produced garbage"
-    statuses = {"green", "rows-only", "FAIL", "never"}
+    statuses = {"green", "rows-only", "FAIL", "never", "*never*"}
     for name in load_all_modules():
         row = re.search(rf"^\| {re.escape(name)} \| (.*) \|$", expected, re.M)
         assert row, f"{name} missing from COVERAGE.md"

@@ -141,6 +141,9 @@ SCALE_QUERIES = (
     # row-local arithmetic — expect e ~ 1, where the old global window
     # would serialize the whole table through one task).
     "window_ntile_distribution",
+    # r5: char-level exact-substring span dedup — fingerprint shuffle +
+    # per-doc span merge; expect scan-linear like the other window passes.
+    "dedup_substring_spans",
 )
 
 

@@ -378,3 +378,115 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("est_jaccard").desc(), "delta_id", "corpus_id")
     )
+
+
+# --- exact-substring span dedup (Lee et al. 2022 shape) ---------------------
+SPAN_L = 32  # duplicated-window length (chars)
+SPAN_STRIDE = 8  # window stride; windows ≤ L apart merge into one span
+
+SUBSTRING_SPANS_ORACLE = f"""
+WITH wins AS (
+  SELECT doc_id, CAST(p.p AS BIGINT) AS p,
+         md5(substr(text, CAST(p.p AS BIGINT) + 1, {SPAN_L})) AS h
+  FROM documents,
+       LATERAL (SELECT unnest(range(0, strlen(text) - {SPAN_L} + 1, {SPAN_STRIDE})) AS p) p
+  WHERE strlen(text) >= {SPAN_L}
+),
+freq AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+dup AS (SELECT w.doc_id, w.p FROM wins w JOIN freq USING (h)),
+flagged AS (
+  SELECT doc_id, p,
+         CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) > {SPAN_L}
+              THEN 1 ELSE 0 END AS brk
+  FROM dup
+),
+spans AS (
+  SELECT doc_id, SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS span_id, p
+  FROM flagged
+),
+merged AS (
+  SELECT doc_id, span_id,
+         MIN(p) AS s, MAX(p) + {SPAN_L} AS e
+  FROM spans GROUP BY doc_id, span_id
+)
+SELECT m.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(e - s) AS BIGINT) AS dup_chars,
+       round(CAST(SUM(e - s) AS DOUBLE) / ANY_VALUE(strlen(d.text)), 6) AS dup_ratio
+FROM merged m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY m.doc_id
+ORDER BY dup_chars DESC, m.doc_id
+LIMIT 50
+"""
+
+
+@query("dedup_substring_spans", oracle=SUBSTRING_SPANS_ORACLE, category="llm-dedup")
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-LEVEL exact-substring dedup — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better") span
+    shape, which doc-level minhash/simhash and sentence-level C4 segment
+    removal both miss: boilerplate REGIONS duplicated inside otherwise
+    unique documents. The suffix-array of the paper doesn't distribute;
+    the standard scale approximation fingerprints every {SPAN_STRIDE}-th
+    {SPAN_L}-char window (a rolling-hash pass — md5 here, the engine-
+    shared hash), keeps windows whose fingerprint occurs more than once
+    in the corpus, and merges per-doc runs of duplicated windows (gap ≤
+    {SPAN_L}) into maximal spans via the gap-sessionize idiom (lag →
+    break flag → running sum → span aggregate). Reported per doc:
+    duplicated-span count, duplicated chars, duplicated fraction — the
+    inputs a curation pass thresholds on before cutting spans out.
+
+    Scale shape: windows are n_chars/{SPAN_STRIDE} rows carrying a
+    16-byte hash (never the text), ONE hash-frequency aggregate + one
+    hash-equi-join back, then per-doc windows whose state is one doc's
+    positions — linear, no pairwise anything; the same plan at 100 TB
+    shuffles fingerprints only. Exactness: window equality is md5
+    equality over identical substrings in both engines, positions and
+    span arithmetic are integers, and the dup_ratio divides two exact
+    ints at round-6."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.filter(F.length("text") >= SPAN_L).select("doc_id", "text")
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.length("text") - SPAN_L, F.lit(SPAN_STRIDE))
+        ).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("p").cast("long").alias("p"),
+        F.md5(F.substring(F.col("text"), F.col("p") + 1, SPAN_L)).alias("h"),
+    )
+    wins = bounded_persist(wins, "llm_dedup.substring_wins", key=(sf_dir,))
+    freq = wins.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") > 1)
+    dup = wins.join(freq.select("h"), "h").select("doc_id", "p")
+    from pyspark.sql import Window as W
+
+    w_doc = W.partitionBy("doc_id").orderBy("p")
+    flagged = dup.select(
+        "doc_id",
+        "p",
+        F.when(F.col("p") - F.lag("p").over(w_doc) > SPAN_L, 1).otherwise(0).alias("brk"),
+    )
+    spans = flagged.select(
+        "doc_id", "p", F.sum("brk").over(w_doc).alias("span_id")
+    )
+    merged = spans.groupBy("doc_id", "span_id").agg(
+        F.min("p").alias("s"), (F.max("p") + SPAN_L).alias("e")
+    )
+    return (
+        merged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s")).cast("bigint").alias("dup_chars"),
+        )
+        .join(docs.select("doc_id", F.length("text").alias("_len")), "doc_id")
+        .select(
+            "doc_id",
+            "n_dup_spans",
+            "dup_chars",
+            F.round(F.col("dup_chars").cast("double") / F.col("_len"), 6).alias("dup_ratio"),
+        )
+        .orderBy(F.col("dup_chars").desc(), "doc_id")
+        .limit(50)
+    )
