@@ -505,12 +505,21 @@ def quantized_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Brute-force top-k over int8-quantized vectors: same plan shape as
     :func:`brute_force_topk` (broadcast queries, one corpus scan, windowed
     top-k), but the score is the integer-domain cosine — the memory-bound
     regime where the corpus is stored quantized. Output adds the exact
-    cosine of each retrieved pair so recall/error can be audited."""
+    cosine of each retrieved pair so recall/error can be audited.
+
+    The quantized corpus side is PERSISTED (one generation per site):
+    computing q8 + both norms is ~6 interpreted higher-order-fn passes
+    per row, and the broadcast-nested-loop join would otherwise
+    re-evaluate that projection per OUTPUT PAIR (n_queries× per corpus
+    row — 1.5 s → 0.4 s warm at sf0.1). This is also the honest model:
+    the serving regime stores the quantized corpus, it doesn't re-derive
+    it per probe (int8_serving_index materializes the same relation)."""
     def side(df: DataFrame, idalias: str, v: str, qcol: str, n8: str, nx: str) -> DataFrame:
         q8 = quantize_int8(F.col(vec_col))
         return df.select(
@@ -521,8 +530,14 @@ def quantized_topk(
             l2_norm(F.col(vec_col)).alias(nx),
         )
 
+    from wd2sql_spark.session_cache import bounded_persist
+
     q = side(queries, "query_id", "qv", "qq", "qqn", "qn")
-    c = side(corpus, "neighbor_id", "cv", "cq", "cqn", "cn")
+    c = bounded_persist(
+        side(corpus, "neighbor_id", "cv", "cq", "cqn", "cn"),
+        "similarity.quantized_topk.corpus",
+        key=(cache_key, id_col, vec_col) if cache_key is not None else None,
+    )
     qdot = int8_dot(F.col("qq"), F.col("cq"))
     scored = (
         F.broadcast(q)

@@ -419,7 +419,9 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are round/divide built-ins — bit-reproducible, hence a full oracle."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
-    return S.quantized_topk(emb, queries, k=5).orderBy("query_id", "rank")
+    return S.quantized_topk(emb, queries, k=5, cache_key=sf_dir).orderBy(
+        "query_id", "rank"
+    )
 
 
 # Product quantization: 8 subspaces × 16 centroids over dim 64. The
