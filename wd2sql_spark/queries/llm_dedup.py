@@ -490,3 +490,128 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dup_chars").desc(), "doc_id")
         .limit(50)
     )
+
+
+# --- streaming admission evolution (sequential twin) -------------------------
+ADMIT_DROPS = 3  # documents split into 3 sequential drops by md5 bucket
+ADMIT_T = 0.5  # minhash est-Jaccard admission threshold (eq >= 8 of 16)
+
+
+def _admission_oracle() -> str:
+    """Unrolled-sequential SQL twin of streaming/admission.admit_batch:
+    the banded minhash match relation (MINHASH_ORACLE's arithmetic), then
+    per drop b: survivors = batch_b minus docs matching ANY earlier
+    admit, admitted = survivors whose min reachable id over the
+    survivor-restricted match edges is themselves (the connected-
+    components keep-min rule as a recursive closure — the
+    split_leakage_safe precedent)."""
+    parts = [
+        f"""WITH RECURSIVE {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, s.seed, substr(md5(s.seed || ':' || shingle), 1, 15) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
+),
+sig AS (SELECT doc_id, seed, min(h) AS mh FROM hashed GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         array_to_string(list_sort(list(seed || ':' || mh)), '|') AS band_key
+  FROM sig GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+m0 AS (
+  SELECT d1, d2 FROM (
+    SELECT d1, d2, SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 AS ej
+    FROM cand
+    JOIN sig sa ON sa.doc_id = d1
+    JOIN sig sb ON sb.doc_id = d2 AND sa.seed = sb.seed
+    GROUP BY d1, d2) z
+  WHERE ej >= {ADMIT_T}
+),
+m AS (SELECT d1 AS src_id, d2 AS dst_id FROM m0 UNION ALL SELECT d2, d1 FROM m0),
+bkt AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {ADMIT_DROPS} AS drop_id
+  FROM documents
+)"""
+    ]
+    prev_admits: list[str] = []
+    for b in range(ADMIT_DROPS):
+        if prev_admits:
+            union = " UNION ALL ".join(f"SELECT doc_id FROM {a}" for a in prev_admits)
+            surv = f"""s{b} AS (
+  SELECT k.doc_id FROM bkt k
+  WHERE k.drop_id = {b}
+    AND NOT EXISTS (SELECT 1 FROM m JOIN ({union}) adm ON adm.doc_id = m.dst_id
+                    WHERE m.src_id = k.doc_id))"""
+        else:
+            surv = f"s{b} AS (SELECT doc_id FROM bkt WHERE drop_id = {b})"
+        parts.append(surv)
+        parts.append(
+            f"""reach{b}(root, node) AS (
+  SELECT doc_id, doc_id FROM s{b}
+  UNION
+  SELECT r.root, m.dst_id FROM reach{b} r
+  JOIN m ON m.src_id = r.node
+  JOIN s{b} x ON x.doc_id = m.dst_id
+),
+a{b} AS (SELECT root AS doc_id FROM reach{b} GROUP BY root HAVING root = MIN(node))"""
+        )
+        prev_admits.append(f"a{b}")
+    final = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS drop_id FROM a{b}" for b in range(ADMIT_DROPS)
+    )
+    parts.append(
+        f"""sel AS ({final})
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(drop_id AS BIGINT) AS drop_id
+FROM sel ORDER BY drop_id, doc_id"""
+    )
+    return ",\n".join(parts[:-1]) + ",\n" + parts[-1]
+
+
+@query("dedup_admission_evolution", oracle=_admission_oracle(), category="llm-dedup")
+def dedup_admission_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL-ADMISSION loop run to completion: the corpus
+    arrives as {ADMIT_DROPS} sequential drops (md5-bucketed), and each
+    drop probes the LSH band store of everything admitted so far, drops
+    near-dups (est Jaccard ≥ {ADMIT_T}), resolves within-drop groups by
+    connected components (keep the minimum doc_id), and APPENDS its
+    survivors' bands to the store — streaming/admission.admit_batch,
+    which tests/test_streaming_admission.py proves identical to driving
+    the same drops through a foreachBatch Structured Streaming query.
+    Output: every admitted doc with the drop that admitted it.
+
+    The oracle unrolls the sequence in SQL — the banded minhash match
+    relation, then per drop a NOT EXISTS against all earlier admits and
+    a recursive closure for the within-drop keep-min rule — so the hash
+    match proves the ENTIRE evolution (cross-drop suppression included),
+    not just one probe. Scale: each drop's work is the judged
+    incremental-probe shape (delta broadcast, store never reshuffled)
+    plus batch-sized pair/component relations; the store grows by
+    admitted bands only. Runs eagerly (the store is a real on-disk
+    artifact per invocation, built in a temp dir and removed)."""
+    import shutil
+    import tempfile
+
+    from wd2sql_spark.queries.llm_sampling import md5_bucket
+    from wd2sql_spark.streaming.admission import admit_batch
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="admission-evo-")
+    rows: list[tuple[int, int]] = []
+    try:
+        store = f"{root}/store"
+        for b in range(ADMIT_DROPS):
+            drop = docs.filter(md5_bucket(F.col("doc_id"), ADMIT_DROPS) == b)
+            rows.extend(
+                (d, b) for d in admit_batch(drop, store, min_est_jaccard=ADMIT_T)
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, drop_id long"
+    ).orderBy("drop_id", "doc_id")

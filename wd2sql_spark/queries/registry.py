@@ -139,8 +139,9 @@ def query(
 # re-confirmations: queries whose only driver row is from round 1, oldest
 # families first, so attestation age stays bounded across rounds.
 _PRIORITY = (
-    # (a0) NEW in round 5 — first driver row
+    # (a0) NEW in round 5 — first driver rows
     "dedup_substring_spans",
+    "dedup_admission_evolution",
     # (a) changed this round — re-prove (15)
     "window_ntile_distribution",
     "sim_ivf_topk",
