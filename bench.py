@@ -316,7 +316,12 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
       the ENTIRE events table into keyed state in multiple micro-batches
       (maxBytesPerTrigger splits the file), reporting rows/s and mean
       per-batch commit latency — the exactly-once upsert loop a real CDC
-      consumer runs."""
+      consumer runs.
+    - ``admission``: the incremental-dedup WRITE loop
+      (streaming/admission.py) run over the documents table as 3
+      sequential md5-bucketed drops — probe the growing LSH store, drop
+      near-dups, append survivors — reporting end-to-end rows/s and the
+      admitted count (the hash-checked dedup_admission_evolution shape)."""
     import shutil
     import tempfile
     import uuid
@@ -338,6 +343,35 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
     out["neardup_wall_time"] = round(wall, 4)
     out["neardup_input_rows"] = n_docs
     out["neardup_rows_per_s"] = round(n_docs / wall, 1)
+
+    aroot = tempfile.mkdtemp(prefix="admission-bench-")
+    try:
+        from pyspark.sql import functions as F
+
+        from wd2sql_spark.queries.llm_dedup import ADMIT_DROPS, ADMIT_T
+        from wd2sql_spark.queries.llm_sampling import md5_bucket
+        from wd2sql_spark.streaming.admission import admit_batch
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        t0 = time.perf_counter()
+        admitted = 0
+        for b in range(ADMIT_DROPS):
+            admitted += len(
+                admit_batch(
+                    docs.filter(md5_bucket(F.col("doc_id"), ADMIT_DROPS) == b),
+                    os.path.join(aroot, "store"),
+                    min_est_jaccard=ADMIT_T,
+                )
+            )
+        wall = time.perf_counter() - t0
+        out["admission_wall_time"] = round(wall, 4)
+        out["admission_input_rows"] = n_docs
+        out["admission_rows_per_s"] = round(n_docs / wall, 1)
+        out["admission_admitted"] = admitted
+    finally:
+        shutil.rmtree(aroot, ignore_errors=True)
 
     root = tempfile.mkdtemp(prefix="cdc-bench-")
     try:

@@ -155,6 +155,76 @@ def test_decoder_handles_compressed_and_filtered_pngs():
     assert got == pixels
 
 
+def test_png_codec_roundtrip_property():
+    """Pure-Python property test (no Spark): arbitrary small grayscale
+    images, arbitrary per-row filter types, arbitrary zlib level — the
+    decoder must reconstruct the exact pixels. Complements the
+    deterministic filter test with generated coverage."""
+    import binascii
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _, decode_png = M._make_png_codec()
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def flt(row: bytes, prev: bytes, ftype: int, w: int) -> bytes:
+        out = bytearray()
+        for c in range(w):
+            a = row[c - 1] if c else 0
+            b = prev[c]
+            cc = prev[c - 1] if c else 0
+            if ftype == 0:
+                v = row[c]
+            elif ftype == 1:
+                v = (row[c] - a) & 0xFF
+            elif ftype == 2:
+                v = (row[c] - b) & 0xFF
+            elif ftype == 3:
+                v = (row[c] - (a + b) // 2) & 0xFF
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                v = (row[c] - pr) & 0xFF
+            out.append(v)
+        return bytes(out)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        seed=st.integers(0, 2**31),
+        filters=st.lists(st.integers(0, 4), min_size=12, max_size=12),
+        level=st.integers(0, 9),
+    )
+    def check(w, h, seed, filters, level):
+        pixels = bytes((seed * 2654435761 + 97 * i) % 256 for i in range(w * h))
+        raw = b""
+        prev = bytes(w)
+        for r in range(h):
+            row = pixels[r * w : (r + 1) * w]
+            raw += bytes([filters[r]]) + flt(row, prev, filters[r], w)
+            prev = row
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw, level))
+            + chunk(b"IEND", b"")
+        )
+        gw, gh, gch, got = decode_png(png)
+        assert (gw, gh, gch, got) == (w, h, 1, pixels)
+
+    check()
+
+
 def test_phash_rederives_from_raw_payload_bytes(spark, docs, payloads):
     """The stored-block layout puts pixel i of an image with source
     length s at payload offset 65 + s + 9·(i//8) + (i%8); hashing those
