@@ -81,12 +81,15 @@ class JobProgress:
         self._thread.start()
         return self
 
-    def __exit__(self, *exc) -> None:
+    def __exit__(self, exc_type, exc, tb) -> None:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=self.interval + 1.0)
         elapsed = time.perf_counter() - self._t0
-        print(f"[{self.label}] done in {elapsed:.1f}s", file=self.stream, flush=True)
+        verdict = "done in" if exc_type is None else "failed after"
+        print(
+            f"[{self.label}] {verdict} {elapsed:.1f}s", file=self.stream, flush=True
+        )
         self.lines_emitted += 1
 
 

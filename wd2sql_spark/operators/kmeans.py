@@ -2,8 +2,8 @@
 
 One definition of quantize / assign / update, used by BOTH the k-means
 battery query (queries/llm_cluster.py) and ANN codebook training
-(operators/similarity.train_centroids — VERDICT r4 task #2), so the two
-cannot drift. The determinism playbook (see llm_cluster's module
+(operators/similarity.collect_centroids and pq_codebook — VERDICT r4
+task #2), so the two cannot drift. The determinism playbook (see llm_cluster's module
 docstring for the full argument): components quantize to exact integers,
 distances are integer folds, the centroid update is a half-up integer
 division over a non-negative domain (Spark ``div`` truncates toward

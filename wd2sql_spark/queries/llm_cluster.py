@@ -28,9 +28,9 @@ from wd2sql_spark.session_cache import bounded_persist
 
 from wd2sql_spark.catalog import table
 # The quantize/assign/update kernel is shared with ANN codebook training
-# (operators/similarity.train_centroids) — one definition, one oracle
-# grammar; see operators/kmeans.py for the determinism argument that used
-# to live here.
+# (operators/similarity.collect_centroids / pq_codebook) — one
+# definition, one oracle grammar; see operators/kmeans.py for the
+# determinism argument that used to live here.
 from wd2sql_spark.operators.kmeans import (
     OFFSET,
     SCALE,

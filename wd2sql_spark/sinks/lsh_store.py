@@ -99,6 +99,29 @@ def probe_lsh_store(
     )
 
 
+def compact_admission_store(spark: SparkSession, path: str) -> None:
+    """Maintenance for a store grown by the streaming ADMISSION loop
+    (streaming/admission.py): same canonical rewrite as
+    :func:`compact_lsh_store`, plus a full-row ``dropDuplicates``.
+
+    The admission loop's at-least-once window (crash after the append
+    commits but before the streaming checkpoint does) can leave the SAME
+    doc's band rows appended twice; the rows are bit-identical (the
+    minhash arithmetic is deterministic), so probe results are unaffected
+    — matches are DISTINCT pairs — but the store diverges from the
+    rebuild baseline and carries dead weight. This compaction restores
+    store ≡ rebuild-over-admitted exactly
+    (tests/test_streaming_admission.py pins crash-replay → compact →
+    baseline). Unlike ``compact_lsh_store`` this intentionally does NOT
+    preserve content bit-for-bit — removing replay duplicates is the
+    point."""
+    from wd2sql_spark.sinks.compact import compact_dataset
+
+    compact_dataset(
+        spark, f"{path}/bands", lambda df: _layout(df.dropDuplicates()), ["band"]
+    )
+
+
 def compact_lsh_store(spark: SparkSession, path: str) -> None:
     """Periodic maintenance after many admission appends: rewrite the
     band dataset through the canonical layout (range-spread + within-file

@@ -63,10 +63,16 @@ def admit_batch(
         incremental_index_probe,
         minhash_band_index,
     )
+    from wd2sql_spark.sinks.compact import recover_dataset
     from wd2sql_spark.sinks.lsh_store import read_lsh_store
 
     from wd2sql_spark.sinks.lsh_store import _layout  # canonical band layout
 
+    # Heal an interrupted compaction swap BEFORE deciding "first drop":
+    # a crash between compact's two renames leaves only bands.old, and
+    # skipping the probe here would admit near-dups of everything already
+    # in the store AND orphan the .old generation (ADVICE r5 #1).
+    recover_dataset(f"{store_path}/bands")
     delta_idx = minhash_band_index(
         docs.select("doc_id", "text"), k=k, band_size=band_size, n=n
     ).persist()
@@ -118,11 +124,21 @@ def admission_sink(
     band_size: int = 4,
     n: int = 3,
     min_est_jaccard: float = 0.5,
+    compact_every: int | None = None,
     log=None,
 ):
     """``foreachBatch`` wrapper around :func:`admit_batch`::
 
         stream.writeStream.foreachBatch(admission_sink(store)).start()
+
+    ``compact_every=N`` schedules the store maintenance every N batches
+    (after the batch's append): ``compact_admission_store`` rewrites the
+    band dataset through the canonical layout AND drops the bit-identical
+    duplicate rows a crash-replayed append leaves behind, so the store
+    periodically returns to the rebuild baseline instead of accreting
+    replay artifacts forever. Compaction is itself crash-safe
+    (sinks/compact.py's two-generation swap + the recover_dataset call at
+    the top of every admit_batch).
 
     ``log`` (optional callable) receives (batch_id, admitted_ids) — the
     progress surface a real ingest would ship to its metrics bus."""
@@ -136,6 +152,13 @@ def admission_sink(
             n=n,
             min_est_jaccard=min_est_jaccard,
         )
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            import os
+
+            from wd2sql_spark.sinks.lsh_store import compact_admission_store
+
+            if os.path.isdir(f"{store_path}/bands"):
+                compact_admission_store(batch_df.sparkSession, store_path)
         if log is not None:
             log(batch_id, admitted)
 
