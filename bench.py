@@ -373,6 +373,79 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
     finally:
         shutil.rmtree(aroot, ignore_errors=True)
 
+    # Batch-size sweep (VERDICT r5 task #2): the 5 k-doc number above is
+    # micro-batch-OVERHEAD-bound (per-batch fixed cost: plan analysis,
+    # the probe's broadcast build, CC rounds' job scheduling), so it
+    # reads as a throughput ceiling when it isn't. Measure one admission
+    # drop of B rows against a B-sized store at several B over a
+    # token-salted replicated corpus (the scale harness's distinct-data
+    # model, so near-dup structure per replica matches the base corpus),
+    # then split wall = fixed + B·marginal between the smallest and
+    # largest rung.
+    for B in (5000, 20000, 50000):
+        sroot = tempfile.mkdtemp(prefix="admission-sweep-")
+        try:
+            base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "text"
+            )
+            n_base = base.count()
+            reps = -((-2 * B) // n_base)
+            salted = F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                F.regexp_replace(
+                    "text",
+                    r"(\S+)",
+                    F.concat(F.lit("$1~"), F.col("rep").cast("string")),
+                )
+            )
+            corpus = (
+                base.withColumn(
+                    "rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1)))
+                )
+                .select(
+                    (
+                        F.col("doc_id")
+                        + F.col("rep").cast("long") * F.lit(10**9)
+                    ).alias("doc_id"),
+                    salted.alias("text"),
+                    "rep",
+                )
+                .persist()
+            )
+            store = os.path.join(sroot, "store")
+            # drop 1 seeds a B-sized store (untimed: store build + codegen)
+            admit_batch(
+                corpus.filter(F.col("rep") < reps // 2)
+                .limit(B)
+                .drop("rep"),
+                store,
+                min_est_jaccard=ADMIT_T,
+            )
+            drop2 = (
+                corpus.filter(F.col("rep") >= reps // 2).limit(B).drop("rep")
+            ).persist()
+            drop2.count()  # materialize input so the timed run is the loop
+            t0 = time.perf_counter()
+            adm = len(admit_batch(drop2, store, min_est_jaccard=ADMIT_T))
+            wall = time.perf_counter() - t0
+            out.setdefault("admission_sweep", {})[str(B)] = {
+                "wall_s": round(wall, 3),
+                "rows_per_s": round(B / wall, 1),
+                "admitted": adm,
+            }
+            corpus.unpersist()
+            drop2.unpersist()
+        finally:
+            shutil.rmtree(sroot, ignore_errors=True)
+    sw = out["admission_sweep"]
+    b_lo, b_hi = 5000, 50000
+    marginal = (sw[str(b_hi)]["wall_s"] - sw[str(b_lo)]["wall_s"]) / (b_hi - b_lo)
+    out["admission_fixed_cost_s"] = round(
+        sw[str(b_lo)]["wall_s"] - b_lo * marginal, 3
+    )
+    out["admission_marginal_rows_per_s"] = (
+        round(1.0 / marginal, 1) if marginal > 0 else None
+    )
+
     root = tempfile.mkdtemp(prefix="cdc-bench-")
     try:
         events = spark.read.parquet(f"{sf_dir}/events.parquet")

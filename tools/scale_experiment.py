@@ -173,13 +173,17 @@ def _perturbed_embeddings(df: DataFrame) -> DataFrame:
     return df.withColumn("embedding", perturbed)
 
 
-def generate(spark: SparkSession, out_dir: str, n: int) -> None:
+def generate(
+    spark: SparkSession, out_dir: str, n: int, tables: tuple[str, ...] | None = None
+) -> None:
     """Write an ``n``-times-replicated copy of every fixture into
-    ``out_dir`` (single Generate per table — one scan, no shuffle)."""
+    ``out_dir`` (single Generate per table — one scan, no shuffle).
+    ``tables`` restricts generation (the 256× knob rung only needs
+    documents + embeddings)."""
     from wd2sql_spark.catalog import TABLES, table
 
     os.makedirs(out_dir, exist_ok=True)
-    for t in TABLES:
+    for t in tables if tables is not None else TABLES:
         dest = os.path.join(out_dir, f"{t}.parquet")
         df = table(spark, BASE, t)
         if t not in FIXED_DIMS:
@@ -327,6 +331,65 @@ def bench_streaming(spark: SparkSession, scales: tuple[int, ...] = (8, 64)) -> d
     return out
 
 
+KNOB_QUERIES = ("dedup_simhash", "multimodal_phash_near_dup", "sim_cosine_near_dup")
+
+
+def bench_knob(spark: SparkSession, scales: tuple[int, ...] = (8, 64, 256)) -> dict:
+    """The auto-banding rungs (VERDICT r5 task #1): run the three
+    bucket-blocked near-dup queries at 8×/64×/256× documents+embeddings
+    and record the knob each rung actually chose, so SCALE.md can show
+    the band width ENGAGING (14 bits at fixture sizes → 19/21 bits at
+    320 k / 1.28 M docs) together with the e ≤ 1 exponents it buys.
+    Every rung replicates documents/embeddings only (own ``x{n}docs``
+    dirs) — these queries read nothing else, so the run is self-contained
+    and cheap regardless of whether the full-fixture rungs exist."""
+    from wd2sql_spark.catalog import table
+    from wd2sql_spark.operators.dedup import auto_band_bits, simhash_banding
+    from wd2sql_spark.queries import load_all_modules
+
+    registry = load_all_modules()
+    out: dict[str, dict] = {}
+    for n in scales:
+        d = os.path.join(OUT_ROOT, f"x{n}docs")
+        marker = os.path.join(d, "_DONE")
+        if not os.path.exists(marker):
+            t0 = time.perf_counter()
+            generate(spark, d, n, tables=("documents", "embeddings"))
+            with open(marker, "w") as fh:
+                fh.write("ok\n")
+            print(f"[gen] x{n}: {time.perf_counter() - t0:.1f}s", flush=True)
+        n_docs = table(spark, d, "documents").count()
+        n_emb = table(spark, d, "embeddings").count()
+        bb, nb = simhash_banding(n_docs)
+        rung: dict = {
+            "docs": n_docs,
+            "embeddings": n_emb,
+            "simhash_band_bits": bb,
+            "simhash_bands": nb,
+            "cosine_r": auto_band_bits(n_emb),
+            "queries": {},
+        }
+        for q in KNOB_QUERIES:
+            spark.catalog.clearCache()
+            fn = registry[q].fn
+            force(fn(spark, d))  # cold: codegen + the query's own caches
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(fn(spark, d))
+                best = min(best, time.perf_counter() - t0)
+            rung["queries"][q] = round(best, 2)
+            print(f"[knob] x{n} {q}: {best:.2f}s (bb={bb} nb={nb})", flush=True)
+        out[f"x{n}"] = rung
+    # fitted exponents between consecutive rungs
+    for q in KNOB_QUERIES:
+        for a, b in zip(scales, scales[1:]):
+            ta, tb = out[f"x{a}"]["queries"][q], out[f"x{b}"]["queries"][q]
+            e = math.log(tb / ta) / math.log(b / a)
+            out.setdefault("exponents", {}).setdefault(q, {})[f"e{a}_{b}"] = round(e, 2)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,8,64")
@@ -335,6 +398,7 @@ def main() -> None:
     ap.add_argument("--etl-only", action="store_true")
     ap.add_argument("--skew-only", action="store_true")
     ap.add_argument("--stream-only", action="store_true")
+    ap.add_argument("--knob-only", action="store_true", help="auto-banding rungs incl. 256x docs")
     ap.add_argument("--json-out", default="/tmp/scale/results.json")
     args = ap.parse_args()
     scales = tuple(int(s) for s in args.scales.split(","))
@@ -351,6 +415,14 @@ def main() -> None:
     if args.stream_only:
         res = bench_streaming(spark)
         path = args.json_out.replace(".json", "-stream.json")
+        with open(path, "w") as fh:
+            json.dump(res, fh, indent=2)
+        print(f"[done] wrote {path}", flush=True)
+        return
+
+    if args.knob_only:
+        res = bench_knob(spark)
+        path = args.json_out.replace(".json", "-knob.json")
         with open(path, "w") as fh:
             json.dump(res, fh, indent=2)
         print(f"[done] wrote {path}", flush=True)

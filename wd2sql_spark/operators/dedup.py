@@ -562,6 +562,47 @@ SIMHASH_BITS = 56  # md5 supplies 128; 56 keeps the int64 headroom and
 #                    divides into 4 bands of 14 (bands > h ⇒ recall h ≤ 3)
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+BAND_BITS_CAP = 28  # 2 bands × 28 bits exhausts the 56-bit hash; beyond
+#                     2^28 (~268 M) docs per corpus this family needs a
+#                     wider hash (documented ceiling, see auto_band_bits)
+
+
+def auto_band_bits(
+    n_rows: int, floor_bits: int = SIMHASH_BAND_BITS, cap_bits: int = BAND_BITS_CAP
+) -> int:
+    """THE scale knob for every bucket-blocked near-dup operator, derived
+    from the corpus size instead of hand-edited (VERDICT r5 task #1):
+
+        bits = LEAST(cap, GREATEST(floor, CEIL(LOG2(n))))
+
+    Per-bucket candidate pairs grow as N²/2^bits, so holding
+    bits ≥ log₂N keeps the expected candidate mass ≤ N·(N/2^log₂N) = N —
+    linear in the corpus BY CONSTRUCTION, which the 64× scale run showed
+    a lagging constant silently loses (8-bit bands went near-quadratic
+    at 320 k docs; SCALE.md "band-width lesson"). The floor preserves
+    the small-corpus behavior (and the driver fixtures' hashes); the cap
+    is the honest ceiling of the hash width the caller slices.
+
+    ORACLE CONTRACT: DuckDB computes the identical value as
+    ``LEAST(cap, GREATEST(floor, CAST(CEIL(LOG2(GREATEST(n, 2))) AS
+    INT)))`` from the same COUNT(*). Both engines evaluate log2 in
+    binary64: exact at powers of two, and for non-power-of-two integer
+    n < 2^53 the ~1 ulp error cannot cross an integer boundary, so
+    ceil agrees bit-for-bit."""
+    import math
+
+    return min(cap_bits, max(floor_bits, math.ceil(math.log2(max(n_rows, 2)))))
+
+
+def simhash_banding(n_docs: int) -> tuple[int, int]:
+    """(band_bits, n_bands) for a corpus of ``n_docs``: bits from
+    :func:`auto_band_bits`, bands = whatever count of full bits-wide
+    slices the 56-bit hash still affords (≥ 2). Growing bits trades
+    guaranteed-recall radius (h ≤ bands−1 by pigeonhole) for collision
+    mass, exactly the minhash band_size trade. At the floor this is the
+    r5 constants (4 × 14); at 320 k docs it is 2 × 19."""
+    bb = auto_band_bits(n_docs)
+    return bb, max(2, SIMHASH_BITS // bb)
 
 
 def simhash_from_shingles(sh: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
@@ -607,21 +648,30 @@ def simhash32(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str =
 
 
 def simhash_pairs(
-    docs: DataFrame, max_hamming: int = 6, n: int = 3, cache_key: str | None = None
+    docs: DataFrame,
+    max_hamming: int = 6,
+    n: int = 3,
+    cache_key: str | None = None,
+    band_bits: int | None = None,
+    n_bands: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs: candidates share at least one exact
-    14-bit band of the 56-bit hash (4 bands, bands > h pigeonhole ⇒
-    guaranteed recall for hamming ≤ 3, probabilistic above), then exact
-    hamming over candidates.
+    """SimHash near-dup pairs: candidates share at least one exact band
+    of the 56-bit hash (bands > h pigeonhole ⇒ guaranteed recall for
+    hamming ≤ bands−1, probabilistic above), then exact hamming over
+    candidates.
 
-    BAND WIDTH IS THE SCALE KNOB: per-band collision pairs grow as
+    BAND WIDTH IS THE SCALE KNOB — and since r6 it is AUTO-DERIVED from
+    the corpus count (:func:`simhash_banding`; pass ``band_bits``/
+    ``n_bands`` to pin it). Per-band collision pairs grow as
     N²/2^band_bits. The 64× scale experiment measured the former 8-bit
     bands (256 buckets) at 52.8 s / e≈0.92 on 320k docs — the
     near-quadratic signature of an underbanded candidate join — where
     14-bit bands (16 384 buckets) hold the candidate set sparse (e≈0.6,
-    single-digit seconds). At larger corpora band_bits keeps growing
-    with log₂N, trading guaranteed-recall radius for collision mass the
-    same way minhash tunes band_size.
+    single-digit seconds). The auto knob keeps band_bits ≥ log₂N so
+    that lesson no longer depends on a human editing a constant: at
+    ≤ 16 k docs it reproduces the r5 constants (4 × 14), at 320 k docs
+    it chooses 2 × 19. The count that prices the knob is one
+    parquet-metadata job, driver-side, corpus-size-independent.
     Output: (d1, d2, hamming BIGINT), d1 < d2.
 
     The signature relation feeds BOTH sides of the band self-join and
@@ -631,12 +681,16 @@ def simhash_pairs(
     ``cache_key`` (corpus identity) skips per-call canonicalization."""
     from wd2sql_spark.session_cache import bounded_persist
 
+    if band_bits is None or n_bands is None:
+        auto_bb, auto_nb = simhash_banding(docs.count())
+        band_bits = auto_bb if band_bits is None else band_bits
+        n_bands = auto_nb if n_bands is None else n_bands
     sig = bounded_persist(
         simhash_sig(docs, n),
         "dedup.simhash_pairs.sig",
         key=(cache_key, n) if cache_key is not None else None,
     )
-    mask = 2**SIMHASH_BAND_BITS - 1
+    mask = 2**band_bits - 1
     chunks = sig.select(
         "doc_id",
         "simhash",
@@ -645,11 +699,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * c)
+                        F.shiftright(F.col("simhash"), band_bits * c)
                         .bitwiseAND(F.lit(mask))
                         .alias("val"),
                     )
-                    for c in range(SIMHASH_BANDS)
+                    for c in range(n_bands)
                 ]
             )
         ).alias("ck"),

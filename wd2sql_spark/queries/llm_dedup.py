@@ -206,10 +206,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_sql() -> str:
     """Programmatically build the 56-bit SimHash oracle (mirrors
-    operators/dedup.simhash_sig term by term; band layout mirrors
-    simhash_pairs — 4 bands of 14 bits)."""
-    bits, bands = D.SIMHASH_BITS, D.SIMHASH_BANDS
-    bb = D.SIMHASH_BAND_BITS
+    operators/dedup.simhash_sig term by term). The band layout mirrors
+    simhash_pairs INCLUDING the corpus-count-derived width: the ``knob``
+    CTE computes the same LEAST(cap, GREATEST(floor, CEIL(LOG2(n))))
+    arithmetic as operators/dedup.auto_band_bits / simhash_banding (see
+    its docstring for why binary64 log2 agrees across engines), so the
+    oracle tracks the auto-scaled banding at ANY corpus size instead of
+    baking in one constant."""
+    bits = D.SIMHASH_BITS
+    floor_bb, cap_bb = D.SIMHASH_BAND_BITS, D.BAND_BITS_CAP
+    max_bands = bits // floor_bb
     bit_sums = ",\n         ".join(
         f"SUM(((strpos('0123456789abcdef', substr(md5(shingle), {1 + j // 4}, 1)) - 1) "
         f"// {2 ** (3 - j % 4)}) % 2 * 2 - 1) AS s{j}"
@@ -220,9 +226,18 @@ def _simhash_sql() -> str:
 WITH {_SHINGLES_CTE},
 sums AS (SELECT doc_id, {bit_sums} FROM sh GROUP BY doc_id),
 sig AS (SELECT doc_id, {acc} AS simhash FROM sums),
+knob AS (
+  SELECT LEAST({cap_bb}, GREATEST({floor_bb},
+           CAST(CEIL(LOG2(GREATEST(COUNT(*), 2))) AS INT))) AS bb,
+         GREATEST(2, {bits} // LEAST({cap_bb}, GREATEST({floor_bb},
+           CAST(CEIL(LOG2(GREATEST(COUNT(*), 2))) AS INT)))) AS nb
+  FROM documents
+),
 chunks AS (
-  SELECT doc_id, simhash, c.chunk, (simhash >> ({bb} * c.chunk)) & {2**bb - 1} AS val
-  FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS chunk) c
+  SELECT doc_id, simhash, c.chunk,
+         (simhash >> (k.bb * c.chunk)) & ((CAST(1 AS BIGINT) << k.bb) - 1) AS val
+  FROM sig, knob k, (SELECT unnest(range(0, {max_bands})) AS chunk) c
+  WHERE c.chunk < k.nb
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS h1, b.simhash AS h2
@@ -240,11 +255,15 @@ LIMIT 20
 
 @query("dedup_simhash", oracle=_simhash_sql(), category="llm-dedup")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(56-bit) near-dup: candidates share an exact 14-bit band
-    (4 bands ⇒ guaranteed recall for hamming ≤ 3, probabilistic above),
-    exact hamming ≤ 8 over candidates; top-20 closest pairs. Band width
-    is the scale knob — see operators/dedup.simhash_pairs for the 64×
-    measurement that moved this from 8-bit to 14-bit bands."""
+    """SimHash(56-bit) near-dup: candidates share an exact band of the
+    hash (bands ⇒ guaranteed recall for hamming ≤ bands−1, probabilistic
+    above), exact hamming ≤ 8 over candidates; top-20 closest pairs.
+    Band width is the scale knob and is AUTO-DERIVED from the corpus
+    count (operators/dedup.auto_band_bits, r6): ≤ 16 k docs keeps the r5
+    4×14-bit layout (so the driver fixtures' hashes are unchanged), and
+    at the 64×/256× scale rungs the knob widens to 2×19 / 2×21 bits —
+    the oracle's ``knob`` CTE computes the identical arithmetic from the
+    same COUNT(*), so both engines band identically at any size."""
     docs = table(spark, sf_dir, "documents")
     return (
         D.simhash_pairs(docs, max_hamming=8, n=3, cache_key=sf_dir)

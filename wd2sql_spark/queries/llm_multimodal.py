@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wd2sql_spark.catalog import table
+from wd2sql_spark.operators import dedup as D
 from wd2sql_spark.operators import multimodal as M
 from wd2sql_spark.queries.registry import query
 
@@ -99,10 +100,22 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PHASH_BANDS = 4  # 56 hash bits -> 4 bands of 14
-PHASH_BAND_BITS = 14
-PHASH_BAND_MASK = (1 << PHASH_BAND_BITS) - 1
-PHASH_HAM_MAX = 3  # guaranteed recall: bands > h (pigeonhole), so h <= 3
+PHASH_HAM_MAX = 3  # guaranteed recall at the 4-band floor: bands > h, h <= 3
+
+# Band width auto-scales with the corpus count exactly like dedup_simhash
+# (operators/dedup.auto_band_bits — floor 14, cap 28 over the 56-bit hash);
+# the knob CTE computes the identical LEAST/GREATEST/CEIL(LOG2(n))
+# arithmetic from the same COUNT(*) FROM documents (the table the encoder
+# samples — NOT the non-empty-payload subset, so both engines price the
+# knob before any filtering).
+PHASH_KNOB_SQL = f"""
+  SELECT LEAST({D.BAND_BITS_CAP}, GREATEST({D.SIMHASH_BAND_BITS},
+           CAST(CEIL(LOG2(GREATEST(COUNT(*), 2))) AS INT))) AS bb,
+         GREATEST(2, {M.PHASH_BITS} // LEAST({D.BAND_BITS_CAP},
+           GREATEST({D.SIMHASH_BAND_BITS},
+             CAST(CEIL(LOG2(GREATEST(COUNT(*), 2))) AS INT)))) AS nb
+  FROM documents
+"""
 
 PHASH_ORACLE = f"""
 WITH b AS (
@@ -125,10 +138,12 @@ h AS (
                        THEN (CAST(1 AS BIGINT) << px.k) ELSE 0 END) AS BIGINT) AS ahash
   FROM px JOIN stats s USING (doc_id)
   GROUP BY px.doc_id),
+knob AS ({PHASH_KNOB_SQL}),
 chunks AS (
   SELECT doc_id, ahash, t.c,
-         (ahash >> ({PHASH_BAND_BITS} * t.c)) & {PHASH_BAND_MASK} AS v
-  FROM h, unnest(range(0, {PHASH_BANDS})) t(c)),
+         (ahash >> (k.bb * t.c)) & ((CAST(1 AS BIGINT) << k.bb) - 1) AS v
+  FROM h, knob k, unnest(range(0, {M.PHASH_BITS // 14})) t(c)
+  WHERE t.c < k.nb),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.ahash AS h1, b.ahash AS h2
   FROM chunks a JOIN chunks b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
@@ -155,15 +170,21 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 64× scale experiment measured 8-bit bands (256 buckets) going
     near-quadratic at 320k docs (29 s) where 14-bit bands (16k buckets)
     hold the candidate set sparse — the same corpus-vs-recall trade
-    minhash tunes with band_size. The hash arithmetic is exact integers
+    minhash tunes with band_size. Since r6 the width is AUTO-DERIVED
+    from the documents count (operators/dedup.auto_band_bits, identical
+    knob CTE in the oracle): 4×14 bits at fixture sizes, widening past
+    16 k images so the constant can never lag the corpus again.
+    The hash arithmetic is exact integers
     over deterministically-encoded pixels, so the oracle re-derives the
     bits from the documents table the encoder sampled, and the whole
     pipeline (codec round trip + Arrow plumbing included) hash-matches;
     tests/test_multimodal_codec.py additionally re-derives the hash from
     the raw payload bytes at the stored-block offsets."""
-    blobs = M.phash_images(
-        M.synthesize_png_blobs(table(spark, sf_dir, "documents"))
-    )
+    docs = table(spark, sf_dir, "documents")
+    bb = D.auto_band_bits(docs.count())
+    n_bands = max(2, M.PHASH_BITS // bb)
+    mask = (1 << bb) - 1
+    blobs = M.phash_images(M.synthesize_png_blobs(docs))
     chunks = blobs.select(
         "doc_id",
         "ahash",
@@ -172,11 +193,11 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("c"),
-                        F.shiftright(F.col("ahash"), PHASH_BAND_BITS * c)
-                        .bitwiseAND(F.lit(PHASH_BAND_MASK))
+                        F.shiftright(F.col("ahash"), bb * c)
+                        .bitwiseAND(F.lit(mask))
                         .alias("v"),
                     )
-                    for c in range(PHASH_BANDS)
+                    for c in range(n_bands)
                 ]
             )
         ).alias("cv"),

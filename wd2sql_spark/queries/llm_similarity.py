@@ -83,30 +83,58 @@ def _lsh_bucket_sql(col: str, r: int = 4, dim: int = 64, start: int = 0) -> str:
 
 
 NEAR_DUP_TABLES = 4  # LSH amplification: T independent tables ...
-NEAR_DUP_R = 14  # ... of r planes each (2^14 = 16384 buckets per table)
-# r moved 12 → 14 in r5: once the bucketing build was persisted (it used
-# to be recomputed per join side and mask everything else), the 64×
+NEAR_DUP_R_FLOOR = 14  # ... of r planes each (2^14 = 16384 buckets/table)
+NEAR_DUP_R_CAP = 28
+# r moved 12 → 14 in r5 (once the bucketing build was persisted, the 64×
 # scale run showed the within-bucket candidate mass T·N²/2^r as the
-# dominant term (e 1.4 at 128k vectors with 4096 buckets/table). Wider
-# buckets are the documented knob — r grows with log₂N.
+# dominant term at 128k vectors with 4096 buckets/table) and since r6 it
+# AUTO-SCALES with the corpus count: r = auto_band_bits(count) =
+# LEAST(28, GREATEST(14, CEIL(LOG2(n)))) — the same knob as
+# dedup_simhash, so bucket mass stays ≤ T·N by construction instead of
+# by a human re-editing the constant (VERDICT r5 task #1). The oracle
+# computes r from the same COUNT(*) and indexes the SAME global plane
+# sequence (table t uses planes [t·r, (t+1)·r)), inlined once up to the
+# cap as a VALUES lookup, so bucket ids match bit-for-bit at any size.
 
 
 def _near_dup_oracle() -> str:
-    per_table = "\nUNION ALL\n".join(
-        f"SELECT vec_id, embedding, {t} AS tbl,"
-        f" {_lsh_bucket_sql('embedding', NEAR_DUP_R, 64, t * NEAR_DUP_R)} AS blk"
-        f" FROM embeddings"
-        for t in range(NEAR_DUP_TABLES)
+    dim = 64
+    all_planes = S.hyperplanes(dim, NEAR_DUP_TABLES * NEAR_DUP_R_CAP)
+    values = ",\n".join(
+        f"  ({i}, [" + ", ".join(repr(x) for x in p) + "])"
+        for i, p in enumerate(all_planes)
+    )
+    # Plane components are exact multiples of 0.5: the DECIMAL literals
+    # cast to DOUBLE losslessly, and the projection runs the identical
+    # IEEE ops in identical order as lsh_bucket's zip_with fold.
+    proj = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        "k -> CAST(e.embedding[k] AS DOUBLE) * CAST(p.p[k] AS DOUBLE)))"
     )
     return f"""
-WITH bucketed AS (
-{per_table}
-),
+WITH planes (p_idx, p) AS (SELECT * FROM (VALUES
+{values}) AS t(p_idx, p)),
+knob AS (
+  SELECT LEAST({NEAR_DUP_R_CAP}, GREATEST({NEAR_DUP_R_FLOOR},
+           CAST(CEIL(LOG2(GREATEST(COUNT(*), 2))) AS INT))) AS r
+  FROM embeddings),
+bits AS (
+  SELECT e.vec_id, t.tbl,
+         CASE WHEN {proj} > 0 THEN CAST(1 AS BIGINT) << i.i
+              ELSE CAST(0 AS BIGINT) END AS bit
+  FROM embeddings e, knob kk,
+       (SELECT unnest(range(0, {NEAR_DUP_TABLES})) AS tbl) t,
+       (SELECT unnest(range(0, {NEAR_DUP_R_CAP})) AS i) i,
+       planes p
+  WHERE i.i < kk.r AND p.p_idx = t.tbl * kk.r + i.i),
+bucketed AS (SELECT vec_id, tbl, SUM(bit) AS blk FROM bits GROUP BY vec_id, tbl),
 pairs AS (
   SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2,
-         round({_cos('a', 'b')}, 6) AS cosine
+         round({_cos('ea', 'eb')}, 6) AS cosine
   FROM bucketed a JOIN bucketed b
-    ON a.tbl = b.tbl AND a.blk = b.blk AND a.vec_id < b.vec_id)
+    ON a.tbl = b.tbl AND a.blk = b.blk AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id)
 SELECT d1, d2, cosine FROM pairs
 ORDER BY cosine DESC, d1, d2
 LIMIT 20
@@ -121,20 +149,28 @@ LIMIT 20
 @query("sim_cosine_near_dup", oracle=_near_dup_oracle(), category="llm-similarity", plan_cached=True)
 def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: top-20 most similar pairs found by
-    MULTI-TABLE random-hyperplane LSH — 4 independent tables of 14
-    planes (16384 buckets each), candidates = within-bucket pairs of any
-    table, deduped, then exact cosine. The standard LSH amplification:
-    more planes per table keeps the candidate join sparse (pairs grow as
-    T·N²/2^r — the 64× scale run measured the former single-table r=4
-    form, 16 buckets, going quadratic at 25.5 s by 8×, and r=12 showing
-    the same term again at 128k vectors once the bucketing build was
-    cached), and the extra tables buy back the recall that narrow
-    buckets cost (a cos≈0.95 neighbor pair agrees on one full 14-plane
-    pattern with p≈0.22, on at least one of 4 tables with p≈0.64; exact
-    clones always collide). The oracle inlines the same md5-derived
-    hyperplane tables, so bucket ids match bit-for-bit."""
+    MULTI-TABLE random-hyperplane LSH — 4 independent tables of r planes
+    each, candidates = within-bucket pairs of any table, deduped, then
+    exact cosine. The standard LSH amplification: more planes per table
+    keeps the candidate join sparse (pairs grow as T·N²/2^r — the 64×
+    scale run measured the former single-table r=4 form, 16 buckets,
+    going quadratic at 25.5 s by 8×, and r=12 showing the same term
+    again at 128k vectors once the bucketing build was cached), and the
+    extra tables buy back the recall that narrow buckets cost (at r=14 a
+    cos≈0.95 neighbor pair agrees on one full pattern with p≈0.22, on at
+    least one of 4 tables with p≈0.64; exact clones always collide).
+    Since r6, r AUTO-SCALES with the corpus count
+    (operators/dedup.auto_band_bits — 14 at fixture sizes, 17 at the
+    128 k-vector 64× rung); the oracle computes the identical knob and
+    indexes the same md5-derived global plane sequence, so bucket ids
+    match bit-for-bit at any size."""
+    from wd2sql_spark.operators.dedup import auto_band_bits
+
     emb = table(spark, sf_dir, "embeddings")
-    planes = S.hyperplanes(64, NEAR_DUP_TABLES * NEAR_DUP_R)
+    r = auto_band_bits(
+        emb.count(), floor_bits=NEAR_DUP_R_FLOOR, cap_bits=NEAR_DUP_R_CAP
+    )
+    planes = S.hyperplanes(64, NEAR_DUP_TABLES * r)
     bucketed = emb.select(
         "vec_id",
         "embedding",
@@ -145,7 +181,7 @@ def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(t).alias("tbl"),
                         S.lsh_bucket(
                             "embedding",
-                            planes[t * NEAR_DUP_R : (t + 1) * NEAR_DUP_R],
+                            planes[t * r : (t + 1) * r],
                         ).alias("blk"),
                     )
                     for t in range(NEAR_DUP_TABLES)
