@@ -34,25 +34,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # ANN, jaccard-graph clustering, the composed curation pass) so a perf
 # regression in the riskiest plans is visible round-over-round.
 #
-# ROTATED per round (VERDICT r4 task #5, like _PRIORITY): r5 dropped 19
-# cheap/low-risk members (scalar fns, simple setops/filters, and the four
-# shapes TPCH22 already times) and swapped in 24 heavies that had
-# correctness attestation but no recorded bench number — sketches,
-# iterative graph, BM25/tf-idf/MMR retrieval, the recall audits, the
-# kmeans trainer, streaming's incremental near-dup batch twin, and the
-# queries whose implementation changed this round (ntile's distributed
-# rank, the trained-codebook ANN family, the real-PNG multimodal pair).
+# ROTATED per round (VERDICT r4 task #5, like _PRIORITY): r5 swapped in
+# 24 heavies; r6 rests 28 members whose numbers are now recorded and
+# stable (sketches, recall audits, retrieval scoring, layout, profile,
+# kmeans/triangle — all r5-benched) and swaps in 35 queries that had
+# correctness attestation but NO driver bench row ever (VERDICT r5 task
+# #4): the wd_etl_* parity family, scalar/setop/pivot batteries,
+# temporal joins (as-of/range/co-occurrence), windows, sampling/mixing,
+# text analysis, time-series, and the remaining dedup/similarity audits
+# — driver-benched union 74 → ≥ 100.
 HEADLINE = (
-    # long-standing heavy core
+    # heavy core (kept warm every round)
     "flagship_semi_join_enrich",
-    "window_topk_per_group",
-    "sessionize_gap30m",
     "sessionize_gap30m_skewsafe",
-    "funnel_view_click_purchase",
     "dedup_minhash_lsh",
     "sim_ivf_topk",
     "dedup_cluster_components",
     "curation_pipeline_summary",
+    "curation_pipeline_decontam",
     "decontam_ngram_overlap",
     "pack_sequences_bins",
     "semdedup_cluster_prune",
@@ -62,44 +61,54 @@ HEADLINE = (
     "dedup_incremental_delta",
     "sim_pq_topk",
     "retrieval_hybrid_rrf",
-    "text_bpe_vocab_merges",
-    "layout_zorder_skipping",
-    "sketch_theta_retention_sets",
-    "multimodal_phash_near_dup",
     "dedup_jaccard_prefix_filter",
-    "quality_charlm_score",
-    "sample_dsir_importance",
-    "retrieval_phrase_match",
-    "sim_bruteforce_topk",
-    "sim_lsh_topk",
     "sim_pq_serving_topk",
     "sim_int8_serving_topk",
     "sim_ivfpq_topk",
-    # r5 rotation: first bench numbers for these
     "window_ntile_distribution",
-    "cluster_kmeans_embeddings",
-    "graph_triangle_count",
-    "sketch_kll_quantile_rank",
-    "sketch_countmin_heavy_hitters",
-    "agg_hll_sketch_rollup",
-    "profile_table_checksum",
-    "text_bm25_topk",
-    "text_keywords_tfidf",
-    "retrieval_mmr_diversified",
     "split_leakage_safe",
-    "curation_pipeline_decontam",
-    "sim_cosine_near_dup",
-    "sim_quantized_topk",
-    "sim_ivf_recall_audit",
-    "sim_pq_recall_audit",
-    "multimodal_decode_stats",
-    "layout_hilbert_locality",
-    "ts_gapfill_interpolate",
     "dedup_exact",
-    "dedup_simhash",
     "dedup_substring_spans",
-    "ids_contiguous_global",
-    "join_skew_salted",
+    # r6: implementation changed this round (auto-scaled banding knob)
+    "dedup_simhash",
+    "multimodal_phash_near_dup",
+    "sim_cosine_near_dup",
+    # r6 rotation: first driver bench numbers for these 35
+    "wd_etl_meta",
+    "wd_etl_string",
+    "wd_etl_entity",
+    "wd_etl_quantity",
+    "wd_etl_time",
+    "wd_id_codec",
+    "wd_query_conjunctive",
+    "point_lookup_by_label",
+    "scalar_string_fns",
+    "scalar_date_fns",
+    "scalar_array_fns",
+    "scalar_map_lookup",
+    "setop_intersect",
+    "setop_except",
+    "setop_integrity_audit",
+    "pivot_status_by_nation",
+    "unpivot_part_measures",
+    "join_asof_prior_view",
+    "join_range_clicks_after_error",
+    "join_basket_cooccurrence",
+    "window_rolling_7d_range",
+    "window_revenue_share",
+    "mix_token_budget_waterfill",
+    "sample_stratified_by_lang",
+    "text_fingerprint",
+    "text_langid_stopwords",
+    "quality_repetition_metrics",
+    "quality_boilerplate_windows",
+    "ts_downsample_hourly",
+    "retention_daily_cohorts",
+    "anomaly_zscore_by_type",
+    "dedup_ngram_jaccard",
+    "dedup_canonical_pick",
+    "sim_jl_projection_audit",
+    "agg_histogram_totalprice",
     # stream_incremental_neardup is measured in the dedicated `streaming`
     # section (end-to-end rows/s), NOT here: each invocation starts a
     # full Structured Streaming query (~10 s of checkpoint/microbatch
@@ -321,10 +330,18 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
       (streaming/admission.py) run over the documents table as 3
       sequential md5-bucketed drops — probe the growing LSH store, drop
       near-dups, append survivors — reporting end-to-end rows/s and the
-      admitted count (the hash-checked dedup_admission_evolution shape)."""
+      admitted count (the hash-checked dedup_admission_evolution shape).
+
+    Both near-dup loops additionally run PRODUCTION-SIZED rungs (VERDICT
+    r5 task #2): the toy-scale numbers are fixed-cost-bound (streaming
+    machinery, plan analysis, CC job scheduling) and read as throughput
+    ceilings when they aren't — the sweeps grow the batch and report the
+    fixed/marginal split."""
     import shutil
     import tempfile
     import uuid
+
+    from pyspark.sql import functions as F
 
     from wd2sql_spark.queries import load_all_modules
     from wd2sql_spark.streaming.cdc_sink import (
@@ -332,6 +349,32 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
         read_state,
         upsert_sink,
     )
+
+    def salted_replicas(n_rows: int):
+        """~n_rows docs as distinct-data replicas of the sf documents
+        table (the scale harness's model: tokens suffixed ``~r`` so
+        cross-replica similarity ≈ 0, ids offset per replica)."""
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        n_base = base.count()
+        reps = -((-n_rows) // n_base)
+        salted = F.when(F.col("rep") == 0, F.col("text")).otherwise(
+            F.regexp_replace(
+                "text", r"(\S+)", F.concat(F.lit("$1~"), F.col("rep").cast("string"))
+            )
+        )
+        return (
+            base.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+            .select(
+                (F.col("doc_id") + F.col("rep").cast("long") * F.lit(10**9)).alias(
+                    "doc_id"
+                ),
+                salted.alias("text"),
+                "rep",
+            ),
+            reps,
+        )
 
     registry = load_all_modules()
     out: dict = {}
@@ -343,6 +386,28 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
     out["neardup_wall_time"] = round(wall, 4)
     out["neardup_input_rows"] = n_docs
     out["neardup_rows_per_s"] = round(n_docs / wall, 1)
+
+    # production-sized rung: the same registered query over a 10× salted
+    # corpus dir (one streamed batch of ~10× the rows through the same
+    # stream-static probe), splitting the streaming machinery's fixed
+    # cost from the marginal per-row cost
+    nroot = tempfile.mkdtemp(prefix="neardup-sweep-")
+    try:
+        big, _ = salted_replicas(10 * n_docs)
+        big.drop("rep").write.parquet(os.path.join(nroot, "documents.parquet"))
+        n_big = 10 * n_docs
+        t0 = time.perf_counter()
+        registry["stream_incremental_neardup"].fn(spark, nroot).count()
+        wall_big = time.perf_counter() - t0
+        out["neardup_10x_wall_time"] = round(wall_big, 4)
+        out["neardup_10x_input_rows"] = n_big
+        out["neardup_10x_rows_per_s"] = round(n_big / wall_big, 1)
+        marginal = (wall_big - wall) / (n_big - n_docs)
+        if marginal > 0:
+            out["neardup_marginal_rows_per_s"] = round(1.0 / marginal, 1)
+            out["neardup_fixed_cost_s"] = round(wall - n_docs * marginal, 3)
+    finally:
+        shutil.rmtree(nroot, ignore_errors=True)
 
     aroot = tempfile.mkdtemp(prefix="admission-bench-")
     try:
@@ -385,32 +450,8 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
     for B in (5000, 20000, 50000):
         sroot = tempfile.mkdtemp(prefix="admission-sweep-")
         try:
-            base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-                "doc_id", "text"
-            )
-            n_base = base.count()
-            reps = -((-2 * B) // n_base)
-            salted = F.when(F.col("rep") == 0, F.col("text")).otherwise(
-                F.regexp_replace(
-                    "text",
-                    r"(\S+)",
-                    F.concat(F.lit("$1~"), F.col("rep").cast("string")),
-                )
-            )
-            corpus = (
-                base.withColumn(
-                    "rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1)))
-                )
-                .select(
-                    (
-                        F.col("doc_id")
-                        + F.col("rep").cast("long") * F.lit(10**9)
-                    ).alias("doc_id"),
-                    salted.alias("text"),
-                    "rep",
-                )
-                .persist()
-            )
+            corpus, reps = salted_replicas(2 * B)
+            corpus = corpus.persist()
             store = os.path.join(sroot, "store")
             # drop 1 seeds a B-sized store (untimed: store build + codegen)
             admit_batch(

@@ -38,7 +38,7 @@ def payloads(spark, docs):
 def test_payloads_are_real_pngs(spark, docs, payloads):
     """Magic bytes + independent decode + size arithmetic: total =
     84 + len(source) + 9·h with h = 8 + doc_id % 5."""
-    _, decode_png = M._make_png_codec()
+    _, decode_png, _ = M._make_png_codec()
     meta = {
         int(r["doc_id"]): (r["text"], r["source"])
         for r in docs.select("doc_id", "text", "source").collect()
@@ -52,7 +52,7 @@ def test_payloads_are_real_pngs(spark, docs, payloads):
         assert payload[:8] == b"\x89PNG\r\n\x1a\n"
         h = M.PNG_H_BASE + doc_id % M.PNG_H_MOD
         assert len(payload) == 84 + len(source.encode("utf-8")) + 9 * h
-        w, hh, ch, pixels = decode_png(payload)
+        w, hh, ch, pixels, _ct = decode_png(payload)
         assert (w, hh, ch) == (M.PNG_W, h, 1)
         assert len(pixels) == M.PNG_W * h
         checked += 1
@@ -63,7 +63,7 @@ def test_decoder_rejects_corruption(spark, payloads):
     """A real codec path must FAIL on tampered bytes: flip a bit inside
     IHDR (CRC mismatch) and inside the zlib stream (inflate/adler error).
     decode_images drops such rows instead of killing the job."""
-    _, decode_png = M._make_png_codec()
+    _, decode_png, _ = M._make_png_codec()
     payload = next(p for p in payloads.values() if p)
     # corrupt one IHDR data byte → chunk CRC check must fire
     bad_crc = bytearray(payload)
@@ -103,7 +103,7 @@ def test_decoder_handles_compressed_and_filtered_pngs():
     and inflate are computed, not assumed."""
     import binascii
 
-    _, decode_png = M._make_png_codec()
+    _, decode_png, _ = M._make_png_codec()
     w, h = 8, 5
     pixels = bytes((13 * i + 7) % 256 for i in range(w * h))
 
@@ -150,7 +150,7 @@ def test_decoder_handles_compressed_and_filtered_pngs():
         + chunk(b"IDAT", zlib.compress(raw, 9))
         + chunk(b"IEND", b"")
     )
-    gw, gh, gch, got = decode_png(png)
+    gw, gh, gch, got, _ct = decode_png(png)
     assert (gw, gh, gch) == (w, h, 1)
     assert got == pixels
 
@@ -165,7 +165,7 @@ def test_png_codec_roundtrip_property():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    _, decode_png = M._make_png_codec()
+    _, decode_png, _ = M._make_png_codec()
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -219,7 +219,7 @@ def test_png_codec_roundtrip_property():
             + chunk(b"IDAT", zlib.compress(raw, level))
             + chunk(b"IEND", b"")
         )
-        gw, gh, gch, got = decode_png(png)
+        gw, gh, gch, got, _ct = decode_png(png)
         assert (gw, gh, gch, got) == (w, h, 1, pixels)
 
     check()
@@ -255,3 +255,121 @@ def test_phash_rederives_from_raw_payload_bytes(spark, docs, payloads):
             if px[k] > mean:
                 expect |= 1 << k
         assert expect == ahash, doc_id
+
+
+def test_palette_roundtrip_property():
+    """The SECOND codec (r6, VERDICT r5 task #7): arbitrary small gray
+    images encoded as palette-8 (color type 3) must decode to the SAME
+    pixel bytes the gray-8 encoding yields, with the documented size
+    delta (+12 + 3·n_colors for the PLTE chunk)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    encode_png, decode_png, encode_png_palette = M._make_png_codec()
+
+    @settings(max_examples=60, deadline=None)
+    @given(w=st.integers(1, 12), h=st.integers(1, 12), seed=st.integers(0, 2**31))
+    def check(w, h, seed):
+        pixels = bytes((seed * 2654435761 + 97 * i) % 256 for i in range(w * h))
+        gray = encode_png(pixels, w, h, b"s")
+        pal = encode_png_palette(pixels, w, h, b"s")
+        assert len(pal) == len(gray) + 12 + 3 * len(set(pixels))
+        gw, gh, gch, got, gct = decode_png(gray)
+        pw, ph, pch, pot, pct = decode_png(pal)
+        assert (gw, gh, gch, gct) == (w, h, 1, 0)
+        assert (pw, ph, pch, pct) == (w, h, 1, 3)
+        assert got == pot == pixels  # codec-agnostic downstream contract
+
+    check()
+
+
+def test_colored_palette_resolves_rgb():
+    """A palette with non-gray entries must resolve to interleaved
+    3-channel RGB — the general color-type-3 semantics, not just the
+    gray fixture's special case."""
+    import binascii
+
+    _, decode_png, _ = M._make_png_codec()
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    w, h = 3, 2
+    idx = bytes([0, 1, 2, 2, 1, 0])
+    raw = b"".join(b"\x00" + idx[r * w : (r + 1) * w] for r in range(h))
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    pw, ph, pch, pix, pct = decode_png(png)
+    assert (pw, ph, pch, pct) == (w, h, 3, 3)
+    assert pix == bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 255, 0, 255, 0, 255, 0, 0]
+    )
+
+
+def test_palette_tamper_rejected():
+    """Palette-specific failure modes: a corrupted PLTE byte (chunk CRC),
+    an out-of-range palette index, and a missing PLTE must all raise."""
+    import binascii
+
+    _, decode_png, encode_png_palette = M._make_png_codec()
+    pixels = bytes((37 * i) % 256 for i in range(8 * 8))
+    pal = encode_png_palette(pixels, 8, 8, b"s")
+    bad = bytearray(pal)
+    plte_at = pal.index(b"PLTE") + 4
+    bad[plte_at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    w = h = 2
+    raw = b"".join(b"\x00" + bytes([9, 9]) for _ in range(h))  # index 9 of a 2-entry palette
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes([0, 0, 0, 255, 255, 255]))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(png)
+    no_plte = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="without PLTE"):
+        decode_png(no_plte)
+
+
+def test_mixed_codec_ahash_is_codec_agnostic(spark, docs):
+    """The aHash contract survives the container swap: hashing a mixed
+    gray/palette corpus must produce EXACTLY the hashes of the all-gray
+    corpus (the palette path reconstructs identical pixel bytes)."""
+    gray = {
+        int(r["doc_id"]): int(r["ahash"])
+        for r in M.phash_images(M.synthesize_png_blobs(docs)).collect()
+    }
+    mixed = {
+        int(r["doc_id"]): int(r["ahash"])
+        for r in M.phash_images(M.synthesize_mixed_png_blobs(docs)).collect()
+    }
+    assert mixed == gray

@@ -255,6 +255,73 @@ def bench_etl_scaling(spark: SparkSession, mults: tuple[int, ...] = (16, 64)) ->
     return out
 
 
+_ETL_CORES_CHILD = """
+import json, os, shutil, sys, time
+sys.path.insert(0, {repo!r})
+root, m = sys.argv[1], int(sys.argv[2])
+from wd2sql_spark.session import get_spark
+from wd2sql_spark.etl.pipeline import wd2spark
+from wd2sql_spark.etl.synthdump import N, write_dump
+spark = get_spark("etl-cores")
+dump = os.path.join(root, "dump")
+meta = os.path.join(root, "dump.meta")
+if os.path.exists(meta):
+    nbytes = int(open(meta).read())
+else:
+    nbytes = write_dump(dump, n=m * N, shards=64)
+    open(meta, "w").write(str(nbytes))
+tag = os.environ["SPARK_GRAFT_CPUS"]
+wd2spark(spark, dump, os.path.join(root, f"warm-{tag}"), staged=True, layout="store")
+best = float("inf")
+for i in range(3):
+    out = os.path.join(root, f"out-{tag}-{i}")
+    t0 = time.perf_counter()
+    wd2spark(spark, dump, out, staged=True, layout="store")
+    best = min(best, time.perf_counter() - t0)
+    shutil.rmtree(out, ignore_errors=True)
+shutil.rmtree(os.path.join(root, f"warm-{tag}"), ignore_errors=True)
+print(json.dumps({{"cores": int(tag), "input_mb": round(nbytes / 1e6, 1),
+                   "warm_s": round(best, 2),
+                   "mb_per_s": round(nbytes / 1e6 / best, 1)}}))
+"""
+
+
+def bench_etl_cores(cores: tuple[int, ...] = (8, 16, 32), mult: int = 16) -> dict:
+    """ETL horizontal-scaling evidence (VERDICT r5 task #5): the 100 TB
+    story is parallelism, so measure MB/s at FIXED input while the core
+    count varies. Each core count needs its own JVM (``local[N]`` is
+    fixed at session build), so a child process per rung shares one
+    64-shard dump; warm min-of-3 inside each child. Near-proportional
+    MB/s growth reads 'the staged plan parallelizes'; a flat line would
+    expose a serial stage (the single-threaded reference's ~35 MB/s is
+    the per-core yardstick)."""
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = tempfile.mkdtemp(prefix="etl-cores-")
+    script = _ETL_CORES_CHILD.format(repo=repo)
+    out: dict[str, dict] = {}
+    try:
+        for c in cores:
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(c), SPARK_GRAFT_DRIVER_MEM="24g")
+            res = subprocess.run(
+                [sys.executable, "-c", script, root, str(mult)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+            out[f"cores{c}"] = json.loads(line)
+            print(f"[etl-cores] {out[f'cores{c}']}", flush=True)
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def bench_skew(spark: SparkSession, base_scale: int = 64, frac_mod: int = 4) -> dict:
     """Hyperactive-user skew demo: remap 1/frac_mod of ALL events to one
     user, then time plain vs two-level sessionization on uniform and
@@ -378,15 +445,37 @@ def bench_knob(spark: SparkSession, scales: tuple[int, ...] = (8, 64, 256)) -> d
                 t0 = time.perf_counter()
                 force(fn(spark, d))
                 best = min(best, time.perf_counter() - t0)
-            rung["queries"][q] = round(best, 2)
-            print(f"[knob] x{n} {q}: {best:.2f}s (bb={bb} nb={nb})", flush=True)
+            # Output size matters for the unlimited pair queries: the
+            # salted replicas defeat the aHash (pixel thresholding is
+            # insensitive to the token suffix), so cross-replica images
+            # GENUINELY collide and the answer itself grows superlinearly
+            # — a time-vs-input exponent alone would misread output-bound
+            # growth as a plan defect. Record rows out so e can be judged
+            # against the work actually produced.
+            n_out = fn(spark, d).count()
+            rung["queries"][q] = {
+                "warm_s": round(best, 2),
+                "output_rows": n_out,
+                "us_per_output_row": round(1e6 * best / max(n_out, 1), 2),
+            }
+            print(
+                f"[knob] x{n} {q}: {best:.2f}s, {n_out} rows out (bb={bb} nb={nb})",
+                flush=True,
+            )
         out[f"x{n}"] = rung
-    # fitted exponents between consecutive rungs
+    # fitted exponents between consecutive rungs: vs input rows and,
+    # for the unlimited pair queries, vs output rows
     for q in KNOB_QUERIES:
         for a, b in zip(scales, scales[1:]):
-            ta, tb = out[f"x{a}"]["queries"][q], out[f"x{b}"]["queries"][q]
-            e = math.log(tb / ta) / math.log(b / a)
-            out.setdefault("exponents", {}).setdefault(q, {})[f"e{a}_{b}"] = round(e, 2)
+            qa, qb = out[f"x{a}"]["queries"][q], out[f"x{b}"]["queries"][q]
+            e = math.log(qb["warm_s"] / qa["warm_s"]) / math.log(b / a)
+            ent = out.setdefault("exponents", {}).setdefault(q, {})
+            ent[f"e{a}_{b}"] = round(e, 2)
+            if qa["output_rows"] != qb["output_rows"] and qa["output_rows"] > 0:
+                eo = math.log(qb["warm_s"] / qa["warm_s"]) / math.log(
+                    qb["output_rows"] / qa["output_rows"]
+                )
+                ent[f"e_out{a}_{b}"] = round(eo, 2)
     return out
 
 
@@ -399,10 +488,21 @@ def main() -> None:
     ap.add_argument("--skew-only", action="store_true")
     ap.add_argument("--stream-only", action="store_true")
     ap.add_argument("--knob-only", action="store_true", help="auto-banding rungs incl. 256x docs")
+    ap.add_argument("--etl-cores-only", action="store_true", help="ETL MB/s at local[8/16/32]")
     ap.add_argument("--json-out", default="/tmp/scale/results.json")
     args = ap.parse_args()
     scales = tuple(int(s) for s in args.scales.split(","))
     names = tuple(args.queries.split(",")) if args.queries else SCALE_QUERIES
+
+    if args.etl_cores_only:
+        # no parent SparkSession: each rung builds its own local[N] child
+        res = bench_etl_cores()
+        path = args.json_out.replace(".json", "-etl-cores.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(res, fh, indent=2)
+        print(f"[done] wrote {path}", flush=True)
+        return
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     from wd2sql_spark.catalog import TABLES, table

@@ -454,7 +454,20 @@ def minhash_band_index_rowlocal(docs: DataFrame, k: int = 16, band_size: int = 4
     this form exists for STREAMING delta ingest, where a per-doc
     aggregation would force complete-mode state but a narrow map keeps
     the probe append-exact — and delta docs are typical-sized, not
-    pathological."""
+    pathological.
+
+    The shingle ARRAY is materialized once per row in a child projection
+    and the 16 seed folds read the column (r6): inlining the
+    tokenize→slice→array_distinct expression into every seed fold — the
+    first form of this function — evaluated it 17× per row (16 mins +
+    the size filter), measured at 110 s for a 5 k-doc delta where this
+    form takes 21 s (full materialization; a bare count() hides the
+    difference entirely by pruning the mh columns — the SCALE.md
+    count()-forcing trap). CollapseProject leaves the alias alone
+    because a non-trivial expression referenced 16× is not
+    collapse-eligible, so the single evaluation survives optimization;
+    value equality with the batch form stays pinned by
+    tests/test_llm_ops.py."""
     shs = shingles(tokens(F.col("text")), n)
 
     def mh_col(s: int) -> Column:
@@ -463,12 +476,13 @@ def minhash_band_index_rowlocal(docs: DataFrame, k: int = 16, band_size: int = 4
         # higher-order lambdas, silently binding s to the index (the
         # text_bm25_topk gotcha); a factory keeps it one-argument.
         return F.array_min(
-            F.transform(shs, lambda el: seeded_hash(el, s))
+            F.transform(F.col("_shingles"), lambda el: seeded_hash(el, s))
         ).alias(f"mh{s}")
 
     sig_cols = [mh_col(s) for s in range(k)]
     sig = (
-        docs.filter(F.size(shs) > 0)
+        docs.select(F.col("doc_id"), shs.alias("_shingles"))
+        .filter(F.size("_shingles") > 0)
         .select(F.col("doc_id"), *sig_cols)
     )
     n_bands = k // band_size

@@ -39,12 +39,22 @@ PNG_H_MOD = 5  # height = 8 + doc_id % 5 — real per-image geometry variation
 
 
 def _make_png_codec():
-    """PNG encoder/decoder pair on the stdlib (zlib, struct, binascii) —
+    """PNG encoder/decoder tools on the stdlib (zlib, struct, binascii) —
     a REAL codec path: CRC-32-checked chunk grammar, a genuine zlib
     stream (inflate validates the adler32 trailer), and full scanline
     filter reconstruction (types 0-4, the Paeth predictor included).
-    Grayscale-8 only — the variant the fixture writes; anything else
-    raises and the per-record tolerance drops the row.
+    Returns (encode_png, decode_png, encode_png_palette).
+
+    TWO color types (r6 — the Arrow decode stage and the aHash contract
+    generalize beyond one encoder, VERDICT r5 task #7): grayscale-8
+    (color type 0) and palette-8 (color type 3, a PLTE chunk of RGB
+    triples indexed by the IDAT bytes). The decoder resolves palette
+    indices through PLTE after filter reconstruction: an all-gray
+    palette collapses to 1-channel gray bytes — BYTE-IDENTICAL to the
+    gray-8 encoding of the same pixels, so every downstream stage
+    (aHash, thumbs, stats) is codec-agnostic — while a colored palette
+    resolves to interleaved 3-channel RGB. Anything else raises and the
+    per-record tolerance drops the row.
 
     Defined inside a factory so the returned functions are NOT module
     attributes: cloudpickle then ships them BY VALUE into the Arrow
@@ -69,30 +79,57 @@ def _make_png_codec():
             + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    def encode_png(pixels: bytes, w: int, h: int, src: bytes) -> bytes:
-        raw = b"".join(b"\x00" + pixels[r * w : (r + 1) * w] for r in range(h))
+    def _stored_zlib(raw: bytes) -> bytes:
         if len(raw) > 0xFFFF:
             raise ValueError("stored-block encoder is for small images only")
-        z = (
+        return (
             b"\x78\x01\x01"
             + struct.pack("<HH", len(raw), len(raw) ^ 0xFFFF)
             + raw
             + struct.pack(">I", zlib.adler32(raw) & 0xFFFFFFFF)
         )
+
+    def encode_png(pixels: bytes, w: int, h: int, src: bytes) -> bytes:
+        raw = b"".join(b"\x00" + pixels[r * w : (r + 1) * w] for r in range(h))
         ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
         return (
             b"\x89PNG\r\n\x1a\n"
             + _chunk(b"IHDR", ihdr)
             + _chunk(b"tEXt", b"src\x00" + src)
-            + _chunk(b"IDAT", z)
+            + _chunk(b"IDAT", _stored_zlib(raw))
             + _chunk(b"IEND", b"")
         )
 
-    def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
-        """→ (width, height, channels, reconstructed pixel bytes)."""
+    def encode_png_palette(pixels: bytes, w: int, h: int, src: bytes) -> bytes:
+        """Same gray pixels, color type 3: PLTE holds the image's sorted
+        distinct values as (v, v, v) triples; IDAT stores indices. Payload
+        size = the gray encoding's + the PLTE chunk (12 + 3·n_colors) —
+        the arithmetic the mixed-codec oracle re-derives."""
+        colors = sorted(set(pixels))
+        if len(colors) > 256:
+            raise ValueError("palette encoder: more than 256 distinct values")
+        index = {v: i for i, v in enumerate(colors)}
+        data = bytes(index[p] for p in pixels)
+        raw = b"".join(b"\x00" + data[r * w : (r + 1) * w] for r in range(h))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        plte = b"".join(bytes((v, v, v)) for v in colors)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", plte)
+            + _chunk(b"tEXt", b"src\x00" + src)
+            + _chunk(b"IDAT", _stored_zlib(raw))
+            + _chunk(b"IEND", b"")
+        )
+
+    def decode_png(payload: bytes) -> tuple[int, int, int, bytes, int]:
+        """→ (width, height, channels, reconstructed pixel bytes,
+        color_type). Palette images resolve through PLTE: all-gray
+        palettes collapse to channels=1 gray bytes, colored ones to
+        channels=3 interleaved RGB."""
         if payload[:8] != b"\x89PNG\r\n\x1a\n":
             raise ValueError("not a PNG")
-        pos, dims, idat = 8, None, b""
+        pos, dims, idat, ctype, plte = 8, None, b"", None, None
         while pos + 12 <= len(payload):
             (ln,) = struct.unpack(">I", payload[pos : pos + 4])
             typ = payload[pos + 4 : pos + 8]
@@ -102,9 +139,13 @@ def _make_png_codec():
                 raise ValueError(f"bad CRC in {typ!r}")
             if typ == b"IHDR":
                 w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", data)
-                if (depth, ctype, comp, filt, inter) != (8, 0, 0, 0, 0):
+                if depth != 8 or ctype not in (0, 3) or (comp, filt, inter) != (0, 0, 0):
                     raise ValueError("unsupported PNG variant")
                 dims = (w, h)
+            elif typ == b"PLTE":
+                if ln % 3 or ln > 768:
+                    raise ValueError("bad PLTE length")
+                plte = data
             elif typ == b"IDAT":
                 idat += data
             elif typ == b"IEND":
@@ -112,6 +153,8 @@ def _make_png_codec():
             pos += 12 + ln
         if dims is None or not idat:
             raise ValueError("missing IHDR/IDAT")
+        if ctype == 3 and plte is None:
+            raise ValueError("palette image without PLTE")
         w, h = dims
         raw = zlib.decompress(idat)  # real inflate; validates adler32
         if len(raw) != h * (w + 1):
@@ -143,9 +186,16 @@ def _make_png_codec():
                 line[c] = rec
             out += line
             prev = line
-        return w, h, 1, bytes(out)
+        if ctype == 3:
+            n_colors = len(plte) // 3
+            if any(v >= n_colors for v in out):
+                raise ValueError("palette index out of range")
+            if all(plte[3 * v] == plte[3 * v + 1] == plte[3 * v + 2] for v in set(out)):
+                return w, h, 1, bytes(plte[3 * v] for v in out), 3
+            return w, h, 3, bytes(b for v in out for b in plte[3 * v : 3 * v + 3]), 3
+        return w, h, 1, bytes(out), 0
 
-    return encode_png, decode_png
+    return encode_png, decode_png, encode_png_palette
 
 
 def synthesize_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -177,7 +227,7 @@ def synthesize_png_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     base = docs.select(
         "doc_id", enc.alias("tb"), F.col("source").alias("source")
     )
-    encode_png, _ = _make_png_codec()
+    encode_png, _, _ = _make_png_codec()
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -214,6 +264,55 @@ def synthesize_png_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def synthesize_mixed_png_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """:func:`synthesize_png_blobs` with a SECOND encoder in the mix
+    (VERDICT r5 task #7): even doc_ids encode as grayscale-8, odd ones as
+    palette-8 (color type 3, PLTE of the image's distinct values). The
+    PIXELS are identical either way — only the container differs — so a
+    mixed corpus exercises the decoder's format dispatch while every
+    downstream stage (stats, aHash) must produce byte-identical results
+    per doc; the deterministic split keeps the DuckDB twin exact
+    (n_bytes grows by 12 + 3·n_colors on the palette rows)."""
+    enc = F.encode(F.col(text_col), "utf-8")
+    base = docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source"))
+    encode_png, _, encode_png_palette = _make_png_codec()
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def build(doc_id: int, tb: bytes, source: str) -> bytes:
+            n = len(tb)
+            if n == 0:
+                return b""
+            h = PNG_H_BASE + doc_id % PNG_H_MOD
+            npx = PNG_W * h
+            stride = max(n // npx, 1)
+            pixels = bytes(tb[(i * stride) % n] for i in range(npx))
+            enc_fn = encode_png if doc_id % 2 == 0 else encode_png_palette
+            return enc_fn(pixels, PNG_W, h, source.encode("utf-8"))
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "content": [
+                        build(int(d), bytes(t), s)
+                        for d, t, s in zip(pdf["doc_id"], pdf["tb"], pdf["source"])
+                    ],
+                    "source": pdf["source"],
+                }
+            )
+
+    return base.mapInPandas(
+        batches, schema="doc_id bigint, content binary, source string"
+    ).select(
+        "doc_id",
+        "content",
+        F.lit("image/png").alias("media_type"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+
+
 def decode_images(blobs: DataFrame) -> DataFrame:
     """Arrow-batched REAL decode: BINARY column → typed metadata rows via
     the stdlib PNG codec (chunk grammar + CRC verification + inflate +
@@ -223,7 +322,7 @@ def decode_images(blobs: DataFrame) -> DataFrame:
     amortization and the freedom to drop undecodable rows (a scalar UDF
     must return exactly one value per row) — empty or corrupt payloads
     drop, per-record tolerance."""
-    _, decode_png = _make_png_codec()
+    _, decode_png, _ = _make_png_codec()
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -235,7 +334,7 @@ def decode_images(blobs: DataFrame) -> DataFrame:
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
                 try:
-                    w, h, ch, _pixels = decode_png(bytes(payload))
+                    w, h, ch, _pixels, ctype = decode_png(bytes(payload))
                 except Exception:
                     continue  # undecodable row: drop, don't kill the job
                 rows["doc_id"].append(int(doc_id))
@@ -243,7 +342,7 @@ def decode_images(blobs: DataFrame) -> DataFrame:
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["channels"].append(ch)
-                rows["format"].append("png")
+                rows["format"].append("png-palette" if ctype == 3 else "png")
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
@@ -319,13 +418,13 @@ def phash_images(blobs: DataFrame) -> DataFrame:
     empty payloads drop (per-record tolerance); the oracle filters
     empty-text docs the same way. Like decode_images, the codec functions
     are factory-local so cloudpickle ships them by value."""
-    _, decode_png = _make_png_codec()
+    _, decode_png, _ = _make_png_codec()
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         def ahash(payload: bytes) -> int:
-            _w, _h, _ch, pixels = decode_png(payload)
+            _w, _h, _ch, pixels, _ctype = decode_png(payload)
             npx = len(pixels)
             stride = max(npx // PHASH_PIXELS, 1)
             px = [pixels[(k * stride) % npx] for k in range(PHASH_PIXELS)]

@@ -100,6 +100,48 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIXED_CODEC_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n,
+         octet_length(encode(source)) AS s, {_PNG_H} AS h,
+         {M.PNG_W} * {_PNG_H} AS npx
+  FROM documents
+  WHERE octet_length(encode(text)) > 0),
+pxall AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(
+             hx, 2 * ((t.i * greatest(n // npx, 1)) % n) + 1, 2)) AS BIGINT) AS p
+  FROM b, unnest(range(0, {M.PNG_W} * ({M.PNG_H_BASE} + {M.PNG_H_MOD} - 1))) t(i)
+  WHERE t.i < npx),
+pal AS (SELECT doc_id, COUNT(DISTINCT p) AS ncolors FROM pxall GROUP BY doc_id)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN b.doc_id % 2 = 0 THEN 84 + s + 9 * h
+                 ELSE 96 + s + 9 * h + 3 * pal.ncolors END AS BIGINT) AS n_bytes,
+       CAST({M.PNG_W} AS BIGINT) AS width,
+       CAST(h AS BIGINT)         AS height,
+       CAST(1 AS BIGINT)         AS channels,
+       CASE WHEN b.doc_id % 2 = 0 THEN 'png' ELSE 'png-palette' END AS format
+FROM b JOIN pal ON b.doc_id = pal.doc_id
+ORDER BY doc_id
+"""
+
+
+@query("multimodal_mixed_codec_stats", oracle=MIXED_CODEC_ORACLE, category="llm-multimodal")
+def multimodal_mixed_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO real codecs through ONE Arrow decode stage (VERDICT r5 task
+    #7): even doc_ids arrive as grayscale-8 PNGs, odd ones as palette-8
+    (color type 3, PLTE chunk) — the decoder dispatches on the IHDR color
+    type, resolves palette indices through PLTE, and reports per-format
+    stats. The oracle re-derives the palette payload arithmetic from the
+    documents table: a palette image costs the gray encoding + the PLTE
+    chunk (12 + 3·n_colors), with n_colors = COUNT(DISTINCT sampled
+    pixel byte) — so a hash match proves the second encoder's chunk
+    layout, the PLTE round trip, and the shared Arrow plumbing are
+    lossless together, the same end-to-end argument as the gray path."""
+    docs = table(spark, sf_dir, "documents")
+    return M.decode_images(M.synthesize_mixed_png_blobs(docs)).orderBy("doc_id")
+
+
 PHASH_HAM_MAX = 3  # guaranteed recall at the 4-band floor: bands > h, h <= 3
 
 # Band width auto-scales with the corpus count exactly like dedup_simhash

@@ -128,72 +128,73 @@ def query(
 
 
 # Within the module order above, hand-pick the front of the line for the
-# driver's capped (~50-entry) run. Round 5 (every query has a green row
-# in r1–r4; the union is complete): (a) queries whose IMPLEMENTATION or
-# ORACLE changed this round — the trained-codebook ANN family (IVF/PQ
-# Lloyd training, r4 task #2), the real-PNG multimodal battery (r4 task
-# #3), the distributed-rank ntile rewrite (r4 task #1), the kmeans /
-# semdedup pair (refactored onto the shared operators/kmeans.py kernel),
-# and the bloom semi-join (threshold constant hoist) — their hashes must
-# be re-proved by the driver, not just locally. Then (b) the stalest
-# re-confirmations: queries whose only driver row is from round 1, oldest
-# families first, so attestation age stays bounded across rounds.
+# driver's capped (~50-entry) run. Round 6: (a0) the round's NEW query
+# (mixed gray/palette codec); (a) queries whose IMPLEMENTATION or ORACLE
+# changed this round — the auto-scaled banding trio (corpus-count knob in
+# both engines), the multimodal decode family (the decoder grew palette
+# dispatch and a 5-tuple return), and the admission evolution (admission
+# now heals interrupted compactions before the first-drop check) — their
+# hashes must be re-proved by the driver, not just locally. Then (b) the
+# stalest re-confirmations: the six r1-only window queries, then the
+# r2-only cohort (oldest families first), so attestation age stays
+# bounded across rounds.
 _PRIORITY = (
-    # (a0) NEW in round 5 — first driver rows
-    "dedup_substring_spans",
-    "dedup_admission_evolution",
-    # (a) changed this round — re-prove (15)
-    "window_ntile_distribution",
-    "sim_ivf_topk",
-    "sim_pq_topk",
-    "sim_pq_serving_topk",
-    "sim_ivfpq_topk",
-    "sim_ivf_recall_audit",
-    "sim_pq_recall_audit",
-    "cluster_kmeans_embeddings",
-    "semdedup_cluster_prune",
+    # (a0) NEW in round 6 — first driver row
+    "multimodal_mixed_codec_stats",
+    # (a) changed this round — re-prove (7)
+    "dedup_simhash",
+    "multimodal_phash_near_dup",
+    "sim_cosine_near_dup",
     "multimodal_decode_stats",
     "multimodal_resize_thumbs",
     "multimodal_frame_sample",
-    "multimodal_phash_near_dup",
-    "join_bloom_prefilter_semi",
-    "dedup_jaccard_prefix_filter",
-    # (b) stalest: only driver row is r1 (35)
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_histogram_totalprice",
-    "agg_min_max_by",
-    "agg_rollup",
-    "agg_stats_moments",
-    "filter_predicates",
-    "join_anti_customers_without_orders",
-    "join_basket_cooccurrence",
-    "join_cross_small",
-    "join_disjunctive_predicate",
-    "join_full_outer",
-    "join_inner_broadcast",
-    "join_left_outer",
-    "join_multiway_local_supplier_volume",
-    "join_returned_item_ranking",
-    "join_semi_suppliers_with_bulk_lines",
-    "join_shipping_priority_topk",
-    "point_lookup_by_label",
-    "projection_compute",
-    "setop_distinct",
-    "setop_except",
-    "setop_intersect",
-    "setop_union_all",
-    "setop_union_distinct",
-    "sort_limit_topk",
-    "subq_in_agg_large_orders",
-    "subq_max_revenue_supplier",
-    "subq_scalar_avg_part",
-    "subq_scalar_global_avg",
-    "unpivot_part_measures",
+    "dedup_admission_evolution",
+    # (b) stalest: last driver row is r1 (6) …
     "window_frames_running",
     "window_lag_lead",
+    "window_rank_family",
+    "window_rolling_7d_range",
+    "window_topk_per_group",
+    "window_value_fns",
+    # … then r2 (36)
+    "agg_approx_count_distinct",
+    "agg_approx_percentiles",
+    "agg_ordered_array_topn",
+    "curation_pipeline_summary",
+    "dedup_edit_distance_blocked",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "quality_boilerplate_windows",
+    "quality_oov_vocab",
+    "quality_repetition_metrics",
+    "sample_hash_reproducible",
+    "scalar_conditional_fns",
+    "scalar_date_fns",
+    "scalar_explode_wordcount",
+    "scalar_map_lookup",
+    "scalar_math_fns",
+    "scalar_string_fns",
+    "sim_bruteforce_topk",
+    "sim_centroid_dispersion",
+    "sim_quantized_topk",
+    "stream_quality_filter",
+    "stream_static_enrich",
+    "stream_wd_etl_meta",
+    "text_fingerprint",
+    "text_keywords_tfidf",
+    "text_lang_stats",
+    "text_langid_stopwords",
+    "text_quality_score",
+    "text_token_stats",
+    "wd_etl_coordinates",
+    "wd_etl_entity",
+    "wd_etl_meta",
+    "wd_etl_presence",
+    "wd_etl_quantity",
+    "wd_etl_string",
+    "wd_etl_time",
+    "wd_id_codec",
 )
 
 
