@@ -257,8 +257,8 @@ def bench_etl_scaling(spark: SparkSession, mults: tuple[int, ...] = (16, 64)) ->
 
 _ETL_CORES_CHILD = """
 import json, os, shutil, sys, time
-sys.path.insert(0, {repo!r})
-root, m = sys.argv[1], int(sys.argv[2])
+root, m, repo = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+sys.path.insert(0, repo)
 from wd2sql_spark.session import get_spark
 from wd2sql_spark.etl.pipeline import wd2spark
 from wd2sql_spark.etl.synthdump import N, write_dump
@@ -280,9 +280,9 @@ for i in range(3):
     best = min(best, time.perf_counter() - t0)
     shutil.rmtree(out, ignore_errors=True)
 shutil.rmtree(os.path.join(root, f"warm-{tag}"), ignore_errors=True)
-print(json.dumps({{"cores": int(tag), "input_mb": round(nbytes / 1e6, 1),
-                   "warm_s": round(best, 2),
-                   "mb_per_s": round(nbytes / 1e6 / best, 1)}}))
+print(json.dumps({"cores": int(tag), "input_mb": round(nbytes / 1e6, 1),
+                  "warm_s": round(best, 2),
+                  "mb_per_s": round(nbytes / 1e6 / best, 1)}))
 """
 
 
@@ -300,13 +300,13 @@ def bench_etl_cores(cores: tuple[int, ...] = (8, 16, 32), mult: int = 16) -> dic
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     root = tempfile.mkdtemp(prefix="etl-cores-")
-    script = _ETL_CORES_CHILD.format(repo=repo)
+    script = _ETL_CORES_CHILD
     out: dict[str, dict] = {}
     try:
         for c in cores:
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(c), SPARK_GRAFT_DRIVER_MEM="24g")
             res = subprocess.run(
-                [sys.executable, "-c", script, root, str(mult)],
+                [sys.executable, "-c", script, root, str(mult), repo],
                 env=env,
                 capture_output=True,
                 text=True,

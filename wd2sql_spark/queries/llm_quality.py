@@ -77,15 +77,23 @@ def quality_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition thresholds get a drop verdict. One explode feeds a
     per-(doc, gram) partial aggregate — map-side combine collapses
     repeated grams before the only corpus-sized shuffle; the run-length
-    pass is the gaps-and-islands window shape on (doc, token) position."""
+    pass is the gaps-and-islands window shape on (doc, token) position.
+
+    The token array is materialized once per row in a child projection
+    (r6): inlining the split() into the gram lambda re-evaluated the
+    regex split per element_at call — O(tokens²) regex work per doc,
+    measured 3.5 s vs 0.94 s at sf0.1 (the minhash_band_index_rowlocal
+    lesson; CollapseProject leaves the alias alone because the lambda
+    references it more than once)."""
     d = table(spark, sf_dir, "documents")
-    ts = F.split(F.col("text"), " ")
+    base = d.select("doc_id", F.split(F.col("text"), " ").alias("_ts"))
+    tcol = F.col("_ts")
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(ts) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(ts, i), F.element_at(ts, i + 1)),
+        F.sequence(F.lit(1), F.size(tcol) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(tcol, i), F.element_at(tcol, i + 1)),
     )
     gc = (
-        d.filter(F.size(ts) >= 2)
+        base.filter(F.size("_ts") >= 2)
         .select("doc_id", F.explode(grams).alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -96,7 +104,7 @@ def quality_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct_grams"),
     )
 
-    pos = d.select("doc_id", F.posexplode(ts).alias("p0", "token")).select(
+    pos = base.select("doc_id", F.posexplode("_ts").alias("p0", "token")).select(
         "doc_id", "token", (F.col("p0") + 1).alias("p")
     )
     wrun = Window.partitionBy("doc_id", "token").orderBy("p")
@@ -230,13 +238,17 @@ def quality_boilerplate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     any shared window. Only 32-byte window digests shuffle (two digest
     aggregates); text never leaves the scan stage."""
     d = table(spark, sf_dir, "documents")
-    ts = F.split(F.col("text"), " ")
-    starts = F.sequence(F.lit(1), F.size(ts) - WINDOW_N + 1, F.lit(WINDOW_STRIDE))
+    # token array materialized once per row — inlining the split into the
+    # window lambda re-runs the regex per slice() call, O(tokens²)/doc
+    # (the quality_repetition_metrics / rowlocal-banding lesson, r6)
+    base = d.select("doc_id", F.split(F.col("text"), " ").alias("_ts"))
+    tcol = F.col("_ts")
+    starts = F.sequence(F.lit(1), F.size(tcol) - WINDOW_N + 1, F.lit(WINDOW_STRIDE))
     hashes = F.transform(
-        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(ts, i, WINDOW_N)))
+        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(tcol, i, WINDOW_N)))
     )
     win = (
-        d.filter(F.size(ts) >= WINDOW_N)
+        base.filter(F.size("_ts") >= WINDOW_N)
         .select("doc_id", F.explode(F.array_distinct(hashes)).alias("wh"))
     )
     wdf = win.groupBy("wh").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -512,16 +524,20 @@ def quality_segment_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame
     aggregate, not a window, so one doc_id shuffle carries the whole
     rebuild."""
     d = table(spark, sf_dir, "documents")
-    ts = F.split(F.col("text"), " ")
-    starts = F.sequence(F.lit(1), F.size(ts), F.lit(SEG_N))
-    segs = d.select(
+    # token array materialized once per row — the slice-per-segment
+    # lambda would otherwise re-run the split per segment, O(tokens²/SEG_N)
+    # per doc (the quality_repetition_metrics lesson, r6)
+    base = d.select("doc_id", F.split(F.col("text"), " ").alias("_ts"))
+    tcol = F.col("_ts")
+    starts = F.sequence(F.lit(1), F.size(tcol), F.lit(SEG_N))
+    segs = base.select(
         "doc_id",
         F.explode(
             F.transform(
                 starts,
                 lambda i: F.struct(
                     i.alias("idx"),
-                    F.concat_ws(" ", F.slice(ts, i, SEG_N)).alias("seg"),
+                    F.concat_ws(" ", F.slice(tcol, i, SEG_N)).alias("seg"),
                 ),
             )
         ).alias("s"),
