@@ -465,16 +465,26 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ints at round-6."""
     docs = table(spark, sf_dir, "documents")
     d = docs.filter(F.length("text") >= SPAN_L).select("doc_id", "text")
-    wins = d.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), F.length("text") - SPAN_L, F.lit(SPAN_STRIDE))
-        ).alias("p"),
-        "text",
-    ).select(
-        "doc_id",
-        F.col("p").cast("long").alias("p"),
-        F.md5(F.substring(F.col("text"), F.col("p") + 1, SPAN_L)).alias("h"),
+    # Hash the windows INSIDE one projection and explode only (p, h)
+    # structs (r6): the earlier explode(sequence) → substring form carried
+    # the full text column through the Generate — one byte-copy of the
+    # document PER WINDOW ROW (~len²/stride memcpy per doc), and persisted
+    # 32-char hex strings. Exploding the struct array moves 24 B/window,
+    # and unhex() halves the persisted/shuffled fingerprint to its 16 raw
+    # bytes (equality semantics identical — h never leaves the query).
+    # Measured at the 256× rung (1.28 M docs, 74 M windows): 28.2 → 20.8 s;
+    # the residual e=1.16-vs-input there is the duplicated-window RELATION
+    # growing 7.6× per 4× docs (fixture salt geometry — SCALE.md "256×
+    # extras"), e=0.80 against that relation.
+    win_structs = F.transform(
+        F.sequence(F.lit(0), F.length("text") - SPAN_L, F.lit(SPAN_STRIDE)),
+        lambda p: F.struct(
+            p.cast("long").alias("p"),
+            F.unhex(F.md5(F.substring(F.col("text"), p + 1, SPAN_L))).alias("h"),
+        ),
+    )
+    wins = d.select("doc_id", F.explode(win_structs).alias("w")).select(
+        "doc_id", F.col("w.p").alias("p"), F.col("w.h").alias("h")
     )
     wins = bounded_persist(wins, "llm_dedup.substring_wins", key=(sf_dir,))
     freq = wins.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") > 1)
