@@ -485,6 +485,7 @@ def main() -> None:
     ap.add_argument("--queries", default=None, help="comma-separated subset")
     ap.add_argument("--etl", action="store_true", help="also measure ETL throughput scaling")
     ap.add_argument("--etl-only", action="store_true")
+    ap.add_argument("--etl-mults", default="16,64", help="dump-size multipliers for --etl/--etl-only")
     ap.add_argument("--skew-only", action="store_true")
     ap.add_argument("--stream-only", action="store_true")
     ap.add_argument("--knob-only", action="store_true", help="auto-banding rungs incl. 256x docs")
@@ -537,7 +538,7 @@ def main() -> None:
         return
 
     if args.etl_only:
-        etl = bench_etl_scaling(spark)
+        etl = bench_etl_scaling(spark, tuple(int(m) for m in args.etl_mults.split(",")))
         path = args.json_out.replace(".json", "-etl.json")
         with open(path, "w") as fh:
             json.dump(etl, fh, indent=2)
