@@ -693,12 +693,29 @@ def simhash_pairs(
     persist Spark executes that subtree twice (no cross-join-side CSE —
     the cosine_near_dup_pairs lesson). One generation per site;
     ``cache_key`` (corpus identity) skips per-call canonicalization."""
-    from wd2sql_spark.session_cache import bounded_persist
+    from wd2sql_spark.session_cache import bounded_persist, cached_count
 
-    if band_bits is None or n_bands is None:
-        auto_bb, auto_nb = simhash_banding(docs.count())
-        band_bits = auto_bb if band_bits is None else band_bits
-        n_bands = auto_nb if n_bands is None else n_bands
+    if band_bits is None and n_bands is None:
+        n_docs = (
+            cached_count(docs, (cache_key, "knob_count"))
+            if cache_key is not None
+            else docs.count()
+        )
+        band_bits, n_bands = simhash_banding(n_docs)
+    elif n_bands is None:
+        # Derive bands from the EFFECTIVE width, never from an auto width
+        # (ADVICE r6 #1: pairing a pinned band_bits with an auto n_bands
+        # can shift bands past the 56-bit hash — every band reads val=0
+        # and the whole corpus lands in one collision bucket).
+        n_bands = max(2, SIMHASH_BITS // band_bits)
+    elif band_bits is None:
+        band_bits = max(1, SIMHASH_BITS // n_bands)
+    if band_bits * n_bands > SIMHASH_BITS:
+        raise ValueError(
+            f"band layout {n_bands}x{band_bits} exceeds the {SIMHASH_BITS}-bit "
+            "hash — bands past the top would read val=0 for every doc and "
+            "collapse the corpus into one collision bucket"
+        )
     sig = bounded_persist(
         simhash_sig(docs, n),
         "dedup.simhash_pairs.sig",

@@ -184,7 +184,7 @@ knob AS ({PHASH_KNOB_SQL}),
 chunks AS (
   SELECT doc_id, ahash, t.c,
          (ahash >> (k.bb * t.c)) & ((CAST(1 AS BIGINT) << k.bb) - 1) AS v
-  FROM h, knob k, unnest(range(0, {M.PHASH_BITS // 14})) t(c)
+  FROM h, knob k, unnest(range(0, {M.PHASH_BITS // D.SIMHASH_BAND_BITS})) t(c)
   WHERE t.c < k.nb),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.ahash AS h1, b.ahash AS h2
@@ -222,8 +222,10 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline (codec round trip + Arrow plumbing included) hash-matches;
     tests/test_multimodal_codec.py additionally re-derives the hash from
     the raw payload bytes at the stored-block offsets."""
+    from wd2sql_spark.session_cache import cached_count
+
     docs = table(spark, sf_dir, "documents")
-    bb = D.auto_band_bits(docs.count())
+    bb = D.auto_band_bits(cached_count(docs, (sf_dir, "documents")))
     n_bands = max(2, M.PHASH_BITS // bb)
     mask = (1 << bb) - 1
     blobs = M.phash_images(M.synthesize_png_blobs(docs))

@@ -165,10 +165,13 @@ def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexes the same md5-derived global plane sequence, so bucket ids
     match bit-for-bit at any size."""
     from wd2sql_spark.operators.dedup import auto_band_bits
+    from wd2sql_spark.session_cache import cached_count
 
     emb = table(spark, sf_dir, "embeddings")
     r = auto_band_bits(
-        emb.count(), floor_bits=NEAR_DUP_R_FLOOR, cap_bits=NEAR_DUP_R_CAP
+        cached_count(emb, (sf_dir, "embeddings")),
+        floor_bits=NEAR_DUP_R_FLOOR,
+        cap_bits=NEAR_DUP_R_CAP,
     )
     planes = S.hyperplanes(64, NEAR_DUP_TABLES * r)
     bucketed = emb.select(
