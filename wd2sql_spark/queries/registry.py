@@ -128,73 +128,82 @@ def query(
 
 
 # Within the module order above, hand-pick the front of the line for the
-# driver's capped (~50-entry) run. Round 6: (a0) the round's NEW query
-# (mixed gray/palette codec); (a) queries whose IMPLEMENTATION or ORACLE
-# changed this round — the auto-scaled banding trio (corpus-count knob in
-# both engines), the multimodal decode family (the decoder grew palette
-# dispatch and a 5-tuple return), and the admission evolution (admission
-# now heals interrupted compactions before the first-drop check) — their
-# hashes must be re-proved by the driver, not just locally. Then (b) the
-# stalest re-confirmations: the six r1-only window queries, then the
-# r2-only cohort (oldest families first), so attestation age stays
-# bounded across rounds.
+# driver's capped (~50-entry) run. Since r7 this list is MECHANIZED
+# (VERDICT r6 task #2): ``python tools/gen_priority.py`` flags every query
+# whose defining module — or any non-infra wd2sql_spark module in that
+# module's import closure — changed in git after the query's latest driver
+# CORRECTNESS row, sorted stalest-attestation-first;
+# ``tests/test_priority.py`` fails if the flagged set isn't front-loaded
+# here. Round 7 layout: (a) the two r6 REWRITES the r6 rotation missed
+# (verdict-named), (b) this round's implementation-changed four (knob
+# count caching / band coupling / plan_cached codec), then (c) the tool's
+# stalest-first order until the ~50-slot cap; the ~53 flagged queries
+# that don't fit carry to r8 (the tool keeps flagging them until a driver
+# row postdates the module change).
 _PRIORITY = (
-    # (a0) NEW in round 6 — first driver row
-    "multimodal_mixed_codec_stats",
-    # (a) changed this round — re-prove (7)
+    # (a) rewritten in r6, latest driver rows r4/r5
+    "join_basket_cooccurrence",
+    "dedup_substring_spans",
+    # (b) implementation changed in r7
     "dedup_simhash",
-    "multimodal_phash_near_dup",
     "sim_cosine_near_dup",
-    "multimodal_decode_stats",
-    "multimodal_resize_thumbs",
-    "multimodal_frame_sample",
-    "dedup_admission_evolution",
-    # (b) stalest: last driver row is r1 (6) …
-    "window_frames_running",
-    "window_lag_lead",
-    "window_rank_family",
-    "window_rolling_7d_range",
-    "window_topk_per_group",
-    "window_value_fns",
-    # … then r2 (36)
-    "agg_approx_count_distinct",
-    "agg_approx_percentiles",
-    "agg_ordered_array_topn",
-    "curation_pipeline_summary",
-    "dedup_edit_distance_blocked",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "quality_boilerplate_windows",
-    "quality_oov_vocab",
-    "quality_repetition_metrics",
-    "sample_hash_reproducible",
-    "scalar_conditional_fns",
-    "scalar_date_fns",
-    "scalar_explode_wordcount",
-    "scalar_map_lookup",
-    "scalar_math_fns",
-    "scalar_string_fns",
-    "sim_bruteforce_topk",
-    "sim_centroid_dispersion",
-    "sim_quantized_topk",
-    "stream_quality_filter",
-    "stream_static_enrich",
-    "stream_wd_etl_meta",
-    "text_fingerprint",
-    "text_keywords_tfidf",
-    "text_lang_stats",
-    "text_langid_stopwords",
-    "text_quality_score",
-    "text_token_stats",
-    "wd_etl_coordinates",
-    "wd_etl_entity",
-    "wd_etl_meta",
-    "wd_etl_presence",
-    "wd_etl_quantity",
-    "wd_etl_string",
-    "wd_etl_time",
+    "multimodal_phash_near_dup",
     "wd_id_codec",
+    # (c) tools/gen_priority.py order (stalest driver row first)
+    "wd_etl_time",
+    "agg_hll_sketch_rollup",
+    "agg_percentiles_doc_length",
+    "anomaly_zscore_by_type",
+    "chunk_docs_overlap",
+    "decontam_ngram_overlap",
+    "dedup_canonical_pick",
+    "dedup_cluster_components",
+    "dedup_incremental_delta",
+    "gapfill_daily_purchases",
+    "graph_triangle_count",
+    "ids_contiguous_global",
+    "layout_zorder_skipping",
+    "mix_domain_weights",
+    "pack_sequences_bins",
+    "profile_column_stats",
+    "profile_ks_drift",
+    "quality_segment_dedup_rebuild",
+    "retention_daily_cohorts",
+    "retrieval_hybrid_rrf",
+    "sample_stratified_by_lang",
+    "sample_weighted_by_length",
+    "scrub_pii_stats",
+    "seq_error_then_purchase",
+    "sessionize_gap30m",
+    "sim_jl_projection_audit",
+    "sim_lsh_recall_audit",
+    "sim_lsh_topk",
+    "stream_dedup_within_watermark",
+    "stream_interval_join",
+    "stream_session_windows",
+    "stream_sliding_counts",
+    "stream_stateful_streaks",
+    "stream_tumbling_counts",
+    "text_bpe_encode_stats",
+    "text_bpe_vocab_merges",
+    "ts_downsample_hourly",
+    "curation_pipeline_decontam",
+    "join_market_share",
+    "join_nation_pair_volume",
+    "join_profit_by_nation_year",
+    "join_skew_salted",
+    "layout_hilbert_locality",
+    "mix_temperature_sampling",
+    # overflow past the ~50 driver cap: ordering for whatever extra slots
+    # a round's driver affords; the rest of the flagged queue carries to r8
+    "mix_token_budget_waterfill",
+    "pairs_contrastive_build",
+    "profile_table_checksum",
+    "quality_charlm_score",
+    "retrieval_mmr_diversified",
+    "retrieval_phrase_match",
+    "sample_dsir_importance",
+    "sim_int8_serving_topk",
 )
 
 
