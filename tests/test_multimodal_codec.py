@@ -38,7 +38,7 @@ def payloads(spark, docs):
 def test_payloads_are_real_pngs(spark, docs, payloads):
     """Magic bytes + independent decode + size arithmetic: total =
     84 + len(source) + 9·h with h = 8 + doc_id % 5."""
-    _, decode_png, _ = M._make_png_codec()
+    _, decode_png, _, _ = M._make_png_codec()
     meta = {
         int(r["doc_id"]): (r["text"], r["source"])
         for r in docs.select("doc_id", "text", "source").collect()
@@ -63,7 +63,7 @@ def test_decoder_rejects_corruption(spark, payloads):
     """A real codec path must FAIL on tampered bytes: flip a bit inside
     IHDR (CRC mismatch) and inside the zlib stream (inflate/adler error).
     decode_images drops such rows instead of killing the job."""
-    _, decode_png, _ = M._make_png_codec()
+    _, decode_png, _, _ = M._make_png_codec()
     payload = next(p for p in payloads.values() if p)
     # corrupt one IHDR data byte → chunk CRC check must fire
     bad_crc = bytearray(payload)
@@ -103,7 +103,7 @@ def test_decoder_handles_compressed_and_filtered_pngs():
     and inflate are computed, not assumed."""
     import binascii
 
-    _, decode_png, _ = M._make_png_codec()
+    _, decode_png, _, _ = M._make_png_codec()
     w, h = 8, 5
     pixels = bytes((13 * i + 7) % 256 for i in range(w * h))
 
@@ -165,7 +165,7 @@ def test_png_codec_roundtrip_property():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    _, decode_png, _ = M._make_png_codec()
+    _, decode_png, _, _ = M._make_png_codec()
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -265,7 +265,7 @@ def test_palette_roundtrip_property():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    encode_png, decode_png, encode_png_palette = M._make_png_codec()
+    encode_png, decode_png, encode_png_palette, _ = M._make_png_codec()
 
     @settings(max_examples=60, deadline=None)
     @given(w=st.integers(1, 12), h=st.integers(1, 12), seed=st.integers(0, 2**31))
@@ -289,7 +289,7 @@ def test_colored_palette_resolves_rgb():
     gray fixture's special case."""
     import binascii
 
-    _, decode_png, _ = M._make_png_codec()
+    _, decode_png, _, _ = M._make_png_codec()
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -322,7 +322,7 @@ def test_palette_tamper_rejected():
     an out-of-range palette index, and a missing PLTE must all raise."""
     import binascii
 
-    _, decode_png, encode_png_palette = M._make_png_codec()
+    _, decode_png, encode_png_palette, _ = M._make_png_codec()
     pixels = bytes((37 * i) % 256 for i in range(8 * 8))
     pal = encode_png_palette(pixels, 8, 8, b"s")
     bad = bytearray(pal)
@@ -373,3 +373,144 @@ def test_mixed_codec_ahash_is_codec_agnostic(spark, docs):
         for r in M.phash_images(M.synthesize_mixed_png_blobs(docs)).collect()
     }
     assert mixed == gray
+
+
+def test_rgb_roundtrip_property():
+    """Truecolor (color type 2) encode→decode is identity on the
+    interleaved RGB plane, across geometries and pixel contents."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    encode_png_rgb = M._make_png_codec()[3]
+    decode_png = M._make_png_codec()[1]
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=12),
+        h=st.integers(min_value=1, max_value=12),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(w, h, seed):
+        rgb = bytes((seed * 2654435761 + 97 * i) % 256 for i in range(3 * w * h))
+        png = encode_png_rgb(rgb, w, h, b"s")
+        gw, gh, gch, got, ct = decode_png(png)
+        assert (gw, gh, gch, ct) == (w, h, 3, 2)
+        assert got == rgb
+
+    check()
+
+
+def test_rgb_filters_reconstruct_with_bpp3():
+    """bpp=3 filter reconstruction: the a/c predictors must reach back a
+    whole PIXEL (3 bytes), not 1 byte — a PNG whose rows use every filter
+    type 0-4, filtered with bpp=3 by an independent reference here, must
+    reconstruct the original interleaved plane. A bpp=1 decoder gets
+    filters 1/3/4 wrong on exactly this input."""
+    import binascii
+
+    _, decode_png, _, _ = M._make_png_codec()
+    w, h, bpp = 8, 5, 3
+    sw = bpp * w
+    pixels = bytes((29 * i + 11) % 256 for i in range(sw * h))
+
+    def flt(row: bytes, prev: bytes, ftype: int) -> bytes:
+        out = bytearray()
+        for c in range(sw):
+            a = row[c - bpp] if c >= bpp else 0
+            b = prev[c]
+            cc = prev[c - bpp] if c >= bpp else 0
+            if ftype == 0:
+                v = row[c]
+            elif ftype == 1:
+                v = (row[c] - a) & 0xFF
+            elif ftype == 2:
+                v = (row[c] - b) & 0xFF
+            elif ftype == 3:
+                v = (row[c] - (a + b) // 2) & 0xFF
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                v = (row[c] - pr) & 0xFF
+            out.append(v)
+        return bytes(out)
+
+    raw = b""
+    prev = bytes(sw)
+    for r in range(h):
+        row = pixels[r * sw : (r + 1) * sw]
+        raw += bytes([r]) + flt(row, prev, r)
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+    gw, gh, gch, got, ct = decode_png(png)
+    assert (gw, gh, gch, ct) == (w, h, 3, 2)
+    assert got == pixels
+
+
+def test_rgb_tamper_rejected():
+    """A flipped byte inside the RGB IDAT breaks the chunk CRC and the
+    decode raises — per-record tolerance drops the row, never returns
+    silently wrong pixels."""
+    encode_png_rgb = M._make_png_codec()[3]
+    decode_png = M._make_png_codec()[1]
+    png = bytearray(encode_png_rgb(bytes(range(3 * 8 * 4)), 8, 4, b"s"))
+    idat = png.index(b"IDAT")
+    png[idat + 20] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(png))
+
+
+def test_gray_rgb_luma_ahash_equality(spark, docs):
+    """The luma contract: an RGB encode with r=g=b=v has luma
+    (v + 2v + v) // 4 = v exactly, so its aHash equals the gray
+    encode's — a re-encoded copy of an image hashes identically
+    whatever color type it arrived in (the cross-container image-dedup
+    property). Checked THROUGH the real Arrow pipeline, not just the
+    local codec."""
+    encode_png, _, _, encode_png_rgb = M._make_png_codec()
+
+    def blobs(rgb: bool):
+        def batches(it):
+            import pandas as pd
+
+            for pdf in it:
+                out = {"doc_id": [], "content": []}
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    tb = text.encode("utf-8")
+                    if not tb:
+                        continue
+                    h = M.PNG_H_BASE + int(doc_id) % M.PNG_H_MOD
+                    npx = M.PNG_W * h
+                    stride = max(len(tb) // npx, 1)
+                    px = bytes(tb[(i * stride) % len(tb)] for i in range(npx))
+                    if rgb:
+                        payload = encode_png_rgb(
+                            bytes(v for p in px for v in (p, p, p)), M.PNG_W, h, b"s"
+                        )
+                    else:
+                        payload = encode_png(px, M.PNG_W, h, b"s")
+                    out["doc_id"].append(int(doc_id))
+                    out["content"].append(payload)
+                yield pd.DataFrame(out)
+
+        return docs.select("doc_id", "text").mapInPandas(
+            batches, schema="doc_id bigint, content binary"
+        )
+
+    gray = {r["doc_id"]: r["ahash"] for r in M.phash_images(blobs(False)).collect()}
+    rgb = {r["doc_id"]: r["ahash"] for r in M.phash_images(blobs(True)).collect()}
+    assert gray and gray == rgb

@@ -148,11 +148,23 @@ SCALE_QUERIES = (
 
 
 def _salted_documents(df: DataFrame) -> DataFrame:
-    """Suffix every token with ``~r`` for replicas r > 0 (keeps replica 0
-    bit-identical to the base corpus) and recompute n_chars."""
+    """Suffix every token with ``~rrr`` (FIXED-WIDTH, zero-padded) for
+    replicas r > 0 (keeps replica 0 bit-identical to the base corpus) and
+    recompute n_chars.
+
+    Fixed width matters for the char-level operators (VERDICT r6 task #6):
+    a variable-width ``~r`` suffix (1–3 digits across 256 replicas) shifts
+    every substring-window alignment by a replica-dependent amount, so
+    ``dedup_substring_spans``'s duplicated-window relation grew 7.6× for a
+    4× doc step — the rung measured fixture geometry, not the operator.
+    Zero-padding makes every salted replica's text the same length, so the
+    window geometry is identical across replicas and the exponent reads
+    the operator."""
     salted = F.when(F.col("rep") == 0, F.col("text")).otherwise(
         F.regexp_replace(
-            F.col("text"), r"(\S+)", F.concat(F.lit("$1~"), F.col("rep").cast("string"))
+            F.col("text"),
+            r"(\S+)",
+            F.concat(F.lit("$1~"), F.lpad(F.col("rep").cast("string"), 3, "0")),
         )
     )
     return df.withColumn("text", salted).withColumn("n_chars", F.length("text").cast("long"))
@@ -479,6 +491,155 @@ def bench_knob(spark: SparkSession, scales: tuple[int, ...] = (8, 64, 256)) -> d
     return out
 
 
+def bench_extras(
+    spark: SparkSession,
+    queries: tuple[str, ...],
+    scales: tuple[int, ...] = (8, 64, 256),
+) -> dict:
+    """Docs-only rungs for an arbitrary query subset, with output-row
+    accounting (the bench_knob shape, parameterized): for unbounded-output
+    operators the honest exponent is judged against the work PRODUCED,
+    not just the input — so record rows out and a µs/output-row rate at
+    every rung alongside the warm wall time."""
+    from wd2sql_spark.catalog import table
+    from wd2sql_spark.queries import load_all_modules
+
+    registry = load_all_modules()
+    out: dict[str, dict] = {}
+    for n in scales:
+        d = os.path.join(OUT_ROOT, f"x{n}docs")
+        marker = os.path.join(d, "_DONE")
+        if not os.path.exists(marker):
+            t0 = time.perf_counter()
+            generate(spark, d, n, tables=("documents", "embeddings"))
+            with open(marker, "w") as fh:
+                fh.write("ok\n")
+            print(f"[gen] x{n}: {time.perf_counter() - t0:.1f}s", flush=True)
+        rung: dict = {"docs": table(spark, d, "documents").count(), "queries": {}}
+        for q in queries:
+            spark.catalog.clearCache()
+            fn = registry[q].fn
+            force(fn(spark, d))
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(fn(spark, d))
+                best = min(best, time.perf_counter() - t0)
+            n_out = fn(spark, d).count()
+            rung["queries"][q] = {
+                "warm_s": round(best, 2),
+                "output_rows": n_out,
+                "us_per_output_row": round(1e6 * best / max(n_out, 1), 2),
+            }
+            print(f"[extras] x{n} {q}: {best:.2f}s, {n_out} rows out", flush=True)
+        out[f"x{n}"] = rung
+    for q in queries:
+        for a, b in zip(scales, scales[1:]):
+            qa, qb = out[f"x{a}"]["queries"][q], out[f"x{b}"]["queries"][q]
+            e = math.log(qb["warm_s"] / qa["warm_s"]) / math.log(b / a)
+            ent = out.setdefault("exponents", {}).setdefault(q, {})
+            ent[f"e{a}_{b}"] = round(e, 2)
+            if qa["output_rows"] not in (0, qb["output_rows"]):
+                ent[f"e_out{a}_{b}"] = round(
+                    math.log(qb["warm_s"] / qa["warm_s"])
+                    / math.log(qb["output_rows"] / qa["output_rows"]),
+                    2,
+                )
+    return out
+
+
+def bench_admission(
+    spark: SparkSession,
+    scale: int = 256,
+    n_batches: int = 16,
+    compact_every: int = 4,
+) -> dict:
+    """The admission WRITE loop at the 256× rung (VERDICT r6 task #5):
+    stream the x{scale}docs corpus (~1.28 M docs at 256×) through
+    ``admission_sink``'s batch function as ``n_batches`` sequential
+    xxhash64-bucketed drops with periodic compaction engaged, recording
+    per-batch wall time, admitted count, and store size — the probe+
+    append cost CURVE as the store grows from empty to corpus-sized.
+    Ends with the store ≡ rebuild-over-admitted proof at full size
+    (exceptAll both ways — the tests/test_lsh_store.py property, now at
+    1000× the unit-test corpus)."""
+    import shutil
+    import tempfile
+
+    from wd2sql_spark.catalog import table
+    from wd2sql_spark.operators.dedup import minhash_band_index
+    from wd2sql_spark.sinks.lsh_store import _layout, read_lsh_store
+    from wd2sql_spark.streaming.admission import admission_sink
+
+    d = os.path.join(OUT_ROOT, f"x{scale}docs")
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        t0 = time.perf_counter()
+        generate(spark, d, scale, tables=("documents", "embeddings"))
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+        print(f"[gen] x{scale}: {time.perf_counter() - t0:.1f}s", flush=True)
+    docs = table(spark, d, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+
+    store = tempfile.mkdtemp(prefix="admission-256x-")
+    admitted_log: list[list[int]] = []
+    sink = admission_sink(store, compact_every=compact_every,
+                          log=lambda bid, ids: admitted_log.append(ids))
+    batches: list[dict] = []
+    store_rows = 0
+    try:
+        for b in range(n_batches):
+            batch = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(n_batches)) == b)
+            t0 = time.perf_counter()
+            sink(batch, b)
+            wall = time.perf_counter() - t0
+            new_rows = spark.read.parquet(f"{store}/bands").count()
+            n_batch = batch.count()
+            batches.append(
+                {
+                    "batch": b,
+                    "batch_docs": n_batch,
+                    "admitted": len(admitted_log[-1]),
+                    "store_rows_after": new_rows,
+                    "wall_s": round(wall, 2),
+                    "rows_per_s": round(n_batch / wall),
+                    "compacted": (b + 1) % compact_every == 0,
+                }
+            )
+            store_rows = new_rows
+            print(f"[admission] {batches[-1]}", flush=True)
+
+        # store ≡ rebuild over the admitted set, at full size
+        all_admitted = sorted(i for ids in admitted_log for i in ids)
+        adm_df = spark.createDataFrame([(i,) for i in all_admitted], ["doc_id"])
+        rebuild = _layout(
+            minhash_band_index(docs.join(adm_df, "doc_id"))
+        )
+        stored = read_lsh_store(spark, store)
+        t0 = time.perf_counter()
+        extra = stored.exceptAll(rebuild.select(*stored.columns)).count()
+        missing = rebuild.select(*stored.columns).exceptAll(stored).count()
+        proof_s = time.perf_counter() - t0
+        print(
+            f"[admission] store≡rebuild: extra={extra} missing={missing} "
+            f"({proof_s:.1f}s over {store_rows} band rows)",
+            flush=True,
+        )
+        return {
+            "corpus_docs": n_docs,
+            "n_batches": n_batches,
+            "compact_every": compact_every,
+            "admitted_total": len(all_admitted),
+            "store_band_rows": store_rows,
+            "store_equals_rebuild": extra == 0 and missing == 0,
+            "equality_proof_s": round(proof_s, 1),
+            "batches": batches,
+        }
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,8,64")
@@ -489,6 +650,8 @@ def main() -> None:
     ap.add_argument("--skew-only", action="store_true")
     ap.add_argument("--stream-only", action="store_true")
     ap.add_argument("--knob-only", action="store_true", help="auto-banding rungs incl. 256x docs")
+    ap.add_argument("--extras-only", action="store_true", help="docs-only rungs for --queries with output-row accounting")
+    ap.add_argument("--admission-only", action="store_true", help="admission write loop to a 256x store with compaction")
     ap.add_argument("--etl-cores-only", action="store_true", help="ETL MB/s at local[8/16/32]")
     ap.add_argument("--json-out", default="/tmp/scale/results.json")
     args = ap.parse_args()
@@ -524,6 +687,22 @@ def main() -> None:
     if args.knob_only:
         res = bench_knob(spark)
         path = args.json_out.replace(".json", "-knob.json")
+        with open(path, "w") as fh:
+            json.dump(res, fh, indent=2)
+        print(f"[done] wrote {path}", flush=True)
+        return
+
+    if args.extras_only:
+        res = bench_extras(spark, names)
+        path = args.json_out.replace(".json", "-extras.json")
+        with open(path, "w") as fh:
+            json.dump(res, fh, indent=2)
+        print(f"[done] wrote {path}", flush=True)
+        return
+
+    if args.admission_only:
+        res = bench_admission(spark)
+        path = args.json_out.replace(".json", "-admission.json")
         with open(path, "w") as fh:
             json.dump(res, fh, indent=2)
         print(f"[done] wrote {path}", flush=True)

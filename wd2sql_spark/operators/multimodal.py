@@ -43,18 +43,24 @@ def _make_png_codec():
     a REAL codec path: CRC-32-checked chunk grammar, a genuine zlib
     stream (inflate validates the adler32 trailer), and full scanline
     filter reconstruction (types 0-4, the Paeth predictor included).
-    Returns (encode_png, decode_png, encode_png_palette).
+    Returns (encode_png, decode_png, encode_png_palette, encode_png_rgb).
 
-    TWO color types (r6 — the Arrow decode stage and the aHash contract
-    generalize beyond one encoder, VERDICT r5 task #7): grayscale-8
-    (color type 0) and palette-8 (color type 3, a PLTE chunk of RGB
-    triples indexed by the IDAT bytes). The decoder resolves palette
-    indices through PLTE after filter reconstruction: an all-gray
-    palette collapses to 1-channel gray bytes — BYTE-IDENTICAL to the
-    gray-8 encoding of the same pixels, so every downstream stage
-    (aHash, thumbs, stats) is codec-agnostic — while a colored palette
-    resolves to interleaved 3-channel RGB. Anything else raises and the
-    per-record tolerance drops the row.
+    THREE color types (r6 added palette, r7 truecolor — the Arrow decode
+    stage and the aHash contract generalize beyond one encoder, VERDICT
+    r5 task #7 / r6 task #8): grayscale-8 (color type 0), palette-8
+    (color type 3, a PLTE chunk of RGB triples indexed by the IDAT
+    bytes), and truecolor RGB-8 (color type 2, 3 bytes/pixel — filter
+    reconstruction runs with bpp=3, so the `a`/`c` predictors reach back
+    a whole PIXEL, not a byte; the part of the spec a 1-byte-only
+    decoder silently gets wrong on filters 1/3/4). The decoder resolves
+    palette indices through PLTE after filter reconstruction: an
+    all-gray palette collapses to 1-channel gray bytes — BYTE-IDENTICAL
+    to the gray-8 encoding of the same pixels, so every downstream stage
+    (aHash, thumbs, stats) is codec-agnostic — while colored palettes
+    and truecolor images resolve to interleaved 3-channel RGB, over
+    which the hash stages operate on the integer LUMA plane
+    ((r + 2g + b) // 4 — exact, oracle-reproducible). Anything else
+    raises and the per-record tolerance drops the row.
 
     Defined inside a factory so the returned functions are NOT module
     attributes: cloudpickle then ships them BY VALUE into the Arrow
@@ -122,11 +128,30 @@ def _make_png_codec():
             + _chunk(b"IEND", b"")
         )
 
+    def encode_png_rgb(pixels: bytes, w: int, h: int, src: bytes) -> bytes:
+        """Truecolor (color type 2, bit depth 8): ``pixels`` is the
+        INTERLEAVED 3·w·h RGB byte plane. Scanlines are 3·w+1 bytes
+        (filter byte + 3 bytes/pixel)."""
+        if len(pixels) != 3 * w * h:
+            raise ValueError("rgb encoder wants 3*w*h interleaved bytes")
+        raw = b"".join(
+            b"\x00" + pixels[r * 3 * w : (r + 1) * 3 * w] for r in range(h)
+        )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"tEXt", b"src\x00" + src)
+            + _chunk(b"IDAT", _stored_zlib(raw))
+            + _chunk(b"IEND", b"")
+        )
+
     def decode_png(payload: bytes) -> tuple[int, int, int, bytes, int]:
         """→ (width, height, channels, reconstructed pixel bytes,
         color_type). Palette images resolve through PLTE: all-gray
         palettes collapse to channels=1 gray bytes, colored ones to
-        channels=3 interleaved RGB."""
+        channels=3 interleaved RGB; truecolor (type 2) reconstructs with
+        bpp=3 and returns interleaved RGB."""
         if payload[:8] != b"\x89PNG\r\n\x1a\n":
             raise ValueError("not a PNG")
         pos, dims, idat, ctype, plte = 8, None, b"", None, None
@@ -139,7 +164,7 @@ def _make_png_codec():
                 raise ValueError(f"bad CRC in {typ!r}")
             if typ == b"IHDR":
                 w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", data)
-                if depth != 8 or ctype not in (0, 3) or (comp, filt, inter) != (0, 0, 0):
+                if depth != 8 or ctype not in (0, 2, 3) or (comp, filt, inter) != (0, 0, 0):
                     raise ValueError("unsupported PNG variant")
                 dims = (w, h)
             elif typ == b"PLTE":
@@ -157,17 +182,23 @@ def _make_png_codec():
             raise ValueError("palette image without PLTE")
         w, h = dims
         raw = zlib.decompress(idat)  # real inflate; validates adler32
-        if len(raw) != h * (w + 1):
+        # bytes per pixel: 3 for truecolor, 1 for gray/palette-index —
+        # the filter predictors a (left) and c (upper-left) reach back
+        # bpp BYTES, i.e. one whole pixel, which is what makes bpp=3
+        # reconstruction a real generalization rather than a reshape
+        bpp = 3 if ctype == 2 else 1
+        sw = bpp * w  # scanline payload bytes
+        if len(raw) != h * (sw + 1):
             raise ValueError("scanline size mismatch")
         out = bytearray()
-        prev = bytearray(w)
+        prev = bytearray(sw)
         for r in range(h):
-            f = raw[r * (w + 1)]
-            line = bytearray(raw[r * (w + 1) + 1 : (r + 1) * (w + 1)])
-            for c in range(w):
-                a = line[c - 1] if c else 0  # bpp = 1 for gray-8
+            f = raw[r * (sw + 1)]
+            line = bytearray(raw[r * (sw + 1) + 1 : (r + 1) * (sw + 1)])
+            for c in range(sw):
+                a = line[c - bpp] if c >= bpp else 0
                 b = prev[c]
-                cc = prev[c - 1] if c else 0
+                cc = prev[c - bpp] if c >= bpp else 0
                 if f == 0:
                     rec = line[c]
                 elif f == 1:
@@ -193,9 +224,11 @@ def _make_png_codec():
             if all(plte[3 * v] == plte[3 * v + 1] == plte[3 * v + 2] for v in set(out)):
                 return w, h, 1, bytes(plte[3 * v] for v in out), 3
             return w, h, 3, bytes(b for v in out for b in plte[3 * v : 3 * v + 3]), 3
+        if ctype == 2:
+            return w, h, 3, bytes(out), 2
         return w, h, 1, bytes(out), 0
 
-    return encode_png, decode_png, encode_png_palette
+    return encode_png, decode_png, encode_png_palette, encode_png_rgb
 
 
 def synthesize_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -227,7 +260,7 @@ def synthesize_png_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     base = docs.select(
         "doc_id", enc.alias("tb"), F.col("source").alias("source")
     )
-    encode_png, _, _ = _make_png_codec()
+    encode_png, _, _, _ = _make_png_codec()
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -275,7 +308,7 @@ def synthesize_mixed_png_blobs(docs: DataFrame, text_col: str = "text") -> DataF
     (n_bytes grows by 12 + 3·n_colors on the palette rows)."""
     enc = F.encode(F.col(text_col), "utf-8")
     base = docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source"))
-    encode_png, _, encode_png_palette = _make_png_codec()
+    encode_png, _, encode_png_palette, _ = _make_png_codec()
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -313,6 +346,63 @@ def synthesize_mixed_png_blobs(docs: DataFrame, text_col: str = "text") -> DataF
     )
 
 
+def synthesize_tri_codec_png_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """:func:`synthesize_mixed_png_blobs` with the THIRD encoder in the
+    mix (VERDICT r6 task #8): doc_id % 3 picks grayscale-8 / palette-8 /
+    truecolor RGB-8. The truecolor pixels carry genuinely DISTINCT
+    channels — pixel i's (r, g, b) are the text bytes at strided offsets
+    (i·stride, i·stride+1, i·stride+2) mod n — so the bpp=3 filter
+    reconstruction and the downstream luma plane are exercised on real
+    3-channel data, not a gray image wearing an RGB container. Fully
+    deterministic, so the DuckDB twin re-derives payload sizes (an RGB
+    scanline is 3·w+1 bytes vs the gray w+1) and the sampled channel
+    bytes from the documents table."""
+    enc = F.encode(F.col(text_col), "utf-8")
+    base = docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source"))
+    encode_png, _, encode_png_palette, encode_png_rgb = _make_png_codec()
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def build(doc_id: int, tb: bytes, source: str) -> bytes:
+            n = len(tb)
+            if n == 0:
+                return b""
+            h = PNG_H_BASE + doc_id % PNG_H_MOD
+            npx = PNG_W * h
+            stride = max(n // npx, 1)
+            arm = doc_id % 3
+            if arm == 2:
+                rgb = bytes(
+                    tb[(i * stride + j) % n] for i in range(npx) for j in range(3)
+                )
+                return encode_png_rgb(rgb, PNG_W, h, source.encode("utf-8"))
+            pixels = bytes(tb[(i * stride) % n] for i in range(npx))
+            enc_fn = encode_png if arm == 0 else encode_png_palette
+            return enc_fn(pixels, PNG_W, h, source.encode("utf-8"))
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "content": [
+                        build(int(d), bytes(t), s)
+                        for d, t, s in zip(pdf["doc_id"], pdf["tb"], pdf["source"])
+                    ],
+                    "source": pdf["source"],
+                }
+            )
+
+    return base.mapInPandas(
+        batches, schema="doc_id bigint, content binary, source string"
+    ).select(
+        "doc_id",
+        "content",
+        F.lit("image/png").alias("media_type"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+
+
 def decode_images(blobs: DataFrame) -> DataFrame:
     """Arrow-batched REAL decode: BINARY column → typed metadata rows via
     the stdlib PNG codec (chunk grammar + CRC verification + inflate +
@@ -322,7 +412,7 @@ def decode_images(blobs: DataFrame) -> DataFrame:
     amortization and the freedom to drop undecodable rows (a scalar UDF
     must return exactly one value per row) — empty or corrupt payloads
     drop, per-record tolerance."""
-    _, decode_png, _ = _make_png_codec()
+    _, decode_png, _, _ = _make_png_codec()
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -342,7 +432,9 @@ def decode_images(blobs: DataFrame) -> DataFrame:
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["channels"].append(ch)
-                rows["format"].append("png-palette" if ctype == 3 else "png")
+                rows["format"].append(
+                    {0: "png", 2: "png-rgb", 3: "png-palette"}[ctype]
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
@@ -418,13 +510,21 @@ def phash_images(blobs: DataFrame) -> DataFrame:
     empty payloads drop (per-record tolerance); the oracle filters
     empty-text docs the same way. Like decode_images, the codec functions
     are factory-local so cloudpickle ships them by value."""
-    _, decode_png, _ = _make_png_codec()
+    _, decode_png, _, _ = _make_png_codec()
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         def ahash(payload: bytes) -> int:
-            _w, _h, _ch, pixels, _ctype = decode_png(payload)
+            _w, _h, ch, pixels, _ctype = decode_png(payload)
+            if ch == 3:
+                # hash the integer LUMA plane ((r + 2g + b) // 4 — exact
+                # int arithmetic, so the SQL twin reproduces it): an RGB
+                # image with r=g=b=v hashes identically to its gray twin
+                pixels = bytes(
+                    (pixels[i] + 2 * pixels[i + 1] + pixels[i + 2]) // 4
+                    for i in range(0, len(pixels), 3)
+                )
             npx = len(pixels)
             stride = max(npx // PHASH_PIXELS, 1)
             px = [pixels[(k * stride) % npx] for k in range(PHASH_PIXELS)]

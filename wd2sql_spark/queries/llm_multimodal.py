@@ -269,3 +269,102 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= PHASH_HAM_MAX)
         .orderBy("d1", "d2")
     )
+
+
+# Truecolor payload arithmetic: an RGB-8 scanline is 3·w+1 bytes (vs the
+# gray w+1), so total = 84 + srclen + (3·8+1)·h = 84 + srclen + 25·h.
+TRI_CODEC_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n,
+         octet_length(encode(source)) AS s, {_PNG_H} AS h,
+         {M.PNG_W} * {_PNG_H} AS npx
+  FROM documents
+  WHERE octet_length(encode(text)) > 0),
+pxall AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(
+             hx, 2 * ((t.i * greatest(n // npx, 1)) % n) + 1, 2)) AS BIGINT) AS p
+  FROM b, unnest(range(0, {M.PNG_W} * ({M.PNG_H_BASE} + {M.PNG_H_MOD} - 1))) t(i)
+  WHERE t.i < npx AND b.doc_id % 3 = 1),
+pal AS (SELECT doc_id, COUNT(DISTINCT p) AS ncolors FROM pxall GROUP BY doc_id)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN b.doc_id % 3 = 0 THEN 84 + s + 9 * h
+                 WHEN b.doc_id % 3 = 1 THEN 96 + s + 9 * h + 3 * pal.ncolors
+                 ELSE 84 + s + 25 * h END AS BIGINT) AS n_bytes,
+       CAST({M.PNG_W} AS BIGINT) AS width,
+       CAST(h AS BIGINT)         AS height,
+       CAST(CASE WHEN b.doc_id % 3 = 2 THEN 3 ELSE 1 END AS BIGINT) AS channels,
+       CASE WHEN b.doc_id % 3 = 0 THEN 'png'
+            WHEN b.doc_id % 3 = 1 THEN 'png-palette'
+            ELSE 'png-rgb' END AS format
+FROM b LEFT JOIN pal ON b.doc_id = pal.doc_id
+ORDER BY doc_id
+"""
+
+
+@query("multimodal_truecolor_codec_stats", oracle=TRI_CODEC_ORACLE, category="llm-multimodal")
+def multimodal_truecolor_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE real codecs through ONE Arrow decode stage (VERDICT r6 task
+    #8): doc_id % 3 picks grayscale-8 / palette-8 / truecolor RGB-8. The
+    truecolor arm's channels are genuinely distinct (three strided text
+    bytes per pixel), so the decoder's bpp=3 filter reconstruction and
+    3-channel return path run on real data. The oracle re-derives each
+    arm's payload arithmetic from the documents table — an RGB scanline
+    is 3·w+1 bytes vs the gray w+1 — so a hash match proves the third
+    encoder's chunk layout and the shared decode dispatch are lossless
+    together with the two r6 formats."""
+    docs = table(spark, sf_dir, "documents")
+    return M.decode_images(M.synthesize_tri_codec_png_blobs(docs)).orderBy("doc_id")
+
+
+def _tri_byte(expr: str) -> str:
+    """DuckDB: text byte at 0-based offset ``expr`` (via the hex dump)."""
+    return f"CAST(('0x' || substring(hx, 2 * ({expr}) + 1, 2)) AS BIGINT)"
+
+
+# The LUMA-plane aHash contract (operators/multimodal.phash_images): for
+# 3-channel decodes the hash runs over (r + 2g + b) // 4 — exact integer
+# arithmetic, so the oracle computes the identical plane from the three
+# strided channel bytes; 1-channel arms hash the gray byte directly.
+TRI_PHASH_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n,
+         {M.PNG_W} * {_PNG_H} AS npx
+  FROM documents
+  WHERE octet_length(encode(text)) > 0),
+px AS (
+  SELECT doc_id, t.k, hx, n,
+         (((t.k * greatest(npx // {M.PHASH_PIXELS}, 1)) % npx)
+            * greatest(n // npx, 1)) AS o,
+         doc_id % 3 AS arm
+  FROM b, unnest(range(0, {M.PHASH_PIXELS})) t(k)),
+pv AS (
+  SELECT doc_id, k,
+         CASE WHEN arm = 2 THEN
+                ({_tri_byte("o % n")} + 2 * {_tri_byte("(o + 1) % n")}
+                   + {_tri_byte("(o + 2) % n")}) // 4
+              ELSE {_tri_byte("o % n")} END AS p
+  FROM px),
+stats AS (SELECT doc_id, SUM(p) // {M.PHASH_PIXELS} AS mean FROM pv GROUP BY doc_id)
+SELECT CAST(pv.doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(CASE WHEN pv.k < {M.PHASH_BITS} AND pv.p > s.mean
+                     THEN (CAST(1 AS BIGINT) << pv.k) ELSE 0 END) AS BIGINT) AS ahash
+FROM pv JOIN stats s USING (doc_id)
+GROUP BY pv.doc_id
+ORDER BY doc_id
+"""
+
+
+@query("multimodal_luma_phash", oracle=TRI_PHASH_ORACLE, category="llm-multimodal")
+def multimodal_luma_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hash over the MIXED-COLOR-TYPE corpus (r7): the aHash
+    stage decodes all three container formats and hashes 1-channel
+    decodes directly but 3-channel decodes through the integer luma
+    plane ((r + 2g + b) // 4) — the contract that makes image near-dup
+    banding container-agnostic at 100 TB (a re-encoded copy of an image
+    hashes identically whatever color type it arrived in). The oracle
+    recomputes every sampled pixel — including the three per-pixel
+    channel bytes of the RGB arm — from the documents table, so a hash
+    match proves decoder, luma arithmetic, and Arrow plumbing exact."""
+    docs = table(spark, sf_dir, "documents")
+    return M.phash_images(M.synthesize_tri_codec_png_blobs(docs)).orderBy("doc_id")

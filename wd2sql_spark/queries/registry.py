@@ -141,6 +141,9 @@ def query(
 # that don't fit carry to r8 (the tool keeps flagging them until a driver
 # row postdates the module change).
 _PRIORITY = (
+    # (a0) NEW in r7 — first driver rows (truecolor PNG + luma aHash)
+    "multimodal_truecolor_codec_stats",
+    "multimodal_luma_phash",
     # (a) rewritten in r6, latest driver rows r4/r5
     "join_basket_cooccurrence",
     "dedup_substring_spans",
