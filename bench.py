@@ -93,7 +93,12 @@ HEADLINE = (
     "agg_percentiles_doc_length",
     "agg_rollup",
     "agg_stats_moments",
-    "dedup_admission_evolution",
+    # dedup_admission_evolution is NOT here for the same reason as
+    # stream_incremental_neardup: every invocation eagerly rebuilds the
+    # on-disk LSH store and drives 3 sequential probe+CC+append drops
+    # (11.5 s at sf0.1 measured r7) — loop/IO cost a warm-latency line
+    # would misread as a slow operator. Its cost is metered in the
+    # dedicated `streaming.admission` section below.
     "dedup_edit_distance_blocked",
     "gapfill_daily_purchases",
     "join_anti_customers_without_orders",

@@ -134,25 +134,29 @@ def query(
 # module's import closure — changed in git after the query's latest driver
 # CORRECTNESS row, sorted stalest-attestation-first;
 # ``tests/test_priority.py`` fails if the flagged set isn't front-loaded
-# here. Round 7 layout: (a) the two r6 REWRITES the r6 rotation missed
-# (verdict-named), (b) this round's implementation-changed four (knob
-# count caching / band coupling / plan_cached codec), then (c) the tool's
-# stalest-first order until the ~50-slot cap; the ~53 flagged queries
-# that don't fit carry to r8 (the tool keeps flagging them until a driver
-# row postdates the module change).
+# here. Round 7 layout: (a0) r7's two NEW queries, (a) the two r6
+# REWRITES the r6 rotation missed (verdict-named), (b) this round's
+# implementation-changed six, then (c) the tool's stalest-first order
+# until the ~50-slot cap; the flagged queue past the cap carries to r8
+# (the tool keeps flagging a query until a driver row postdates the
+# module change).
 _PRIORITY = (
     # (a0) NEW in r7 — first driver rows (truecolor PNG + luma aHash)
     "multimodal_truecolor_codec_stats",
     "multimodal_luma_phash",
-    # (a) rewritten in r6, latest driver rows r4/r5
+    # (a) rewritten in r6, latest driver rows r4/r5 (verdict-named)
     "join_basket_cooccurrence",
     "dedup_substring_spans",
-    # (b) implementation changed in r7
+    # (b) implementation changed in r7 (knob caching, band coupling,
+    # plan_cached codec, HLL split-join, dropped cosmetic sort)
     "dedup_simhash",
     "sim_cosine_near_dup",
     "multimodal_phash_near_dup",
     "wd_id_codec",
-    # (c) tools/gen_priority.py order (stalest driver row first)
+    "agg_approx_count_distinct",
+    "scalar_math_fns",
+    # (c) tools/gen_priority.py order (stalest driver row first); the
+    # flagged queue past the ~50 driver cap carries to r8
     "wd_etl_time",
     "agg_hll_sketch_rollup",
     "agg_percentiles_doc_length",
@@ -175,6 +179,7 @@ _PRIORITY = (
     "retrieval_hybrid_rrf",
     "sample_stratified_by_lang",
     "sample_weighted_by_length",
+    "scalar_array_fns",
     "scrub_pii_stats",
     "seq_error_then_purchase",
     "sessionize_gap30m",
@@ -190,6 +195,9 @@ _PRIORITY = (
     "text_bpe_encode_stats",
     "text_bpe_vocab_merges",
     "ts_downsample_hourly",
+    "agg_customer_order_distribution",
+    "agg_pricing_summary",
+    "agg_promo_revenue_ratio",
     "curation_pipeline_decontam",
     "join_market_share",
     "join_nation_pair_volume",
@@ -197,16 +205,6 @@ _PRIORITY = (
     "join_skew_salted",
     "layout_hilbert_locality",
     "mix_temperature_sampling",
-    # overflow past the ~50 driver cap: ordering for whatever extra slots
-    # a round's driver affords; the rest of the flagged queue carries to r8
-    "mix_token_budget_waterfill",
-    "pairs_contrastive_build",
-    "profile_table_checksum",
-    "quality_charlm_score",
-    "retrieval_mmr_diversified",
-    "retrieval_phrase_match",
-    "sample_dsir_importance",
-    "sim_int8_serving_topk",
 )
 
 

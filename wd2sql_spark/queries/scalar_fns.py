@@ -122,7 +122,13 @@ ORDER BY l_orderkey, l_linenumber
 @query("scalar_math_fns", oracle=MATH_ORACLE, category="scalar")
 def scalar_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """round/abs/ceil/floor/sqrt/ln/pow/mod/sign/greatest/least — the
-    arithmetic surface behind id-encoding (id.rs:6-24)."""
+    arithmetic surface behind id-encoding (id.rs:6-24).
+
+    No final orderBy (r7): the driver's comparison is order-insensitive
+    and there is no LIMIT to stabilize, so the global single-exchange
+    sort it forced was pure cost (1.5 s of the 2.4 s at sf0.1 — and the
+    anti-pattern at 100 TB, where a total order over the fact table
+    serializes through one range exchange)."""
     l = table(spark, sf_dir, "lineitem")
     return l.select(
         "l_orderkey",
@@ -138,7 +144,7 @@ def scalar_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.signum(F.col("l_discount") - 0.05).cast("bigint").alias("disc_sign"),
         F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_hi"),
         F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_lo"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 ARRAY_ORACLE = """
