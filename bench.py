@@ -280,6 +280,21 @@ def main() -> None:
                 "streaming_suite": stream_suite,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "notes": {
+                    "r6_drift_attribution": (
+                        "r5->r6 drift (~20 of 27 shared queries +5-30%, worst warm "
+                        "1.45x->1.83x) decomposed and reversed in r7: (1) the r6 "
+                        "auto-banding knob priced itself with a PER-CALL count() "
+                        "job on every knob query - now cached per (session, "
+                        "corpus) in session_cache.cached_count (dedup_simhash "
+                        "1.81->~1.4s, multimodal_phash_near_dup 1.55->~1.3s); "
+                        "(2) wd_id_codec's 1.62s was per-call construction of a "
+                        "16-row literal plan - now plan_cached (prepared-statement "
+                        "semantics, ->~0.1s); (3) the remainder matches the "
+                        "documented co-tenant noise envelope (idle loadavg ~10/32; "
+                        "quiet-host min-of-3 re-measures of basket/prefix-filter "
+                        "came in 14-21% under the r6 driver numbers). No plan "
+                        "regression was found in any shared query"
+                    ),
                     "fixtures": (
                         "testdata regenerated for r3 (timestamps now "
                         "TIMESTAMP(MICROS) NTZ, embeddings corpus differs), so "
@@ -635,9 +650,16 @@ def _bench_etl(spark) -> dict:
         wd2spark(spark, dump, out, staged=True, layout="store")
         elapsed_cold = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        wd2spark(spark, dump, out + "-warm", staged=True, layout="store")
-        elapsed = time.perf_counter() - t0
+        # Warm = MIN OF TWO full runs (r7): a single warm sample ranged
+        # 31-55 MB/s across same-code same-host runs (page-cache and JVM
+        # heap state after the 78-query pass dominate the tail), the same
+        # asymmetric-noise argument as the queries' min-of-3.
+        elapsed = float("inf")
+        for i in range(2):
+            t0 = time.perf_counter()
+            wd2spark(spark, dump, f"{out}-warm{i}", staged=True, layout="store")
+            elapsed = min(elapsed, time.perf_counter() - t0)
+            shutil.rmtree(f"{out}-warm{i}", ignore_errors=True)
 
         # Secondary: layout="tables" additionally exports standalone
         # per-table parquet datasets (a second write generation the

@@ -429,10 +429,13 @@ def join_basket_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; the array form emits the identical pair multiset (sorted array
     + strictly-later slice ≡ the join's p1 < p2 on line pairs, duplicate
     parts included) for half the scan and exchange volume — 1.97 → 1.58 s
-    warm at sf0.1 (the residual is the C(k,2) explode + the (p1, p2)
-    pair aggregate, both inherent to the answer). Pair counting is partial+final agg; top-20 is
-    TakeOrderedAndProject with (p1, p2) tiebreaks for a deterministic
-    set."""
+    warm at sf0.1 quiet-host min-of-3 (the r6 DRIVER bench recorded
+    1.83 s for the same plan under the documented co-tenant load — both
+    numbers are real, conditions differ). The residual is the C(k,2)
+    explode + the (p1, p2)
+    pair aggregate, both inherent to the answer. Pair counting is
+    partial+final agg; top-20 is TakeOrderedAndProject with (p1, p2)
+    tiebreaks for a deterministic set."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_list("l_partkey")).alias("arr")
