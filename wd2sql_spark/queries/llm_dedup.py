@@ -472,10 +472,12 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32-char hex strings. Exploding the struct array moves 24 B/window,
     # and unhex() halves the persisted/shuffled fingerprint to its 16 raw
     # bytes (equality semantics identical — h never leaves the query).
-    # Measured at the 256× rung (1.28 M docs, 74 M windows): 28.2 → 20.8 s;
-    # the residual e=1.16-vs-input there is the duplicated-window RELATION
-    # growing 7.6× per 4× docs (fixture salt geometry — SCALE.md "256×
-    # extras"), e=0.80 against that relation.
+    # Measured at the 256× rung (1.28 M docs, 74 M windows): 28.2 → 20.8 s.
+    # r7 made the fixture salts length-stable (fixed-width ~rrr, VERDICT
+    # r6 task #6): the duplicated-window relation now grows 4.04× per 4×
+    # doc step (23.3 M rows at 256×, exactly tracking input) and the
+    # exponent reads the operator — e(64→256) = 0.90 vs input ≡ output
+    # (SCALE.md "256× extras").
     win_structs = F.transform(
         F.sequence(F.lit(0), F.length("text") - SPAN_L, F.lit(SPAN_STRIDE)),
         lambda p: F.struct(
