@@ -214,38 +214,57 @@ def main() -> None:
         cold[name] = round(time.perf_counter() - t0, 4)
 
     # Warm pass: steady-state latency — the headline number. Best of
-    # three executions per query: this host carries background load from
-    # co-tenants (observed idle load average ~10 on 32 cores), and a
+    # FIVE executions per query (r7; was three): this host carries
+    # co-tenant background load that comes and goes in multi-minute
+    # waves (same-code same-day runs measured loadavg 0.08 and 6.0, with
+    # every warm number inflating 30-70% under the loaded window), and a
     # single warm sample can be 2-3x inflated by a noise spike. The MIN
     # is the standard steady-state estimator under asymmetric noise —
     # noise only ever ADDS time — and matches how the reference's
     # post-index sub-second numbers are read (best observed, not mean
-    # under contention).
+    # under contention); five samples roughly halve the chance a whole
+    # query's window lands inside one load wave.
+    # INTERLEAVED sampling (r7): whole warm passes over the full set,
+    # min per query ACROSS passes — five consecutive samples of one
+    # query share one load window (measured: the same query's min-of-5
+    # read 1.36 s and 4.58 s in back-to-back runs because one run's
+    # 5-sample window sat entirely inside a wave), while pass-level
+    # interleaving spreads each query's samples over the whole ~10-min
+    # warm phase, which no wave observed on this host covers.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = registry.get(name)
-        if q is None:
-            continue
-        best = float("inf")
-        for _ in range(3):
+    for _pass in range(5):
+        for name in HEADLINE:
+            q = registry.get(name)
+            if q is None:
+                continue
             t0 = time.perf_counter()
             force(q.fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            dt = time.perf_counter() - t0
+            if dt < timings.get(name, float("inf")):
+                timings[name] = dt
+    timings = {k: round(v, 4) for k, v in timings.items()}
 
-    # TPC-H power run: the 22 classic shapes back-to-back, one warm
-    # execution each (cold/codegen paid by an untimed first pass; shapes
-    # already in HEADLINE are warm anyway). Sum = the classic suite's
-    # single-stream wall time at this SF.
+    # TPC-H power run: the 22 classic shapes back-to-back, warm = min of
+    # three executions each (r7; was one — a single-sample section that
+    # lands inside a co-tenant load wave records 3x the steady state:
+    # measured 15.8 s and 56.3 s for the SAME suite on the same day).
+    # Cold/codegen paid by an untimed first pass.
     tpch: dict[str, float] = {}
-    for name in TPCH22:
+    for name in TPCH22:  # untimed cold/codegen pass
         q = registry.get(name)
-        if q is None:
-            continue
-        force(q.fn(spark, sf_dir))
-        t0 = time.perf_counter()
-        force(q.fn(spark, sf_dir))
-        tpch[name] = round(time.perf_counter() - t0, 4)
+        if q is not None:
+            force(q.fn(spark, sf_dir))
+    for _pass in range(3):  # interleaved, like the headline warm pass
+        for name in TPCH22:
+            q = registry.get(name)
+            if q is None:
+                continue
+            t0 = time.perf_counter()
+            force(q.fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            if dt < tpch.get(name, float("inf")):
+                tpch[name] = dt
+    tpch = {k: round(v, 4) for k, v in tpch.items()}
 
     # Streaming suite: every registered stream_* query run to completion
     # once (availableNow through run_to_batch's memory sink). These can
@@ -254,13 +273,22 @@ def main() -> None:
     # planning, sink commit) that would misread as a slow operator — but
     # as a SUITE wall time they get a recorded per-round cost the same
     # way the TPC-H power run does.
+    # min-of-2 per stream query (r7): the Structured Streaming lifecycle
+    # dominates each number, but a load wave still doubles it — one
+    # repeat bounds that (measured 17.3 s vs 79.5 s suite totals on the
+    # same day); more repeats would cost minutes for lifecycle-bound
+    # numbers.
     stream_suite: dict[str, float] = {}
-    for name, q in sorted(registry.items()):
-        if not name.startswith("stream_"):
-            continue
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).count()
-        stream_suite[name] = round(time.perf_counter() - t0, 4)
+    for _pass in range(2):  # interleaved passes, min per query
+        for name, q in sorted(registry.items()):
+            if not name.startswith("stream_"):
+                continue
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            if dt < stream_suite.get(name, float("inf")):
+                stream_suite[name] = dt
+    stream_suite = {k: round(v, 4) for k, v in stream_suite.items()}
 
     etl = _bench_etl(spark)
     streaming = _bench_streaming(spark, sf_dir)
@@ -328,13 +356,15 @@ def main() -> None:
                     ),
                     "methodology": (
                         "cold = first execution (plan analysis + codegen + broadcast "
-                        "build) on warm file caches; warm = BEST OF THREE further "
-                        "executions, steady-state with plan/persist caches - the "
-                        "regime the reference's post-index-build sub-second numbers "
-                        "describe. Min-of-3 because this host carries co-tenant "
-                        "background load (idle loadavg ~10/32 cores) that inflates "
-                        "single samples 2-3x; noise only adds time, so min is the "
-                        "steady-state estimator"
+                        "build) on warm file caches; warm = BEST OF FIVE further "
+                        "executions (r7; was three), steady-state with plan/persist "
+                        "caches - the regime the reference's post-index-build "
+                        "sub-second numbers describe. Min because this host carries "
+                        "co-tenant background load in multi-minute waves (same-code "
+                        "same-day runs at loadavg 0.08 vs 6.0 differed 30-70% on "
+                        "every warm number); noise only adds time, so min is the "
+                        "steady-state estimator, and five samples roughly halve the "
+                        "chance a query's whole window lands inside one load wave"
                     ),
                     "forcing": (
                         "r3 change: queries are forced with a full-materialization "
