@@ -107,7 +107,12 @@ def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: st
     )
 
 
-def jaccard_pairs(docs: DataFrame, n: int = 3, max_doc_freq: int | None = None) -> DataFrame:
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    max_doc_freq: int | None = None,
+    cache_key: str | None = None,
+) -> DataFrame:
     """Exact n-gram Jaccard for every pair sharing ≥1 shingle.
 
     candidates = Σ_shingle C(df, 2); ``max_doc_freq`` caps df to keep the
@@ -141,7 +146,13 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, max_doc_freq: int | None = None) 
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= max_doc_freq)
         sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
-    sh = bounded_persist(sh, "dedup.jaccard_shingles")
+    # cache_key (corpus identity, e.g. sf_dir) skips the per-call
+    # sameSemantics canonicalization of the shingle build tree
+    sh = bounded_persist(
+        sh,
+        "dedup.jaccard_shingles",
+        key=(cache_key, n, max_doc_freq) if cache_key is not None else None,
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -110,7 +110,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tiny relation (|V|·k edges max) consumed three times by the
     # triangle join — persist so the incidence self-join + window
     # pipeline runs once, not per join leg.
-    und = bounded_persist(und, "graph_analytics.triangle_und")
+    und = bounded_persist(und, "graph_analytics.triangle_und", key=(sf_dir,))
     return (
         triangles(und)
         .select(F.explode(F.array("ta", "tb", "tc")).alias("node"))

@@ -277,7 +277,9 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern (the relation is (id, 64 longs): a fraction of the raw
     # corpus, MEMORY_AND_DISK spills if it ever outgrows memory).
     vecs = bounded_persist(
-        emb.select("vec_id", _iv(F.col("embedding")).alias("iv")), "llm_cluster.kmeans_vecs"
+        emb.select("vec_id", _iv(F.col("embedding")).alias("iv")),
+        "llm_cluster.kmeans_vecs",
+        key=(sf_dir,),
     )
     seeds = (
         vecs.orderBy("vec_id")

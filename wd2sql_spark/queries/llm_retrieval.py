@@ -271,6 +271,7 @@ def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("term") == F.col("t2"))
         ),
         "llm_retrieval.phrase_filt",
+        key=(sf_dir,),
     )
     leg0 = filt.filter(F.col("term") == F.col("t0"))
     rest = filt.filter(

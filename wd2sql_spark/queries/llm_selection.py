@@ -529,7 +529,7 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     edges = (
-        D.jaccard_pairs(docs, n=3, max_doc_freq=MAX_SHINGLE_DF)
+        D.jaccard_pairs(docs, n=3, max_doc_freq=MAX_SHINGLE_DF, cache_key=sf_dir)
         .filter(F.col("jaccard") >= JACCARD_EDGE_MIN)
         .select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
     )
@@ -683,7 +683,7 @@ def pairs_contrastive_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     pairs = (
-        D.jaccard_pairs(docs, n=3, max_doc_freq=MAX_SHINGLE_DF)
+        D.jaccard_pairs(docs, n=3, max_doc_freq=MAX_SHINGLE_DF, cache_key=sf_dir)
         .filter(F.col("jaccard") >= PAIR_J_MIN)
         .select(
             F.col("d1").alias("anchor_id"),
@@ -691,7 +691,7 @@ def pairs_contrastive_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jaccard", 6).alias("jaccard"),
         )
     )
-    pairs = bounded_persist(pairs, "llm_selection.contrastive_pairs")
+    pairs = bounded_persist(pairs, "llm_selection.contrastive_pairs", key=(sf_dir,))
     sym = pairs.select(
         F.col("anchor_id").alias("a"), F.col("positive_id").alias("b")
     ).unionAll(

@@ -1101,7 +1101,10 @@ ORDER BY id_a, id_b
 """
 
 
-@query("sim_jl_projection_audit", oracle=JL_ORACLE, category="llm-similarity")
+# plan_cached: the 64x32 md5-derived sign matrix inlines as ~2k literal
+# expressions - construction measured 1.37 s vs 0.70 s execution; the
+# plan is fully lazy, so memoizing it hides no work.
+@query("sim_jl_projection_audit", oracle=JL_ORACLE, category="llm-similarity", plan_cached=True)
 def sim_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss random projection 64→32 dims with a
     distance-preservation audit: every sampled pair's squared distance in

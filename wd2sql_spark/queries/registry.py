@@ -148,7 +148,7 @@ _PRIORITY = (
     "join_basket_cooccurrence",
     "dedup_substring_spans",
     # (b) implementation changed in r7 (knob caching, band coupling,
-    # plan_cached codec, HLL split-join, dropped cosmetic sort)
+    # plan_cached codec/simhash/jl, HLL split-join, keyed persists)
     "dedup_simhash",
     "sim_cosine_near_dup",
     "multimodal_phash_near_dup",
@@ -199,12 +199,12 @@ _PRIORITY = (
     "agg_pricing_summary",
     "agg_promo_revenue_ratio",
     "curation_pipeline_decontam",
+    "funnel_view_click_purchase",
+    "graph_pagerank_iter",
     "join_market_share",
     "join_nation_pair_volume",
     "join_profit_by_nation_year",
     "join_skew_salted",
-    "layout_hilbert_locality",
-    "mix_temperature_sampling",
 )
 
 

@@ -164,7 +164,7 @@ def sessionize_gap30m_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the physical plan recomputes the fact-sized scan→window→
     # partial pipeline once per consumer (measured 2x the whole operator's
     # cost). The cached relation is one small row per session-bucket.
-    part = bounded_persist(part, "sessionization.skewsafe_part")
+    part = bounded_persist(part, "sessionization.skewsafe_part", key=(sf_dir,))
     wday = Window.partitionBy("user_id").orderBy("day")
     bucket = (
         part.groupBy("user_id", "day")
