@@ -1,41 +1,50 @@
-"""Emit the driver-priority prefix: queries changed since their last
-driver attestation (VERDICT r6 task #2).
+"""Emit the driver-priority prefix: queries whose COMPUTATION changed since
+their last driver attestation (VERDICT r6 task #2, narrowed per r7 task #2).
 
 The grading driver's per-round correctness run is capped (~50 registry
 entries), so ``registry._PRIORITY`` decides which queries get a fresh
-CORRECTNESS row each round. Round 6 showed the failure mode of hand-curating
-that list: two queries REWRITTEN in r6 (``join_basket_cooccurrence``,
-``dedup_substring_spans``) kept r4/r5 attestation rows because the list
-rotated stalest-first instead of changed-first. This tool mechanizes the
-rule the verdict asked for: **any query whose defining module — or any
-wd2sql_spark module that module (transitively) imports — changed in git
-after the query's latest driver CORRECTNESS row must run first.**
+CORRECTNESS row each round. Two generations of this tool:
 
-Granularity is the MODULE, not the function: a query's semantics live
-partly in the operator layer (r7 example: ``dedup_simhash``'s banding knob
-is computed in ``operators/dedup.py``, two modules away from its
-``@query`` site), so the import closure is the honest change scope. Pure
-plumbing modules that never carry query semantics (session bootstrap,
-caches, the registry itself) are excluded to keep the closure from
-flagging the whole registry on an infra touch; ``_determinism`` and every
-operator/ETL/sink module stay in scope.
+- r7 (timestamps): flag any query whose defining module — or any
+  wd2sql_spark module in its transitive import closure — has a git change
+  newer than the CORRECTNESS file holding the query's latest row. Sound but
+  coarse: one ``operators/dedup.py`` touch flagged ~40 queries whose plans
+  never moved, overflowing the driver cap (81 flagged at r7 end).
+- r8 (plan fingerprints, this version): flag on ``tools/plan_fp.py``'s
+  fingerprint — canonicalized optimized plan + output schema + scanned
+  inputs + oracle SQL + Python-eval-module ASTs — compared against the
+  snapshot recorded at the query's latest attestation
+  (``tools/plan_fps.json``). A comment-only or unrelated-query edit moves
+  no fingerprint and flags nothing; a banding-knob change moves the literal
+  in every consumer's plan and flags exactly the consumers
+  (tests/test_priority.py proves both). Queries with no snapshot entry for
+  their latest attestation fall back to the r7 timestamp rule until their
+  next attestation records one.
 
-Timestamps come from git: a module's change time is its last commit touch
-(working-tree-dirty counts as "changed now"); a query's attestation time is
-the commit touch of the CORRECTNESS_r{N}.json holding its latest row.
-Never-attested queries are always flagged.
+Round-start ritual (run BEFORE touching any code, right after the driver's
+artifact commit lands):
+
+    python tools/gen_priority.py --refresh   # snapshot fps for newly
+                                             # attested queries (valid
+                                             # because the working tree IS
+                                             # the tree the driver ran)
+    python tools/gen_priority.py             # then rebuild _PRIORITY's
+                                             # head from this output
+
+Timestamps (fallback path only) come from git; an UNTRACKED artifact or
+module uses its mtime, so the judged-but-uncommitted window between the
+driver writing CORRECTNESS_r{N}.json and the artifact commit cannot fail a
+fresh checkout (VERDICT r7 "what's wrong" #1).
 
 Usage:
-    python tools/gen_priority.py            # print flagged names, one/line
-    python tools/gen_priority.py --explain  # with module + round evidence
-
-``tests/test_priority.py`` fails if a flagged query is missing from the
-front of ``registry._PRIORITY``, so a mid-round module edit forces the
-priority list (and hence the next driver run) to cover it.
+    python tools/gen_priority.py             # print flagged names, one/line
+    python tools/gen_priority.py --explain   # with evidence
+    python tools/gen_priority.py --refresh   # update tools/plan_fps.json
 """
 
 from __future__ import annotations
 
+import ast
 import glob
 import json
 import os
@@ -45,6 +54,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = os.path.join(REPO, "wd2sql_spark")
+SNAPSHOT = os.path.join(REPO, "tools", "plan_fps.json")
 
 # Modules that carry no query semantics: a change here must be covered by
 # the test battery / oracle sweeps, not by burning the driver's capped
@@ -58,14 +68,8 @@ INFRA = {
     "wd2sql_spark",
 }
 
-_IMPORT_RE = re.compile(
-    r"^\s*(?:from\s+(wd2sql_spark(?:\.\w+)*)\s+import\s+([\w, ]+)"
-    r"|import\s+(wd2sql_spark(?:\.\w+)*))",
-    re.M,
-)
 
-
-def _module_file(mod: str) -> str | None:
+def module_file(mod: str) -> str | None:
     path = os.path.join(REPO, *mod.split(".")) + ".py"
     if os.path.exists(path):
         return path
@@ -74,64 +78,84 @@ def _module_file(mod: str) -> str | None:
 
 
 def _imports_of(mod: str) -> set[str]:
-    """wd2sql_spark modules imported by ``mod`` — module-level AND
-    function-local imports (several queries import the operator layer
-    inside the function body)."""
-    path = _module_file(mod)
+    """wd2sql_spark modules imported by ``mod``, via the stdlib ``ast``
+    walk (ADVICE r7: the old line-regex missed parenthesized multi-line
+    ``from x import (a,\\n b)`` forms, silently dropping closure edges).
+    Function-local imports are included — several queries import the
+    operator layer inside the function body."""
+    path = module_file(mod)
     if path is None:
         return set()
     with open(path) as f:
         src = f.read()
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return set()
     out: set[str] = set()
-    for m in _IMPORT_RE.finditer(src):
-        if m.group(3):
-            out.add(m.group(3))
-        elif m.group(1):
-            base = m.group(1)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.startswith("wd2sql_spark"):
+                    out.add(alias.name)
+        elif isinstance(node, ast.ImportFrom) and node.module:
+            base = node.module
+            if node.level:  # relative import: resolve against this package
+                pkg_parts = mod.split(".")[: -node.level]
+                base = ".".join(pkg_parts + [node.module])
+            if not base.startswith("wd2sql_spark"):
+                continue
             out.add(base)
             # `from wd2sql_spark.operators import dedup as D` imports a
             # MODULE under the package: resolve each name to a module if
-            # one exists (names that are functions/classes resolve to None
-            # and are skipped).
-            for name in m.group(2).split(","):
-                name = name.strip().split(" as ")[0].strip()
-                if name and _module_file(f"{base}.{name}"):
-                    out.add(f"{base}.{name}")
+            # one exists (function/class names resolve to None, skipped).
+            for alias in node.names:
+                if module_file(f"{base}.{alias.name}"):
+                    out.add(f"{base}.{alias.name}")
     return out
 
 
-def _closure(mod: str, cache: dict[str, set[str]]) -> set[str]:
+def closure_of(mod: str, cache: dict[str, set[str]]) -> set[str]:
+    """Transitive non-infra import closure, BFS so a module participating
+    in an import cycle still gets its complete closure (ADVICE r7: the old
+    recursive memo cached a cycle member's partial set)."""
     if mod in cache:
         return cache[mod]
-    cache[mod] = set()  # cycle guard
     seen = {mod}
-    for dep in _imports_of(mod):
-        if dep in INFRA:
-            continue
-        seen |= _closure(dep, cache)
+    stack = [mod]
+    while stack:
+        for dep in _imports_of(stack.pop()):
+            if dep not in INFRA and dep not in seen:
+                seen.add(dep)
+                stack.append(dep)
     cache[mod] = seen
     return seen
 
 
 def _git_ts(path: str) -> int:
-    """Last commit touch of ``path``; a dirty working tree counts as
-    changed-now (the edit WILL be part of the round the driver grades)."""
+    """Last commit touch of ``path``. A dirty TRACKED file counts as
+    changed-now (the edit WILL be part of the round the driver grades); an
+    untracked file uses its mtime — the driver's CORRECTNESS_r{N}.json is
+    written (and judged) before the artifact commit lands, and that window
+    must not flag freshly-attested queries on a fresh checkout."""
     rel = os.path.relpath(path, REPO)
     dirty = subprocess.run(
         ["git", "status", "--porcelain", "--", rel],
         cwd=REPO, capture_output=True, text=True,
     ).stdout.strip()
+    if dirty.startswith("??"):
+        return int(os.path.getmtime(path))
     if dirty:
         return 2**62
     out = subprocess.run(
         ["git", "log", "-1", "--format=%ct", "--", rel],
         cwd=REPO, capture_output=True, text=True,
     ).stdout.strip()
-    return int(out) if out else 2**62  # untracked new module → changed-now
+    return int(out) if out else int(os.path.getmtime(path))
 
 
-def _attestations() -> dict[str, tuple[int, int]]:
-    """query name → (latest round with a driver row, that file's git ts)."""
+def attestations() -> dict[str, tuple[int, int]]:
+    """query name → (latest round with a driver row, that file's ts)."""
     latest: dict[str, tuple[int, int]] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -147,18 +171,9 @@ def _attestations() -> dict[str, tuple[int, int]]:
     return latest
 
 
-def flagged_queries() -> list[dict]:
-    """Queries whose change closure postdates their attestation, sorted
-    stalest-attestation-first (never-attested first of all)."""
-    sys.path.insert(0, REPO)
-    from wd2sql_spark.queries import load_all_modules
-    from wd2sql_spark.queries.registry import REGISTRY
-
-    load_all_modules()
-    attested = _attestations()
-
-    # name → defining module: the registry's fn may be a plan_cached
-    # wrapper defined in registry.py, so locate the @query("name" site.
+def defining_modules() -> dict[str, str]:
+    """query name → module holding its @query site (the registry's fn may
+    be a plan_cached wrapper defined in registry.py)."""
     defmod: dict[str, str] = {}
     for path in glob.glob(os.path.join(PKG, "queries", "*.py")):
         with open(path) as f:
@@ -166,40 +181,123 @@ def flagged_queries() -> list[dict]:
         mod = "wd2sql_spark.queries." + os.path.splitext(os.path.basename(path))[0]
         for m in re.finditer(r"@query\(\s*['\"]([a-z0-9_]+)['\"]", src):
             defmod[m.group(1)] = mod
+    return defmod
+
+
+def load_snapshot() -> dict[str, dict]:
+    if not os.path.exists(SNAPSHOT):
+        return {}
+    with open(SNAPSHOT) as f:
+        return json.load(f)
+
+
+def flagged_queries(current_fps: dict[str, str] | None = None) -> list[dict]:
+    """Queries needing a fresh driver row, stalest-attestation-first
+    (never-attested first of all).
+
+    ``current_fps``: precomputed ``tools/plan_fp.py`` fingerprints. When
+    omitted, a SparkSession is created lazily only if some query actually
+    has a snapshot entry to compare against (fallback-path queries never
+    need one).
+    """
+    sys.path.insert(0, REPO)
+    from wd2sql_spark.queries import load_all_modules
+    from wd2sql_spark.queries.registry import REGISTRY
+
+    load_all_modules()
+    attested = attestations()
+    snapshot = load_snapshot()
+    defmod = defining_modules()
+
+    # Which names can use the fingerprint path: snapshot round == latest
+    # attested round (the fp was recorded against the tree that attestation
+    # graded). A stale snapshot (older round) means the ritual was skipped;
+    # fall back to timestamps until --refresh runs.
+    fp_names = {
+        n for n, att in attested.items()
+        if n in snapshot and snapshot[n]["round"] == att[0] and n in REGISTRY
+    }
+    if fp_names and current_fps is None:
+        from tools.plan_fp import compute_fps
+        from wd2sql_spark.session import get_spark
+
+        current_fps = compute_fps(get_spark("gen-priority"), sorted(fp_names))
+    current_fps = current_fps or {}
 
     cache: dict[str, set[str]] = {}
     ts_cache: dict[str, int] = {}
 
     def mod_ts(mod: str) -> int:
         if mod not in ts_cache:
-            path = _module_file(mod)
+            path = module_file(mod)
             ts_cache[mod] = _git_ts(path) if path else 0
         return ts_cache[mod]
 
     out = []
     for name in REGISTRY:
+        att = attested.get(name)
+        if att is None:
+            out.append({"name": name, "round": -1, "why": "never attested"})
+            continue
+        if name in fp_names and name in current_fps:
+            if current_fps[name] != snapshot[name]["fp"]:
+                out.append(
+                    {
+                        "name": name,
+                        "round": att[0],
+                        "why": f"plan fingerprint moved since r{att[0]} attestation",
+                    }
+                )
+            continue
         mod = defmod.get(name)
         if mod is None:
             out.append({"name": name, "round": -1, "why": "no @query site found"})
             continue
-        att = attested.get(name)
-        scope = _closure(mod, cache)
+        scope = closure_of(mod, cache)
         newest_mod = max(scope, key=mod_ts)
-        if att is None:
-            out.append({"name": name, "round": -1, "why": "never attested"})
-        elif mod_ts(newest_mod) > att[1]:
+        if mod_ts(newest_mod) > att[1]:
             out.append(
                 {
                     "name": name,
                     "round": att[0],
-                    "why": f"{newest_mod} changed after r{att[0]} attestation",
+                    "why": f"{newest_mod} changed after r{att[0]} attestation "
+                    "(no fp snapshot — timestamp fallback)",
                 }
             )
     out.sort(key=lambda d: (d["round"], d["name"]))
     return out
 
 
+def refresh_snapshot() -> dict[str, dict]:
+    """Record fingerprints for queries attested in a round newer than
+    their snapshot entry. ONLY valid when the working tree's query code is
+    the tree the driver graded (i.e. at round start, before editing)."""
+    sys.path.insert(0, REPO)
+    from tools.plan_fp import compute_fps
+    from wd2sql_spark.session import get_spark
+
+    attested = attestations()
+    snapshot = load_snapshot()
+    todo = sorted(
+        n for n, att in attested.items()
+        if n not in snapshot or snapshot[n]["round"] < att[0]
+    )
+    if todo:
+        fps = compute_fps(get_spark("gen-priority-refresh"), todo)
+        for n in todo:
+            if n in fps:
+                snapshot[n] = {"fp": fps[n], "round": attested[n][0]}
+        with open(SNAPSHOT, "w") as f:
+            json.dump(snapshot, f, indent=1, sort_keys=True)
+            f.write("\n")
+    print(f"refreshed {len(todo)} snapshot entries → {SNAPSHOT}", file=sys.stderr)
+    return snapshot
+
+
 if __name__ == "__main__":
+    if "--refresh" in sys.argv:
+        refresh_snapshot()
+        sys.exit(0)
     explain = "--explain" in sys.argv
     for row in flagged_queries():
         if explain:

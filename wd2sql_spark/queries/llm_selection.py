@@ -563,14 +563,17 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split1") != F.col("split2"))
         .agg(F.count(F.lit(1)).alias("cross_pairs"))
     )
-    grp_w = Window.partitionBy("group_id")
-    sized = splits.withColumn("grp_n", F.count(F.lit(1)).over(grp_w))
-    per = sized.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.count_distinct("group_id").alias("n_groups"),
-        F.count_distinct(
-            F.when(F.col("grp_n") >= 2, F.col("group_id"))
-        ).alias("n_multi_groups"),
+    # A group's split is a function of its group_id, so the group-size
+    # window + two count_distincts (an Expand tripling the shuffle, and a
+    # nondeterministic gid lane order) collapse into one aggregate per
+    # (split, group_id) followed by a ~|groups|-row rollup.
+    per_grp = splits.groupBy("split", "group_id").agg(
+        F.count(F.lit(1)).alias("grp_n")
+    )
+    per = per_grp.groupBy("split").agg(
+        F.sum("grp_n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("grp_n") >= 2).cast("long")).alias("n_multi_groups"),
     )
     return (
         per.crossJoin(F.broadcast(leak))

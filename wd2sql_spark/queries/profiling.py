@@ -60,35 +60,32 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     as exact dedup; md5 is bit-identical in both engines so the oracle
     can mirror it textually).
 
-    Plan shape: Spark rewrites the multi-column DISTINCT into one
-    Expand(×5 columns) + two-level hash aggregate — a single pass over
-    the scan with data replicated once per profiled column. That exact
-    form is the right default up to tens of columns; at 100 TB with wide
-    schemas, swap `count_distinct` for `approx_count_distinct` per
-    column: the Expand disappears into mergeable HLL sketches with no
-    replication (the battery verifies that operator separately in
+    Plan shape: `stack` unpivots the scan to (col_name, digest) — one
+    pass, data replicated once per profiled column, exactly what the
+    multi-column-DISTINCT Expand would have done — then ONE grouped
+    single-distinct aggregate profiles every column. Single-distinct
+    matters twice: Spark plans it as a plain two-level aggregate (no
+    RewriteDistinctAggregates Expand, whose gid lane order is
+    nondeterministic run-to-run), and at 100 TB with wide schemas the
+    same shape degrades gracefully — swap `count_distinct` for
+    `approx_count_distinct` and the (col_name, digest) shuffle collapses
+    into mergeable HLL sketches (verified separately in
     `agg_approx_count_distinct` — kept exact HERE so the driver hash is
-    engine-portable). The single output row is then unpivoted by a
-    zero-shuffle `stack`.
+    engine-portable).
     """
     d = table(spark, sf_dir, "documents")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in _PROFILE_COLS:
-        aggs.append((F.count(F.lit(1)) - F.count(F.col(c))).alias(f"nn_{c}"))
-        aggs.append(
-            F.count_distinct(F.md5(F.col(c).cast("string"))).alias(f"nd_{c}")
-        )
-    one = d.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS
+        f"'{c}', md5(cast({c} AS string))" for c in _PROFILE_COLS
+    )
+    pairs = d.select(
+        F.expr(f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col_name, digest)")
     )
     return (
-        one.select(
-            "n_rows",
-            F.expr(
-                f"stack({len(_PROFILE_COLS)}, {stack_args}) "
-                "AS (col_name, n_null, n_distinct)"
-            ),
+        pairs.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("digest")).alias("n_null"),
+            F.count_distinct("digest").alias("n_distinct"),
         )
         .select("col_name", "n_rows", "n_null", "n_distinct")
         .orderBy("col_name")

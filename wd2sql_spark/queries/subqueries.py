@@ -240,27 +240,33 @@ def subq_sole_fault_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The two correlated subqueries — EXISTS (another supplier in the
     order) and NOT EXISTS (another supplier ALSO at fault) — decorrelate
-    into ONE grouped aggregate over the fact: per order, the distinct
-    supplier count and the distinct at-fault supplier count. The pair of
-    conditions becomes ``n_supp >= 2 AND n_fault_supp = 1``, turning two
-    correlated re-scans of lineitem into a single shuffle on l_orderkey
-    that the main join reuses. At 100 TB this is the difference between
-    one pass and three."""
+    into ONE grouped aggregate over ONE lineitem scan: per order,
+    ``size(collect_set(suppkey))`` and ``size(collect_set(at-fault
+    suppkey))`` — supplier sets per order are tiny (≤7 lines) and merge
+    associatively, so the map side partial-merges and the fact shuffles
+    ONCE, already order-collapsed. No ``count_distinct`` anywhere, so no
+    distinct-Expand doubling the shuffle (the r7 form's pair of
+    count_distincts was both the bench-worst 2.1 s and — via the
+    RewriteDistinctAggregates gid lanes — a source of run-to-run plan
+    nondeterminism). When ``n_fault_supp = 1`` the sole fault supplier is
+    recoverable as ``max(at-fault suppkey)`` in the SAME aggregate, which
+    deletes the old faults-side self-join entirely: each surviving row IS
+    one waiting order, so the final per-supplier count needs no distinct
+    either. At 100 TB: one fact pass, one fact-sized shuffle, one
+    broadcast, one ~|suppliers|-row rollup."""
     l = table(spark, sf_dir, "lineitem")
+    fault_sk = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
     ord_stats = l.groupBy("l_orderkey").agg(
-        F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_fault_supp"),
+        F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+        F.size(F.collect_set(fault_sk)).alias("n_fault_supp"),
+        F.max(fault_sk).alias("fault_suppkey"),
     )
-    faults = l.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
     s = table(spark, sf_dir, "supplier")
     return (
-        faults.join(ord_stats, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_fault_supp") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        ord_stats.filter((F.col("n_supp") >= 2) & (F.col("n_fault_supp") == 1))
+        .join(F.broadcast(s), F.col("fault_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count_distinct(F.col("l_orderkey")).cast("bigint").alias("numwait"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
