@@ -640,6 +640,94 @@ def bench_admission(
         shutil.rmtree(store, ignore_errors=True)
 
 
+def bench_probe_latency(
+    spark: SparkSession,
+    store_scales: tuple[int, ...] = (4, 64, 256),
+    delta_docs: int = 5000,
+) -> dict:
+    """The admission READ half vs store size (VERDICT r7 task #7): the
+    r7 rung proved APPEND cost flat as the store grows; this measures the
+    incremental PROBE — one fixed ~5 k-doc delta banded once, joined
+    (delta broadcast) against stores built from 4×/64×/256× corpora
+    (≈20 k → 1.28 M docs ≈ 76 k → 4.9 M band rows). The probe plan never
+    reshuffles the store: band-partitioned scan, broadcast-hash join on
+    (band, band_key), row-local Jaccard estimate — so latency should
+    track the store SCAN, sublinearly in rows (e ≤ ~0.1 would read
+    "probe cost is delta-bound, store-size-insensitive at this range";
+    the honest expectation is scan-linear growth in the scan term with a
+    large fixed component)."""
+    import shutil
+    import tempfile
+
+    from wd2sql_spark.catalog import table
+    from wd2sql_spark.operators.dedup import (
+        incremental_index_probe,
+        minhash_band_index,
+    )
+    from wd2sql_spark.sinks.lsh_store import _layout, read_lsh_store
+
+    # fixed delta from the BASE fixture (store-scale-independent)
+    base_docs = table(spark, BASE, "documents").select("doc_id", "text")
+    n_base = base_docs.count()
+    mod = max(1, n_base // delta_docs)
+    delta = base_docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(mod)) == 0)
+    delta_idx = minhash_band_index(delta).persist()
+    n_delta = delta_idx.select("doc_id").distinct().count()  # materialize
+
+    rungs: list[dict] = []
+    for n in store_scales:
+        d = os.path.join(OUT_ROOT, f"x{n}docs")
+        marker = os.path.join(d, "_DONE")
+        if not os.path.exists(marker):
+            t0 = time.perf_counter()
+            generate(spark, d, n, tables=("documents", "embeddings"))
+            with open(marker, "w") as fh:
+                fh.write("ok\n")
+            print(f"[gen] x{n}: {time.perf_counter() - t0:.1f}s", flush=True)
+        docs = table(spark, d, "documents").select("doc_id", "text")
+        store = tempfile.mkdtemp(prefix=f"probe-store-x{n}-")
+        try:
+            t0 = time.perf_counter()
+            _layout(minhash_band_index(docs)).write.mode("overwrite").partitionBy(
+                "band"
+            ).parquet(f"{store}/bands")
+            build_s = time.perf_counter() - t0
+            stored = read_lsh_store(spark, store)
+            store_rows = stored.count()
+            probe = lambda: incremental_index_probe(  # noqa: E731
+                stored, delta_idx, min_est_jaccard=0.5
+            ).count()
+            matches = probe()  # cold: codegen + footer caches
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                probe()
+                best = min(best, time.perf_counter() - t0)
+            rungs.append(
+                {
+                    "store_scale": n,
+                    "store_docs": docs.count(),
+                    "store_band_rows": store_rows,
+                    "store_build_s": round(build_s, 1),
+                    "delta_docs": n_delta,
+                    "probe_matches": matches,
+                    "probe_warm_s": round(best, 3),
+                }
+            )
+            print(f"[probe] {rungs[-1]}", flush=True)
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+    delta_idx.unpersist()
+    out: dict = {"rungs": rungs}
+    if len(rungs) >= 2 and rungs[-2]["probe_warm_s"] > 0:
+        e = math.log(rungs[-1]["probe_warm_s"] / rungs[-2]["probe_warm_s"]) / math.log(
+            rungs[-1]["store_band_rows"] / rungs[-2]["store_band_rows"]
+        )
+        out["probe_exponent_last_step"] = round(e, 3)
+        print(f"[probe] e(store rows, last step) = {e:.3f}", flush=True)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,8,64")
@@ -652,6 +740,7 @@ def main() -> None:
     ap.add_argument("--knob-only", action="store_true", help="auto-banding rungs incl. 256x docs")
     ap.add_argument("--extras-only", action="store_true", help="docs-only rungs for --queries with output-row accounting")
     ap.add_argument("--admission-only", action="store_true", help="admission write loop to a 256x store with compaction")
+    ap.add_argument("--probe-only", action="store_true", help="incremental probe latency vs store size (4x/64x/256x)")
     ap.add_argument("--etl-cores-only", action="store_true", help="ETL MB/s at local[8/16/32]")
     ap.add_argument("--json-out", default="/tmp/scale/results.json")
     args = ap.parse_args()
@@ -695,6 +784,14 @@ def main() -> None:
     if args.extras_only:
         res = bench_extras(spark, names)
         path = args.json_out.replace(".json", "-extras.json")
+        with open(path, "w") as fh:
+            json.dump(res, fh, indent=2)
+        print(f"[done] wrote {path}", flush=True)
+        return
+
+    if args.probe_only:
+        res = bench_probe_latency(spark)
+        path = args.json_out.replace(".json", "-probe.json")
         with open(path, "w") as fh:
             json.dump(res, fh, indent=2)
         print(f"[done] wrote {path}", flush=True)

@@ -129,82 +129,73 @@ def query(
 
 # Within the module order above, hand-pick the front of the line for the
 # driver's capped (~50-entry) run. Since r7 this list is MECHANIZED
-# (VERDICT r6 task #2): ``python tools/gen_priority.py`` flags every query
-# whose defining module — or any non-infra wd2sql_spark module in that
-# module's import closure — changed in git after the query's latest driver
-# CORRECTNESS row, sorted stalest-attestation-first;
+# (VERDICT r6 task #2); since r8 the flag is the PLAN FINGERPRINT
+# (VERDICT r7 task #2): ``python tools/gen_priority.py`` flags a query
+# only when its ``tools/plan_fp.py`` fingerprint (optimized plan + schema
+# + oracle + Python-eval-module ASTs) differs from the snapshot recorded
+# at its latest driver attestation (``tools/plan_fps.json``).
 # ``tests/test_priority.py`` fails if the flagged set isn't front-loaded
-# here. Round 7 layout: (a0) r7's two NEW queries, (a) the two r6
-# REWRITES the r6 rotation missed (verdict-named), (b) this round's
-# implementation-changed six, then (c) the tool's stalest-first order
-# until the ~50-slot cap; the flagged queue past the cap carries to r8
-# (the tool keeps flagging a query until a driver row postdates the
-# module change).
+# here. Round 8 layout: (a) the 13 fingerprint-flagged — the r7 81-query
+# timestamp backlog was settled by computing fingerprints in worktrees of
+# each round's attested tree: 70 of 81 are bit-identical to their
+# attestation (old rows stand), 11 genuinely moved (the r7 multimodal
+# codec arm, stream closures, two r7 module edits), plus this round's
+# two rewrites; then (b) stalest-attested padding (r3/r4 rows) to fill
+# the ~50-slot cap.
 _PRIORITY = (
-    # (a0) NEW in r7 — first driver rows (truecolor PNG + luma aHash)
-    "multimodal_truecolor_codec_stats",
-    "multimodal_luma_phash",
-    # (a) rewritten in r6, latest driver rows r4/r5 (verdict-named)
-    "join_basket_cooccurrence",
-    "dedup_substring_spans",
-    # (b) implementation changed in r7 (knob caching, band coupling,
-    # plan_cached codec/simhash/jl, HLL split-join, keyed persists)
-    "dedup_simhash",
-    "sim_cosine_near_dup",
-    "multimodal_phash_near_dup",
-    "wd_id_codec",
-    "agg_approx_count_distinct",
-    "scalar_math_fns",
-    # (c) tools/gen_priority.py order (stalest driver row first); the
-    # flagged queue past the ~50 driver cap carries to r8
-    "wd_etl_time",
-    "agg_hll_sketch_rollup",
-    "agg_percentiles_doc_length",
-    "anomaly_zscore_by_type",
-    "chunk_docs_overlap",
-    "decontam_ngram_overlap",
-    "dedup_canonical_pick",
-    "dedup_cluster_components",
-    "dedup_incremental_delta",
-    "gapfill_daily_purchases",
-    "graph_triangle_count",
-    "ids_contiguous_global",
-    "layout_zorder_skipping",
-    "mix_domain_weights",
-    "pack_sequences_bins",
-    "profile_column_stats",
-    "profile_ks_drift",
-    "quality_segment_dedup_rebuild",
-    "retention_daily_cohorts",
-    "retrieval_hybrid_rrf",
-    "sample_stratified_by_lang",
-    "sample_weighted_by_length",
-    "scalar_array_fns",
-    "scrub_pii_stats",
-    "seq_error_then_purchase",
-    "sessionize_gap30m",
-    "sim_jl_projection_audit",
-    "sim_lsh_recall_audit",
-    "sim_lsh_topk",
-    "stream_dedup_within_watermark",
-    "stream_interval_join",
-    "stream_session_windows",
-    "stream_sliding_counts",
-    "stream_stateful_streaks",
-    "stream_tumbling_counts",
-    "text_bpe_encode_stats",
-    "text_bpe_vocab_merges",
-    "ts_downsample_hourly",
-    "agg_customer_order_distribution",
-    "agg_pricing_summary",
-    "agg_promo_revenue_ratio",
+    # (a) fingerprint-flagged: plan/UDF-AST moved since latest attestation
+    "subq_sole_fault_suppliers",  # r8 rewrite: collect_set, Expand-free
+    "split_leakage_safe",  # r8 rewrite: per-group agg, Expand-free
+    "profile_column_stats",  # r8 rewrite: unpivot + single-distinct
     "curation_pipeline_decontam",
+    "stream_incremental_neardup",
+    "wd_query_conjunctive",
+    "multimodal_decode_stats",
+    "multimodal_frame_sample",
+    "multimodal_mixed_codec_stats",
+    "multimodal_resize_thumbs",
+    "stream_quality_filter",
+    "stream_static_enrich",
+    "stream_wd_etl_meta",
+    # (b) stalest driver row first (r3, then r4) — refresh old rows while
+    # the flagged queue fits the cap
+    "cdc_scd2_merge",
+    "inference_batch_scores",
+    "sketch_countmin_heavy_hitters",
+    "sketch_kll_quantile_rank",
+    "sketch_theta_retention_sets",
+    "text_bm25_topk",
+    "agg_forecast_revenue",
+    "agg_promo_revenue_ratio",
+    "agg_ship_priority_modes",
+    "agg_supplier_variety",
+    "flagship_semi_join_enrich",
     "funnel_view_click_purchase",
     "graph_pagerank_iter",
+    "join_asof_prior_view",
     "join_market_share",
     "join_nation_pair_volume",
     "join_profit_by_nation_year",
+    "join_range_clicks_after_error",
     "join_skew_salted",
+    "layout_hilbert_locality",
+    "mix_temperature_sampling",
+    "mix_token_budget_waterfill",
+    "pairs_contrastive_build",
+    "pivot_status_by_nation",
+    "profile_table_checksum",
+    "quality_charlm_score",
+    "retrieval_mmr_diversified",
+    "retrieval_phrase_match",
+    "sample_dsir_importance",
+    "scalar_json_fns",
+    "sessionize_gap30m_skewsafe",
+    "setop_integrity_audit",
+    "sim_int8_serving_topk",
+    "subq_excess_share_suppliers",
+    "subq_exists_late_ship",
+    "subq_important_supply_value",
+    "subq_min_cost_supplier",
 )
 
 
