@@ -302,6 +302,14 @@ def main() -> None:
                         "section wall times/worsts and trims fastest-first past "
                         "1900 bytes; per-query tpch22/streaming maps live here"
                     ),
+                    "union_accounting": (
+                        "per-query driver bench rows exist for every registered "
+                        "query across r1-r8 (warm headline, tpch22 map, or "
+                        "streaming_suite map) except dedup_admission_evolution, "
+                        "whose eager store-rebuild loop is metered in the "
+                        "streaming.admission section instead of a warm-latency "
+                        "row - a warm line would misread loop/IO as operator cost"
+                    ),
                     "load_sampling": (
                         "warm_samples/tpch22_samples record [seconds, loadavg1] "
                         "for EVERY warm sample (r7 task #3): a slow min-of-N under "
