@@ -103,6 +103,10 @@ def _canonical_plan(df) -> str:
     removed by positional renumbering.
     """
     s = df._jdf.queryExecution().optimizedPlan().toString()
+    # Repo-relative fixtures (the wikidata dump) print absolute FileScan
+    # locations; the fp must not depend on WHERE the tree is checked out
+    # (fingerprints are compared across worktrees of different rounds).
+    s = s.replace(REPO, "<repo>")
     s = _PLAN_ID.sub("plan_id=#", s)
     s = _UUID.sub("<uuid>", s)
     s = _LAMBDA_VAR.sub(r"\1_##", s)

@@ -156,6 +156,12 @@ _PRIORITY = (
     "multimodal_frame_sample",
     "multimodal_mixed_codec_stats",
     "multimodal_resize_thumbs",
+    # flagged by the r8 JPEG addition itself: operators/multimodal.py is
+    # a Python-eval module in their closure, so its AST hash moving
+    # (new codec factory) correctly demands fresh rows
+    "multimodal_luma_phash",
+    "multimodal_phash_near_dup",
+    "multimodal_truecolor_codec_stats",
     "stream_quality_filter",
     "stream_static_enrich",
     "stream_wd_etl_meta",
