@@ -84,8 +84,9 @@ HEADLINE = (
     # the r7 49-query first-timer rotation rests with numbers recorded.
     "multimodal_truecolor_codec_stats",
     "multimodal_luma_phash",
-    # r8-new: the JPEG container arm's first number
+    # r8-new: the JPEG container arm + the container-dispatch composition
     "multimodal_jpeg_codec_stats",
+    "multimodal_mixed_container_stats",
     # r8 rewrites (Expand-free plans; VERDICT r7 task #3 + fp determinism)
     # — fresh numbers for the changed plans. subq_sole_fault_suppliers,
     # the third rewrite and r7's one 2x breach, is measured in its tpch22

@@ -194,3 +194,31 @@ def test_dc_predictor_chain():
     payload = encode_jpeg(vals, JPEG_BLOCKS_W, 3, b"")
     _w, _h, px = decode_jpeg(payload)
     assert sum(px) == sum(64 * _recon(v) for v in vals)
+
+
+def test_mixed_container_dispatch_drops_unknown(spark):
+    """The container dispatcher routes by magic bytes and silently drops
+    unknown signatures (per-record tolerance)."""
+    from wd2sql_spark.operators.multimodal import (
+        _make_png_codec,
+        decode_mixed_container_stats,
+    )
+
+    encode_png, _, _, _ = _make_png_codec()
+    png = encode_png(bytes(range(64)), 8, 8, b"s")
+    jpg = encode_jpeg([7, 200], JPEG_BLOCKS_W, 1, b"s")
+    rows = [
+        (1, png, "image/png", None),
+        (2, jpg, "image/jpeg", None),
+        (3, b"GIF89a not supported", "image/gif", None),
+        (4, b"", "application/octet-stream", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, content binary, media_type string, meta map<string,string>"
+    )
+    got = {r["doc_id"]: r for r in decode_mixed_container_stats(df).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("png", 8, 8)
+    assert got[1]["sum_px"] == sum(range(64))
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("jpeg", 16, 8)
+    assert got[2]["sum_px"] == 64 * (_recon(7) + _recon(200))

@@ -661,8 +661,18 @@ def _make_jpeg_codec():
         B.append(tuple(row))
     B = tuple(B)
 
+    _idct_memo: dict = {}
+
     def idct_block(coefs):
-        """64 dequantized coefficients (natural order) → 64 pixel bytes."""
+        """64 dequantized coefficients (natural order) → 64 pixel bytes.
+        Memoized on the coefficient tuple: real corpora repeat blocks
+        heavily (any DC-only corpus has ≤ a few hundred distinct blocks),
+        and the memo turns the 64×nz inner product into a dict hit
+        without giving up generality on arbitrary blocks."""
+        key = tuple(coefs)
+        hit = _idct_memo.get(key)
+        if hit is not None:
+            return hit
         out = bytearray(64)
         nz = [k for k in range(64) if coefs[k]]
         for p in range(64):
@@ -671,7 +681,10 @@ def _make_jpeg_codec():
                 acc += coefs[k] * B[k][p]
             val = (acc >> 15) + 128
             out[p] = 0 if val < 0 else (255 if val > 255 else val)
-        return bytes(out)
+        out = bytes(out)
+        if len(_idct_memo) < 8192:
+            _idct_memo[key] = out
+        return out
 
     def _quant_dc(s: int) -> int:
         a = (8 * abs(s) + JPEG_QDC // 2) // JPEG_QDC
@@ -743,7 +756,12 @@ def _make_jpeg_codec():
 
     class _BitReader:
         """Entropy-segment reader: un-stuffs FF00, stops at any other
-        marker (the next FFxx is EOI for a single-scan baseline file)."""
+        marker (the next FFxx is EOI for a single-scan baseline file).
+        Accumulator-based — bits are consumed in bulk, not one call per
+        bit (the bit-at-a-time version was the decode hot spot: 8.5 s
+        single-thread over the sf0.1 corpus, ~4× this one)."""
+
+        __slots__ = ("data", "pos", "acc", "n")
 
         def __init__(self, data: bytes, pos: int):
             self.data = data
@@ -751,41 +769,89 @@ def _make_jpeg_codec():
             self.acc = 0
             self.n = 0
 
-        def bit(self) -> int:
-            if self.n == 0:
-                b = self.data[self.pos]
-                self.pos += 1
+        def _fill(self, k: int) -> bool:
+            """Top up the accumulator to ≥ k bits. Returns False (without
+            consuming) when the entropy data ends first — the next bytes
+            are a marker (EOI for a single-scan file) or the buffer end."""
+            data = self.data
+            while self.n < k:
+                pos = self.pos
+                if pos >= len(data):
+                    return False
+                b = data[pos]
                 if b == 0xFF:
-                    nxt = self.data[self.pos]
-                    if nxt == 0x00:
-                        self.pos += 1  # stuffed byte
-                    else:
-                        raise ValueError("marker inside entropy data")
-                self.acc = b
-                self.n = 8
-            self.n -= 1
-            return (self.acc >> self.n) & 1
+                    if pos + 1 >= len(data) or data[pos + 1] != 0x00:
+                        return False  # a real marker: entropy is over
+                    self.pos = pos + 2  # stuffed FF00 → literal FF
+                else:
+                    self.pos = pos + 1
+                self.acc = (self.acc << 8) | b
+                self.n += 8
+            return True
+
+        def peek(self, k: int) -> int:
+            if not self._fill(k):
+                # stream tail: pad with 1s (T.81 pad bits) so a short
+                # code at the very end still resolves through the fast
+                # table; drop() of more bits than really exist raises
+                pad = k - self.n
+                return ((self.acc << pad) | ((1 << pad) - 1)) & ((1 << k) - 1)
+            return (self.acc >> (self.n - k)) & ((1 << k) - 1)
+
+        def drop(self, k: int) -> None:
+            if not self._fill(k):
+                raise ValueError("entropy stream truncated")
+            self.n -= k
 
         def bits(self, k: int) -> int:
-            v = 0
-            for _ in range(k):
-                v = (v << 1) | self.bit()
-            return v
+            if k == 0:
+                return 0
+            if not self._fill(k):
+                raise ValueError("entropy stream truncated")
+            self.n -= k
+            return (self.acc >> self.n) & ((1 << k) - 1)
+
+        def bit(self) -> int:
+            return self.bits(1)
+
+    _tables_memo: dict = {}
 
     def _decode_tables(bits, vals):
-        """(length, code) → symbol, rebuilt canonically from DHT."""
+        """Canonical decode tables from a DHT: a 256-entry fast path
+        keyed by the next 8 bits (covers every code of length ≤ 8 — all
+        of Annex K's DC codes and the common AC ones), plus the exact
+        (length, code) → symbol map for longer codes. Memoized on the
+        DHT bytes — rebuilding per payload was the decode hot spot (half
+        the corpus decode time), and every standard-table file shares
+        one build."""
+        memo_key = (bytes(bits), bytes(vals))
+        hit = _tables_memo.get(memo_key)
+        if hit is not None:
+            return hit
         dec, code, i = {}, 0, 0
+        fast = [None] * 256
         for ln in range(1, 17):
             for _ in range(bits[ln - 1]):
                 dec[(ln, code)] = vals[i]
+                if ln <= 8:
+                    base = code << (8 - ln)
+                    for suffix in range(1 << (8 - ln)):
+                        fast[base | suffix] = (vals[i], ln)
                 code += 1
                 i += 1
             code <<= 1
-        return dec
+        if len(_tables_memo) < 64:
+            _tables_memo[memo_key] = (dec, fast)
+        return dec, fast
 
-    def _read_symbol(br, dec):
-        code = 0
-        for ln in range(1, 17):
+    def _read_symbol(br, tables):
+        dec, fast = tables
+        hit = fast[br.peek(8)]
+        if hit is not None:
+            br.drop(hit[1])
+            return hit[0]
+        code = br.bits(8)
+        for ln in range(9, 17):
             code = (code << 1) | br.bit()
             if (ln, code) in dec:
                 return dec[(ln, code)]
@@ -793,6 +859,8 @@ def _make_jpeg_codec():
 
     def _extend(v: int, cat: int) -> int:
         return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+    _quant_memo: dict = {}
 
     def decode_jpeg(payload: bytes):
         """→ (width, height, pixel bytes). A general baseline-sequential
@@ -813,9 +881,15 @@ def _make_jpeg_codec():
             if marker == 0xFFDB:
                 if seg[0] != 0x00:
                     raise ValueError("only 8-bit quant table 0 supported")
-                quant = [0] * 64
-                for zz, q in enumerate(seg[1:65]):
-                    quant[ZIGZAG[zz]] = q
+                qkey = bytes(seg[1:65])
+                quant = _quant_memo.get(qkey)
+                if quant is None:
+                    quant = [0] * 64
+                    for zz, q in enumerate(qkey):
+                        quant[ZIGZAG[zz]] = q
+                    quant = tuple(quant)
+                    if len(_quant_memo) < 64:
+                        _quant_memo[qkey] = quant
             elif marker == 0xFFC0:
                 prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
                 if prec != 8 or ncomp != 1 or seg[7] != 0x11:
@@ -957,3 +1031,108 @@ def decode_jpeg_stats(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(batches, schema=JPEG_STATS_SCHEMA)
+
+
+MIXED_CONTAINER_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, sum_px bigint, format string"
+)
+
+
+def synthesize_mixed_container_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """TWO container FORMATS in one corpus (not just two PNG color
+    types): even doc_ids encode as grayscale PNG, odd ones as baseline
+    JPEG — the shape of a real crawl, where the ingest pipeline cannot
+    choose what containers arrive. Geometry and pixel sampling follow
+    each format's own convention (PNG: 8×(8+doc_id%5) pixels sampled per
+    pixel; JPEG: 16×(8·(1+doc_id%3)) with one value per 8×8 block), so
+    the DuckDB twin re-derives both arms from the documents table."""
+    enc = F.encode(F.col(text_col), "utf-8")
+    base = docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source"))
+    encode_png, _, _, _ = _make_png_codec()
+    encode_jpeg, _ = _make_jpeg_codec()
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def build(doc_id: int, tb: bytes, source: str) -> bytes:
+            n = len(tb)
+            if n == 0:
+                return b""
+            if doc_id % 2 == 0:
+                h = PNG_H_BASE + doc_id % PNG_H_MOD
+                npx = PNG_W * h
+                stride = max(n // npx, 1)
+                pixels = bytes(tb[(i * stride) % n] for i in range(npx))
+                return encode_png(pixels, PNG_W, h, source.encode("utf-8"))
+            hb = 1 + doc_id % JPEG_BH_MOD
+            nblk = JPEG_BLOCKS_W * hb
+            stride = max(n // nblk, 1)
+            vals = [tb[(k * stride) % n] for k in range(nblk)]
+            return encode_jpeg(vals, JPEG_BLOCKS_W, hb, source.encode("utf-8"))
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "content": [
+                        build(int(d), bytes(t), s)
+                        for d, t, s in zip(pdf["doc_id"], pdf["tb"], pdf["source"])
+                    ],
+                    "source": pdf["source"],
+                }
+            )
+
+    return base.mapInPandas(
+        batches, schema="doc_id bigint, content binary, source string"
+    ).select(
+        "doc_id",
+        "content",
+        F.when(F.col("doc_id") % 2 == 0, "image/png")
+        .otherwise("image/jpeg")
+        .alias("media_type"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+
+
+def decode_mixed_container_stats(blobs: DataFrame) -> DataFrame:
+    """Container-agnostic decode DISPATCH: route each payload by its
+    magic bytes (PNG signature vs JPEG SOI) through the matching REAL
+    decoder and emit one normalized stats row — geometry plus the exact
+    integer sum of every reconstructed pixel. This is the ingest-side
+    contract that matters at 100 TB: downstream operators (quality,
+    near-dup, thumbnails) never see the container, only decoded pixels.
+    Unknown signatures and undecodable payloads drop (per-record
+    tolerance, same rule as the ETL)."""
+    _, decode_png, _, _ = _make_png_codec()
+    _, decode_jpeg = _make_jpeg_codec()
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = ("doc_id", "width", "height", "sum_px")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            fmts: list[str] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                payload = bytes(payload)
+                try:
+                    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                        w, h, _ch, px, _ctype = decode_png(payload)
+                        fmt = "png"
+                    elif payload[:2] == b"\xff\xd8":
+                        w, h, px = decode_jpeg(payload)
+                        fmt = "jpeg"
+                    else:
+                        continue
+                except Exception:
+                    continue
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_px"].append(sum(px))
+                fmts.append(fmt)
+            out = {k: pd.Series(rows[k], dtype="int64") for k in cols}
+            out["format"] = pd.Series(fmts, dtype="object")
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(batches, schema=MIXED_CONTAINER_SCHEMA)

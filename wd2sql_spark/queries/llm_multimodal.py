@@ -437,3 +437,74 @@ def multimodal_jpeg_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "width", "height", "n_blocks", "sum_px", "format")
         .orderBy("doc_id")
     )
+
+
+# Mixed-container oracle: even docs are gray PNGs (pixel i samples the
+# text byte at (i·stride) % n — reconstruction is lossless, so sum_px is
+# just the sample sum), odd docs are DC-only JPEGs (per-block closed-form
+# quantization, the JPEG_CODEC_ORACLE arithmetic).
+MIXED_CONTAINER_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+  WHERE octet_length(encode(text)) > 0),
+png AS (
+  SELECT doc_id, {M.PNG_W} AS width, {_PNG_H} AS height,
+         {M.PNG_W} * {_PNG_H} AS npx
+  FROM b WHERE doc_id % 2 = 0),
+png_px AS (
+  SELECT p.doc_id, p.width, p.height,
+         {_tri_byte("(t.k * greatest(n // npx, 1)) % n")} AS v
+  FROM png p JOIN b USING (doc_id),
+       unnest(range(0, {M.PNG_W} * (8 + {M.PNG_H_MOD} - 1))) t(k)
+  WHERE t.k < npx),
+png_out AS (
+  SELECT doc_id, width, height, SUM(v) AS sum_px, 'png' AS format
+  FROM png_px GROUP BY doc_id, width, height),
+jb AS (
+  SELECT doc_id, hx, n, {_JPEG_NBLK} AS nblk
+  FROM b WHERE doc_id % 2 = 1),
+jblk AS (
+  SELECT doc_id, nblk, t.k,
+         {_jpeg_byte("(t.k * greatest(n // nblk, 1)) % n")} AS v
+  FROM jb, unnest(range(0, 2 * {M.JPEG_BH_MOD})) t(k)
+  WHERE t.k < nblk),
+jq AS (
+  SELECT doc_id, nblk,
+         CASE WHEN v >= 128 THEN (8 * (v - 128) + {M.JPEG_QDC} // 2) // {M.JPEG_QDC}
+              ELSE -((8 * (128 - v) + {M.JPEG_QDC} // 2) // {M.JPEG_QDC}) END AS fq
+  FROM jblk),
+jpeg_out AS (
+  SELECT doc_id, 8 * {M.JPEG_BLOCKS_W} AS width, 8 * {_JPEG_HB} AS height,
+         SUM(64 * LEAST(255, GREATEST(0, 2 * fq + 128))) AS sum_px,
+         'jpeg' AS format
+  FROM jq GROUP BY doc_id, nblk)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height, CAST(sum_px AS BIGINT) AS sum_px,
+       format
+FROM (SELECT * FROM png_out UNION ALL SELECT * FROM jpeg_out)
+ORDER BY doc_id
+"""
+
+
+@query(
+    "multimodal_mixed_container_stats",
+    oracle=MIXED_CONTAINER_ORACLE,
+    category="llm-multimodal",
+)
+def multimodal_mixed_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO container FORMATS through ONE decode dispatch (the r8 JPEG arm
+    composed with the r5 PNG path): payloads route by magic bytes — PNG
+    signature vs JPEG SOI — into the matching REAL decoder and emit a
+    normalized (geometry, exact pixel sum, format) row. This is the
+    ingest contract a 100 TB crawl needs: downstream quality/near-dup/
+    thumbnail operators consume decoded pixels and never branch on the
+    container. The oracle re-derives BOTH arms from the documents table
+    (PNG reconstruction is lossless sampling; JPEG reconstructs through
+    the DC quantization closed form), so a value-hash match proves both
+    codecs AND the dispatch boundary exact in one query."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        M.decode_mixed_container_stats(M.synthesize_mixed_container_blobs(docs))
+        .orderBy("doc_id")
+    )

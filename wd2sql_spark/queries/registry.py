@@ -143,8 +143,10 @@ def query(
 # two rewrites; then (b) stalest-attested padding (r3/r4 rows) to fill
 # the ~50-slot cap.
 _PRIORITY = (
-    # (a0) NEW in r8 — first driver row (baseline-sequential JPEG codec)
+    # (a0) NEW in r8 — first driver rows (baseline-sequential JPEG codec
+    # + the PNG/JPEG container-dispatch composition)
     "multimodal_jpeg_codec_stats",
+    "multimodal_mixed_container_stats",
     # (a) fingerprint-flagged: plan/UDF-AST moved since latest attestation
     "subq_sole_fault_suppliers",  # r8 rewrite: collect_set, Expand-free
     "split_leakage_safe",  # r8 rewrite: per-group agg, Expand-free
