@@ -685,46 +685,63 @@ def bench_probe_latency(
                 fh.write("ok\n")
             print(f"[gen] x{n}: {time.perf_counter() - t0:.1f}s", flush=True)
         docs = table(spark, d, "documents").select("doc_id", "text")
-        store = tempfile.mkdtemp(prefix=f"probe-store-x{n}-")
-        try:
+        store = os.path.join(OUT_ROOT, f"probe-store-x{n}")
+        built = os.path.join(store, "_DONE")
+        build_s = None
+        if not os.path.exists(built):
+            shutil.rmtree(store, ignore_errors=True)
             t0 = time.perf_counter()
             _layout(minhash_band_index(docs)).write.mode("overwrite").partitionBy(
                 "band"
             ).parquet(f"{store}/bands")
             build_s = time.perf_counter() - t0
-            stored = read_lsh_store(spark, store)
-            store_rows = stored.count()
-            probe = lambda: incremental_index_probe(  # noqa: E731
-                stored, delta_idx, min_est_jaccard=0.5
-            ).count()
-            matches = probe()  # cold: codegen + footer caches
+            with open(built, "w") as fh:
+                fh.write("ok\n")
+        stored = read_lsh_store(spark, store)
+        store_rows = stored.count()
+
+        def best_of(fn, k=3):
+            fn()  # cold: codegen + footer caches / cache build
             best = float("inf")
-            for _ in range(3):
+            for _ in range(k):
                 t0 = time.perf_counter()
-                probe()
+                fn()
                 best = min(best, time.perf_counter() - t0)
-            rungs.append(
-                {
-                    "store_scale": n,
-                    "store_docs": docs.count(),
-                    "store_band_rows": store_rows,
-                    "store_build_s": round(build_s, 1),
-                    "delta_docs": n_delta,
-                    "probe_matches": matches,
-                    "probe_warm_s": round(best, 3),
-                }
-            )
-            print(f"[probe] {rungs[-1]}", flush=True)
-        finally:
-            shutil.rmtree(store, ignore_errors=True)
+            return best
+
+        probe_df = incremental_index_probe(stored, delta_idx, min_est_jaccard=0.5)
+        matches = probe_df.count()
+        disk = best_of(probe_df.count)
+        # serving regime: a long-lived admission service keeps the store
+        # persisted between batches — the probe then scans executor
+        # memory, the regime the flat-latency expectation belongs to
+        cached = stored.persist()
+        cached_probe = incremental_index_probe(cached, delta_idx, min_est_jaccard=0.5)
+        mem = best_of(cached_probe.count)
+        cached.unpersist()
+        rungs.append(
+            {
+                "store_scale": n,
+                "store_docs": docs.count(),
+                "store_band_rows": store_rows,
+                "store_build_s": None if build_s is None else round(build_s, 1),
+                "delta_docs": n_delta,
+                "probe_matches": matches,
+                "probe_disk_warm_s": round(disk, 3),
+                "probe_cached_warm_s": round(mem, 3),
+            }
+        )
+        print(f"[probe] {rungs[-1]}", flush=True)
     delta_idx.unpersist()
     out: dict = {"rungs": rungs}
-    if len(rungs) >= 2 and rungs[-2]["probe_warm_s"] > 0:
-        e = math.log(rungs[-1]["probe_warm_s"] / rungs[-2]["probe_warm_s"]) / math.log(
-            rungs[-1]["store_band_rows"] / rungs[-2]["store_band_rows"]
-        )
-        out["probe_exponent_last_step"] = round(e, 3)
-        print(f"[probe] e(store rows, last step) = {e:.3f}", flush=True)
+    if len(rungs) >= 2:
+        for key in ("probe_disk_warm_s", "probe_cached_warm_s"):
+            if rungs[-2][key] > 0:
+                e = math.log(rungs[-1][key] / rungs[-2][key]) / math.log(
+                    rungs[-1]["store_band_rows"] / rungs[-2]["store_band_rows"]
+                )
+                out[f"e_{key}"] = round(e, 3)
+                print(f"[probe] e({key}, last step) = {e:.3f}", flush=True)
     return out
 
 
