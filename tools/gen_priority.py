@@ -294,9 +294,33 @@ def refresh_snapshot() -> dict[str, dict]:
     return snapshot
 
 
+def emit_priority(cap: int = 50) -> None:
+    """Print a ready-to-paste ``_PRIORITY`` tuple body: flagged queries in
+    tool order, then stalest-attested padding up to ``cap`` — the
+    round-start rebuild, mechanized end-to-end."""
+    flagged_rows = flagged_queries()
+    flagged = [d["name"] for d in flagged_rows]
+    att = attestations()
+    pad = [
+        n
+        for _, n in sorted((r, n) for n, (r, _) in att.items() if n not in flagged)
+    ][: max(0, cap - len(flagged))]
+    print("_PRIORITY = (")
+    print("    # flagged (tools/gen_priority.py order)")
+    for d in flagged_rows:
+        print(f'    "{d["name"]}",  # {d["why"]}')
+    print("    # stalest-attested padding to the driver cap")
+    for n in pad:
+        print(f'    "{n}",  # r{att[n][0]}')
+    print(")")
+
+
 if __name__ == "__main__":
     if "--refresh" in sys.argv:
         refresh_snapshot()
+        sys.exit(0)
+    if "--emit-priority" in sys.argv:
+        emit_priority()
         sys.exit(0)
     explain = "--explain" in sys.argv
     for row in flagged_queries():
