@@ -134,6 +134,12 @@ def compute_fps(spark, names: list[str] | None = None) -> dict[str, str]:
     # Wide plans must not be truncated: a "... 24 more fields" ellipsis
     # both hides real change and makes the hash depend on the default cap.
     spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    # FileScan metadata (DataFilters/Location) truncates at 100 chars by
+    # default — and whether a given scan crosses that cap depends on the
+    # DIGIT WIDTH of the session's raw exprIds, so the same query hashed
+    # differently in a fresh session vs late in a test suite. Untruncated
+    # metadata + positional renumbering is stable in both.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
     # Fingerprints must be COLD-cache for the same reason PLANS.md is
     # (tools/gen_plans.py): a persisted fragment substitutes
     # InMemoryRelation and the canonical string shifts with suite ordering.
