@@ -188,6 +188,28 @@ def test_fp_match_unflagged_despite_newer_module_timestamp(spark):
     assert not wrongly, f"fp-matched queries flagged anyway: {wrongly[:10]}"
 
 
+def test_fp_is_session_history_independent(spark, sf_dir):
+    """A fingerprint must not depend on how much work the session did
+    before computing it. The r8 bug class: raw exprIds grow monotonically
+    per session, and FileScan metadata truncates at a character cap, so a
+    plan hashed late in a suite (exprIds 4+ digits) truncated where a
+    fresh session's didn't. Burn thousands of exprIds between two
+    computations of the same query's fingerprint and demand equality."""
+    from tools.plan_fp import compute_fps
+
+    names = ["wd_etl_string", "join_left_outer"]
+    before = compute_fps(spark, names)
+    from wd2sql_spark.catalog import table
+
+    df = table(spark, sf_dir, "orders")
+    for _ in range(12):  # each select allocates exprIds for every column
+        df = df.select(*df.columns)
+        df = df.selectExpr(*[f"{c} as {c}" for c in df.columns])
+    df.schema  # force analysis so the ids are really allocated
+    after = compute_fps(spark, names)
+    assert before == after, "fingerprint moved with session exprId history"
+
+
 def test_banding_change_flags_knob_consumers(spark, sf_dir):
     """A REAL banding change must move the fingerprint of every knob
     consumer: widen the simhash band split and the plan literals shift,
