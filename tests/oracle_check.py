@@ -13,7 +13,12 @@ from __future__ import annotations
 import datetime as _dt
 import math
 import os
+import sys
 from dataclasses import dataclass, field
+
+# Runnable as `python tests/oracle_check.py` from a clean shell: python
+# puts tests/ on sys.path, not the repo root (VERDICT r8 what's-wrong #1).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 

@@ -298,12 +298,20 @@ def emit_priority(cap: int = 50) -> None:
     """Print a ready-to-paste ``_PRIORITY`` tuple body: flagged queries in
     tool order, then stalest-attested padding up to ``cap`` — the
     round-start rebuild, mechanized end-to-end."""
+    sys.path.insert(0, REPO)
+    from wd2sql_spark.queries import load_all_modules
+
+    reg = load_all_modules()
     flagged_rows = flagged_queries()
     flagged = [d["name"] for d in flagged_rows]
     att = attestations()
+    # Intersect with the live registry: an attestation for a since-
+    # deleted/renamed query must not be emitted (ADVICE r8 #3).
     pad = [
         n
-        for _, n in sorted((r, n) for n, (r, _) in att.items() if n not in flagged)
+        for _, n in sorted(
+            (r, n) for n, (r, _) in att.items() if n not in flagged and n in reg
+        )
     ][: max(0, cap - len(flagged))]
     print("_PRIORITY = (")
     print("    # flagged (tools/gen_priority.py order)")

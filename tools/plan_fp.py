@@ -82,7 +82,12 @@ _UUID = re.compile(r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12
 # Higher-order-function lambda variables print with a session-global
 # counter baked into the NAME (`lambda x_551#79`), same noise class as
 # plan_id; the trailing #id is normalized positionally like any exprId.
-_LAMBDA_VAR = re.compile(r"([A-Za-z]\w*?)_\d+#")
+# Only names BOUND by a `lambda <name>_<n>#` print are normalized —
+# a blanket `\w_\d+#` rewrite would also erase ordinary columns whose
+# names end in digits (band_0 vs band_1), hiding real plan edits
+# (ADVICE r8 #1). Bound names are collected first, then every
+# occurrence (binding and body) is rewritten.
+_LAMBDA_BIND = re.compile(r"\blambda ([A-Za-z]\w*?_\d+)#")
 # An InMemoryRelation materialized at construction time (eager operators:
 # connected components, store builds) prints its FINALIZED AQE plan, whose
 # query-stage numbers and whole-stage-codegen ids depend on runtime stage
@@ -109,7 +114,12 @@ def _canonical_plan(df) -> str:
     s = s.replace(REPO, "<repo>")
     s = _PLAN_ID.sub("plan_id=#", s)
     s = _UUID.sub("<uuid>", s)
-    s = _LAMBDA_VAR.sub(r"\1_##", s)
+    for lam in sorted({m.group(1) for m in _LAMBDA_BIND.finditer(s)}):
+        s = re.sub(
+            r"\b" + re.escape(lam) + r"#",
+            lam.rsplit("_", 1)[0] + "_##",
+            s,
+        )
     s = _QUERY_STAGE.sub("QueryStage #", s)
     s = _CODEGEN_ID.sub("*(#)", s)
     mapping: dict[str, str] = {}

@@ -802,6 +802,10 @@ def _make_jpeg_codec():
             if not self._fill(k):
                 raise ValueError("entropy stream truncated")
             self.n -= k
+            # Trim consumed high bits: without this the accumulator
+            # grows to the whole entropy stream and every shift costs
+            # O(stream bytes) — O(N²) decode (ADVICE r8 #2).
+            self.acc &= (1 << self.n) - 1
 
         def bits(self, k: int) -> int:
             if k == 0:
@@ -809,7 +813,9 @@ def _make_jpeg_codec():
             if not self._fill(k):
                 raise ValueError("entropy stream truncated")
             self.n -= k
-            return (self.acc >> self.n) & ((1 << k) - 1)
+            out = (self.acc >> self.n) & ((1 << k) - 1)
+            self.acc &= (1 << self.n) - 1
+            return out
 
         def bit(self) -> int:
             return self.bits(1)

@@ -135,77 +135,64 @@ def query(
 # + oracle + Python-eval-module ASTs) differs from the snapshot recorded
 # at its latest driver attestation (``tools/plan_fps.json``).
 # ``tests/test_priority.py`` fails if the flagged set isn't front-loaded
-# here. Round 8 layout: (a) the 13 fingerprint-flagged — the r7 81-query
-# timestamp backlog was settled by computing fingerprints in worktrees of
-# each round's attested tree: 70 of 81 are bit-identical to their
-# attestation (old rows stand), 11 genuinely moved (the r7 multimodal
-# codec arm, stream closures, two r7 module edits), plus this round's
-# two rewrites; then (b) stalest-attested padding (r3/r4 rows) to fill
-# the ~50-slot cap.
+# here. Round 9 layout: (a) the 9 multimodal queries flagged by the
+# BitReader accumulator-trim fix (ADVICE r8 #2 — multimodal.py is a
+# Python-eval module in their fingerprint closure, so the AST hash
+# correctly demands fresh rows), then (b) stalest-attested padding
+# (r4/r5 rows) to the ~50-slot cap. plan_fps.json covers 188/188.
 _PRIORITY = (
-    # (a0) NEW in r8 — first driver rows (baseline-sequential JPEG codec
-    # + the PNG/JPEG container-dispatch composition)
-    "multimodal_jpeg_codec_stats",
-    "multimodal_mixed_container_stats",
-    # (a) fingerprint-flagged: plan/UDF-AST moved since latest attestation
-    "subq_sole_fault_suppliers",  # r8 rewrite: collect_set, Expand-free
-    "split_leakage_safe",  # r8 rewrite: per-group agg, Expand-free
-    "profile_column_stats",  # r8 rewrite: unpivot + single-distinct
-    "curation_pipeline_decontam",
-    "stream_incremental_neardup",
-    "wd_query_conjunctive",
-    "multimodal_decode_stats",
-    "multimodal_frame_sample",
-    "multimodal_mixed_codec_stats",
-    "multimodal_resize_thumbs",
-    # flagged by the r8 JPEG addition itself: operators/multimodal.py is
-    # a Python-eval module in their closure, so its AST hash moving
-    # (new codec factory) correctly demands fresh rows
-    "multimodal_luma_phash",
-    "multimodal_phash_near_dup",
-    "multimodal_truecolor_codec_stats",
-    "stream_quality_filter",
-    "stream_static_enrich",
-    "stream_wd_etl_meta",
-    # (b) stalest driver row first (r3, then r4) — refresh old rows while
-    # the flagged queue fits the cap
-    "cdc_scd2_merge",
-    "inference_batch_scores",
-    "sketch_countmin_heavy_hitters",
-    "sketch_kll_quantile_rank",
-    "sketch_theta_retention_sets",
-    "text_bm25_topk",
-    "agg_forecast_revenue",
-    "agg_promo_revenue_ratio",
-    "agg_ship_priority_modes",
-    "agg_supplier_variety",
-    "flagship_semi_join_enrich",
-    "funnel_view_click_purchase",
-    "graph_pagerank_iter",
-    "join_asof_prior_view",
-    "join_market_share",
-    "join_nation_pair_volume",
-    "join_profit_by_nation_year",
-    "join_range_clicks_after_error",
-    "join_skew_salted",
-    "layout_hilbert_locality",
-    "mix_temperature_sampling",
-    "mix_token_budget_waterfill",
-    "pairs_contrastive_build",
-    "pivot_status_by_nation",
-    "profile_table_checksum",
-    "quality_charlm_score",
-    "retrieval_mmr_diversified",
-    "retrieval_phrase_match",
-    "sample_dsir_importance",
-    "scalar_json_fns",
-    "sessionize_gap30m_skewsafe",
-    "setop_integrity_audit",
-    "sim_int8_serving_topk",
-    "subq_excess_share_suppliers",
-    "subq_exists_late_ship",
-    "subq_important_supply_value",
-    "subq_min_cost_supplier",
+    # flagged (tools/gen_priority.py order)
+    "multimodal_decode_stats",  # plan fingerprint moved since r8 attestation
+    "multimodal_frame_sample",  # plan fingerprint moved since r8 attestation
+    "multimodal_jpeg_codec_stats",  # plan fingerprint moved since r8 attestation
+    "multimodal_luma_phash",  # plan fingerprint moved since r8 attestation
+    "multimodal_mixed_codec_stats",  # plan fingerprint moved since r8 attestation
+    "multimodal_mixed_container_stats",  # plan fingerprint moved since r8 attestation
+    "multimodal_phash_near_dup",  # plan fingerprint moved since r8 attestation
+    "multimodal_resize_thumbs",  # plan fingerprint moved since r8 attestation
+    "multimodal_truecolor_codec_stats",  # plan fingerprint moved since r8 attestation
+    # stalest-attested padding to the driver cap
+    "sim_int8_serving_topk",  # r4
+    "subq_excess_share_suppliers",  # r4
+    "subq_exists_late_ship",  # r4
+    "subq_important_supply_value",  # r4
+    "subq_min_cost_supplier",  # r4
+    "subq_order_priority_check",  # r4
+    "subq_sales_opportunity_antijoin",  # r4
+    "subq_small_quantity_revenue",  # r4
+    "subq_top_supplier_revenue",  # r4
+    "ts_gapfill_interpolate",  # r4
+    "window_revenue_share",  # r4
+    "agg_count_distinct",  # r5
+    "agg_cube",  # r5
+    "agg_grouping_sets",  # r5
+    "agg_having",  # r5
+    "agg_histogram_totalprice",  # r5
+    "agg_min_max_by",  # r5
+    "agg_rollup",  # r5
+    "agg_stats_moments",  # r5
+    "cluster_kmeans_embeddings",  # r5
+    "dedup_jaccard_prefix_filter",  # r5
+    "filter_predicates",  # r5
+    "join_anti_customers_without_orders",  # r5
+    "join_bloom_prefilter_semi",  # r5
+    "join_cross_small",  # r5
+    "join_disjunctive_predicate",  # r5
+    "join_full_outer",  # r5
+    "join_inner_broadcast",  # r5
+    "join_left_outer",  # r5
+    "join_multiway_local_supplier_volume",  # r5
+    "join_returned_item_ranking",  # r5
+    "join_semi_suppliers_with_bulk_lines",  # r5
+    "join_shipping_priority_topk",  # r5
+    "point_lookup_by_label",  # r5
+    "projection_compute",  # r5
+    "semdedup_cluster_prune",  # r5
+    "setop_distinct",  # r5
+    "setop_except",  # r5
+    "setop_intersect",  # r5
+    "setop_union_all",  # r5
+    "setop_union_distinct",  # r5
 )
 
 
