@@ -44,63 +44,83 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # text analysis, time-series, and the remaining dedup/similarity audits
 # — driver-benched union 74 → ≥ 100.
 HEADLINE = (
-    # heavy core (kept warm every round) + the r6 >=1.4 s tail under watch
-    # (VERDICT r6 task #1): basket/simhash/phash/cosine/wd_id_codec/
-    # jl_projection/split_leakage — their r7 numbers prove the drift fix.
+    # r9 heavy core (kept warm every round): the shapes that historically
+    # drift (basket/phash/ntile) plus one representative per
+    # candidate-generation-heavy LLM family.
     "flagship_semi_join_enrich",
     "sessionize_gap30m_skewsafe",
     "dedup_minhash_lsh",
     "sim_ivf_topk",
-    "dedup_cluster_components",
-    "curation_pipeline_summary",
     "curation_pipeline_decontam",
-    "decontam_ngram_overlap",
-    "pack_sequences_bins",
     "semdedup_cluster_prune",
-    "quality_segment_dedup_rebuild",
     "graph_pagerank_iter",
-    "cdc_scd2_merge",
-    "dedup_incremental_delta",
-    "sim_pq_topk",
-    "retrieval_hybrid_rrf",
     "dedup_jaccard_prefix_filter",
-    "sim_pq_serving_topk",
-    "sim_int8_serving_topk",
-    "sim_ivfpq_topk",
     "window_ntile_distribution",
-    "split_leakage_safe",
     "dedup_exact",
-    "dedup_substring_spans",
-    "dedup_simhash",
     "multimodal_phash_near_dup",
-    "sim_cosine_near_dup",
     "join_basket_cooccurrence",
-    "wd_id_codec",
-    "sim_jl_projection_audit",
-    # r8 rotation (VERDICT r7 task #4): the only registered queries with
-    # no per-query driver bench row ANYWHERE (warm headline, tpch22 map,
-    # or streaming_suite map, r1–r7 union incl. BENCH_LOCAL) are the two
-    # r7-new multimodal queries — everything else already carries a row;
-    # the r7 49-query first-timer rotation rests with numbers recorded.
-    "multimodal_truecolor_codec_stats",
-    "multimodal_luma_phash",
-    # r8-new: the JPEG container arm + the container-dispatch composition
-    "multimodal_jpeg_codec_stats",
-    "multimodal_mixed_container_stats",
-    # r8 rewrites (Expand-free plans; VERDICT r7 task #3 + fp determinism)
-    # — fresh numbers for the changed plans. subq_sole_fault_suppliers,
-    # the third rewrite and r7's one 2x breach, is measured in its tpch22
-    # slot (Q21).
-    "profile_column_stats",
-    # dedup_admission_evolution is NOT here: every invocation eagerly
-    # rebuilds the on-disk LSH store and drives 3 sequential
-    # probe+CC+append drops (11.5 s at sf0.1 measured r7) — loop/IO cost
-    # a warm-latency line would misread as a slow operator. Its cost is
-    # metered in the dedicated `streaming.admission` section below.
-    # stream_* likewise live in the streaming_suite section: each pays
-    # ~1-5 s of Structured Streaming lifecycle (checkpoint dir,
-    # micro-batch planning, sink commit), which is startup cost, not
-    # per-row cost.
+    # r9 rotation (VERDICT r8 task #4): every registered query with no
+    # per-query bench row in the surviving artifacts (BENCH_r01–r08
+    # stdout lines + the committed BENCH_LOCAL.json) — the cheap agg_*
+    # scalar-aggregate family, basic join shapes, windows, scalar fns,
+    # setops, sampling/mixing, text stats, and the three multimodal
+    # synth arms. dedup_admission_evolution stays out (its eager
+    # store-rebuild loop is metered in streaming.admission instead —
+    # a warm-latency row would misread loop/IO as operator cost).
+    "agg_approx_count_distinct",
+    "agg_approx_percentiles",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_min_max_by",
+    "agg_ordered_array_topn",
+    "agg_percentiles_doc_length",
+    "agg_rollup",
+    "agg_stats_moments",
+    "dedup_edit_distance_blocked",
+    "gapfill_daily_purchases",
+    "join_anti_customers_without_orders",
+    "join_cross_small",
+    "join_full_outer",
+    "join_inner_broadcast",
+    "join_left_outer",
+    "join_semi_suppliers_with_bulk_lines",
+    "mix_domain_weights",
+    "mix_temperature_sampling",
+    "multimodal_frame_sample",
+    "multimodal_mixed_codec_stats",
+    "multimodal_resize_thumbs",
+    "pairs_contrastive_build",
+    "projection_compute",
+    "quality_oov_vocab",
+    "sample_hash_reproducible",
+    "sample_weighted_by_length",
+    "scalar_conditional_fns",
+    "scalar_math_fns",
+    "seq_error_then_purchase",
+    "setop_distinct",
+    "setop_union_all",
+    "sim_centroid_dispersion",
+    "sim_lsh_recall_audit",
+    "subq_exists_late_ship",
+    "subq_max_revenue_supplier",
+    "subq_scalar_avg_part",
+    "subq_scalar_global_avg",
+    "text_lang_stats",
+    "text_quality_score",
+    "text_token_stats",
+    "wd_etl_coordinates",
+    "wd_etl_presence",
+    "window_lag_lead",
+    "window_rank_family",
+    "window_value_fns",
+    # r9 changed plans: fresh numbers for this round's rewrites
+    "setop_except",
+    # subq_min_cost_supplier's rewrite is measured in its tpch22 slot (Q2).
+    # stream_* live in the streaming_suite section: each pays ~1-5 s of
+    # Structured Streaming lifecycle (checkpoint dir, micro-batch
+    # planning, sink commit), which is startup cost, not per-row cost.
 )
 
 # The 22 classic TPC-H query shapes, one registered query per number —
@@ -226,6 +246,34 @@ def main() -> None:
             )
             if dt < timings.get(name, float("inf")):
                 timings[name] = dt
+
+    # Loadavg-flagged reruns (VERDICT r8 task #7): a min-of-5 whose BEST
+    # sample still carried 1-min loadavg > 3 never saw a quiet window —
+    # its number is a co-tenant artifact, not a plan cost. Give each such
+    # query up to 3 extra samples, stopping early once one lands on a
+    # quiet host; the published min then reflects steady state. The
+    # flagged set is recorded so the bench reader can see which numbers
+    # needed the second look.
+    flagged_rerun: list = []
+    for name in HEADLINE:
+        samples = warm_samples.get(name)
+        if not samples:
+            continue
+        best = min(samples, key=lambda s: s[0])
+        if best[1] <= 3.0:
+            continue
+        q = registry.get(name)
+        flagged_rerun.append(name)
+        for _extra in range(3):
+            t0 = time.perf_counter()
+            force(q.fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            la = loadavg1()
+            warm_samples[name].append([round(dt, 4), la, "rerun"])
+            if dt < timings.get(name, float("inf")):
+                timings[name] = dt
+            if la <= 3.0:
+                break
     timings = {k: round(v, 4) for k, v in timings.items()}
 
     # TPC-H power run: the 22 classic shapes back-to-back, warm = min of
@@ -284,6 +332,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_queries": cold,
+                # queries whose best-of-5 sample carried loadavg > 3 and
+                # got up to 3 extra quiet-host samples (r8 task #7)
+                "loadavg_flagged_rerun": flagged_rerun,
                 # every warm sample with the 1-min loadavg read right
                 # after it (VERDICT r7 task #3): noise attribution by
                 # data — min-of-N picks the sample, these show the field
@@ -306,12 +357,16 @@ def main() -> None:
                         "1900 bytes; per-query tpch22/streaming maps live here"
                     ),
                     "union_accounting": (
-                        "per-query driver bench rows exist for every registered "
-                        "query across r1-r8 (warm headline, tpch22 map, or "
-                        "streaming_suite map) except dedup_admission_evolution, "
-                        "whose eager store-rebuild loop is metered in the "
-                        "streaming.admission section instead of a warm-latency "
-                        "row - a warm line would misread loop/IO as operator cost"
+                        "r9 headline = heavy core + all 48 queries with no "
+                        "bench row in the SURVIVING artifacts (BENCH_r* stdout "
+                        "lines + the committed BENCH_LOCAL.json - earlier "
+                        "rounds' local payloads were overwritten in place, so "
+                        "their rotations only exist in git history); with "
+                        "tpch22 + streaming_suite this puts a current-artifact "
+                        "row on every registered query except "
+                        "dedup_admission_evolution, whose eager store-rebuild "
+                        "loop is metered in the streaming.admission section "
+                        "instead of a warm-latency row"
                     ),
                     "load_sampling": (
                         "warm_samples/tpch22_samples record [seconds, loadavg1] "
@@ -416,6 +471,7 @@ def main() -> None:
         ),
         "streaming_suite_wall_time": full["streaming_suite_wall_time"],
         "etl_mb_per_s": etl["etl_mb_per_s"],
+        "flagged_rerun": len(flagged_rerun),
         "sf": full["sf"],
         "detail": "BENCH_LOCAL.json",
     }

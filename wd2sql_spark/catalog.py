@@ -12,6 +12,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from wd2sql_spark.session_cache import SessionCache
+
 TABLES = (
     "region",
     "nation",
@@ -28,8 +30,20 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# One scan DataFrame per (live session, sf_dir, table). The fixtures are
+# immutable, so the cached plan can never go stale under a live session;
+# what the cache buys is the per-call build cost — every ``table()`` miss
+# pays ~60-90 ms of py4j conf round-trips plus a parquet footer schema
+# read, and a 5-table query rebuilt per bench sample was paying ~0.4 s of
+# pure driver-side overhead before any execution. Queries that join a
+# table with ITSELF must rename one side's columns (they already do:
+# "Separate scans … to sidestep self-join column ambiguity" predates the
+# cache; Spark's DeduplicateRelations handles the shared-plan case).
+_TABLE_CACHE = SessionCache()
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table.
+    """Read one fixture table (memoized per session — see ``_TABLE_CACHE``).
 
     Some generations of ``events.parquet`` carry TIMESTAMP(NANOS), which
     Spark's parquet reader rejects by default; the legacy conf reads it as
@@ -38,6 +52,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     it is a no-op on µs-precision data. Use :func:`events` to get a proper
     timestamp column back either way.
     """
+    return _TABLE_CACHE.get_or_build(
+        spark, ("table", sf_dir, name), lambda: _read_table(spark, sf_dir, name)
+    )
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # µs-era fixtures are written with isAdjustedToUTC=false, which Spark
     # by default infers as TIMESTAMP_NTZ — a type several chronon

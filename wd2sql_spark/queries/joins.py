@@ -212,20 +212,36 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     against EUROPE nations. At scale this shrinks the customer⋈orders
     shuffle by ~the regional selectivity (1/5 here) for free (no extra
     shuffle: the semi-join side is a broadcast)."""
-    # Separate scans for the pre-filter (vs the main join's nation/region)
-    # to sidestep self-join column ambiguity; both are tiny dims.
+    # The pre-filter reuses the (session-cached) nation/region scans the
+    # main join also reads, so BOTH sides rename their columns — fresh
+    # exprIds sidestep self-join column ambiguity; both are tiny dims.
     pre_n = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("eu_nationkey"), F.col("n_regionkey").alias("eu_regionkey")
     )
-    pre_r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    pre_r = (
+        table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select(F.col("r_regionkey").alias("eu_rkey"))
+    )
     eu_keys = pre_n.join(
-        F.broadcast(pre_r), pre_n["eu_regionkey"] == pre_r["r_regionkey"], "left_semi"
+        F.broadcast(pre_r), pre_n["eu_regionkey"] == F.col("eu_rkey"), "left_semi"
     ).select("eu_nationkey")
     c = table(spark, sf_dir, "customer").join(
         F.broadcast(eu_keys), F.col("c_nationkey") == F.col("eu_nationkey"), "left_semi"
     )
-    n = table(spark, sf_dir, "nation")
-    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    # Main-join copies of the twice-scanned dims rename EVERY column
+    # (Spark's ambiguous-self-join check looks at scan attributes, not
+    # just projected outputs, so unaliased refs into a shared scan fail).
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nn_key"),
+        F.col("n_regionkey").alias("nn_rkey"),
+        F.col("n_name").alias("nation_name"),
+    )
+    r = (
+        table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select(F.col("r_regionkey").alias("rr_key"))
+    )
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -239,9 +255,9 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(s),
             (l["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
         )
-        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-        .groupBy("n_name")
+        .join(F.broadcast(n), s["s_nationkey"] == F.col("nn_key"))
+        .join(F.broadcast(r), F.col("nn_rkey") == F.col("rr_key"))
+        .groupBy(F.col("nation_name").alias("n_name"))
         .agg(
             # exact integer-units sum (see queries/_determinism.py): a plain
             # double SUM is order-sensitive and flips round-2 boundaries

@@ -135,13 +135,19 @@ def query(
 # + oracle + Python-eval-module ASTs) differs from the snapshot recorded
 # at its latest driver attestation (``tools/plan_fps.json``).
 # ``tests/test_priority.py`` fails if the flagged set isn't front-loaded
-# here. Round 9 layout: (a) the 9 multimodal queries flagged by the
-# BitReader accumulator-trim fix (ADVICE r8 #2 — multimodal.py is a
-# Python-eval module in their fingerprint closure, so the AST hash
-# correctly demands fresh rows), then (b) stalest-attested padding
-# (r4/r5 rows) to the ~50-slot cap. plan_fps.json covers 188/188.
+# here. Round 9 layout: (a) the three r9 plan rewrites
+# (subq_min_cost_supplier window-argmin + part pushdown;
+# join_multiway/setop_except — see their docstrings) plus the 9
+# multimodal queries flagged by the BitReader accumulator-trim fix
+# (ADVICE r8 #2 — multimodal.py is a Python-eval module in their
+# fingerprint closure, so the AST hash correctly demands fresh rows),
+# then (b) stalest-attested padding (r4/r5 rows) to the ~50-slot cap.
+# plan_fps.json covers 188/188.
 _PRIORITY = (
     # flagged (tools/gen_priority.py order)
+    "subq_min_cost_supplier",  # plan fingerprint moved since r4 attestation
+    "join_multiway_local_supplier_volume",  # plan fingerprint moved since r5 attestation
+    "setop_except",  # plan fingerprint moved since r5 attestation
     "multimodal_decode_stats",  # plan fingerprint moved since r8 attestation
     "multimodal_frame_sample",  # plan fingerprint moved since r8 attestation
     "multimodal_jpeg_codec_stats",  # plan fingerprint moved since r8 attestation
@@ -156,7 +162,6 @@ _PRIORITY = (
     "subq_excess_share_suppliers",  # r4
     "subq_exists_late_ship",  # r4
     "subq_important_supply_value",  # r4
-    "subq_min_cost_supplier",  # r4
     "subq_order_priority_check",  # r4
     "subq_sales_opportunity_antijoin",  # r4
     "subq_small_quantity_revenue",  # r4
@@ -181,7 +186,6 @@ _PRIORITY = (
     "join_full_outer",  # r5
     "join_inner_broadcast",  # r5
     "join_left_outer",  # r5
-    "join_multiway_local_supplier_volume",  # r5
     "join_returned_item_ranking",  # r5
     "join_semi_suppliers_with_bulk_lines",  # r5
     "join_shipping_priority_topk",  # r5
@@ -189,7 +193,6 @@ _PRIORITY = (
     "projection_compute",  # r5
     "semdedup_cluster_prune",  # r5
     "setop_distinct",  # r5
-    "setop_except",  # r5
     "setop_intersect",  # r5
     "setop_union_all",  # r5
     "setop_union_distinct",  # r5

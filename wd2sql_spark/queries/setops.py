@@ -78,16 +78,25 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXCEPT_ORACLE = """
 SELECT c_custkey FROM customer
 EXCEPT
-SELECT o_custkey AS c_custkey FROM orders
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 ORDER BY c_custkey
 """
 
 
 @query("setop_except", oracle=EXCEPT_ORACLE, category="setops")
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: customer keys never seen in orders (distinct + left-anti)."""
+    """EXCEPT: customers who never placed an URGENT order (distinct +
+    left-anti). The right side is priority-restricted so the difference
+    is NON-EMPTY at every fixture SF (18/203/1986 rows at sf0.001/0.01/
+    0.1) — the r8 all-orders version returned 0 rows at every SF, a
+    trivially satisfiable oracle that an everything-dropping bug would
+    also pass (VERDICT r8 what's-wrong #5)."""
     c = table(spark, sf_dir, "customer").select("c_custkey")
-    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return c.exceptAll(o).distinct().orderBy("c_custkey")
 
 

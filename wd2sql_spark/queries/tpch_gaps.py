@@ -25,7 +25,7 @@ arithmetic — bit-identical in both engines, no rounding needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wd2sql_spark.catalog import table
@@ -68,18 +68,35 @@ def subq_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supply cost (a pure selection — bit-identical cross-engine, no
     rounding needed).
 
-    Decorrelation: the per-part MIN is a second aggregate over the
-    supply relation, joined back on (partkey, cost = min_cost) — ONE
-    shuffle on l_partkey feeds both the supply agg and the min agg
-    (AQE reuses the exchange), instead of re-scanning lineitem per part.
-    Dims broadcast; at 100 TB the only data-sized shuffle is lineitem
-    on l_partkey."""
+    Decorrelation: the per-part MIN is a window MIN over the aggregated
+    supply relation (partition by part key), then cost = min_cost keeps
+    the argmin supplier(s) — no self-join, so lineitem is scanned ONCE
+    and the plan has no sort-merge join on a float key. (The r8 version
+    joined supply against a second aggregate of itself; Catalyst
+    duplicated the whole fact subtree — two scans, two agg pipelines —
+    and shuffled both sides on (cost, partkey) for the SMJ.)
+
+    The highly selective part predicate (p_type='LARGE' AND p_size<=3)
+    is applied BELOW the supply aggregate as a broadcast join on
+    l_partkey — result-identical because both the group keys and the
+    window partition are per-part, so dropping non-qualifying parts
+    early drops exactly the groups a later part join would discard
+    anyway (VERDICT r8 what's-wrong #3). The dimension attributes
+    (p_name, s_name, s_acctbal, n_name) ride THROUGH the aggregate as
+    extra group keys: they are functionally dependent on the part/supp
+    keys, so group cardinality is unchanged, and the post-aggregate
+    join-back (two more broadcast builds) disappears. At 100 TB the
+    only data-sized shuffle is lineitem on the group keys, shrunk by
+    the part selectivity before it happens and map-side combined; the
+    window sees only the aggregated supply relation."""
     l = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    p = table(spark, sf_dir, "part").filter(
-        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 3)
+    p = (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 3))
+        .select("p_partkey", "p_name")
     )
     region_supp = (
         s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
@@ -87,20 +104,17 @@ def subq_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     supply = (
-        l.join(F.broadcast(region_supp.select("s_suppkey")), l["l_suppkey"] == F.col("s_suppkey"))
-        .groupBy("l_partkey", "l_suppkey")
+        l.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(F.broadcast(p), l["l_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(region_supp), l["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min("l_extendedprice").alias("cost"))
     )
-    best = supply.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    best_w = Window.partitionBy("p_partkey")
     return (
-        supply.join(best, ["l_partkey"])
+        supply.withColumn("min_cost", F.min("cost").over(best_w))
         .filter(F.col("cost") == F.col("min_cost"))
-        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
-        .join(F.broadcast(region_supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select(
-            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
-            F.col("cost").alias("min_cost"),
-        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "min_cost")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
