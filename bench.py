@@ -117,6 +117,8 @@ HEADLINE = (
     "window_value_fns",
     # r9 changed plans: fresh numbers for this round's rewrites
     "setop_except",
+    # r9-new: the MJPEG-in-AVI container demux (third container family)
+    "multimodal_video_demux_stats",
     # subq_min_cost_supplier's rewrite is measured in its tpch22 slot (Q2).
     # stream_* live in the streaming_suite section: each pays ~1-5 s of
     # Structured Streaming lifecycle (checkpoint dir, micro-batch

@@ -144,6 +144,8 @@ def query(
 # then (b) stalest-attested padding (r4/r5 rows) to the ~50-slot cap.
 # plan_fps.json covers 188/188.
 _PRIORITY = (
+    # (a0) NEW in r9 — first driver row (MJPEG-in-AVI container demux)
+    "multimodal_video_demux_stats",
     # flagged (tools/gen_priority.py order)
     "subq_min_cost_supplier",  # plan fingerprint moved since r4 attestation
     "join_multiway_local_supplier_volume",  # plan fingerprint moved since r5 attestation
