@@ -343,5 +343,10 @@ def ids_contiguous_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wd2sql_spark.operators.ids_assign import assign_contiguous_ids
 
     d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    out = assign_contiguous_ids(d, ["n_chars", "doc_id"], n_partitions=16)
+    out = assign_contiguous_ids(
+        d,
+        ["n_chars", "doc_id"],
+        n_partitions=16,
+        cache_key=(sf_dir, "documents", "n_chars-doc_id", 16),
+    )
     return out.select("doc_id", "n_chars", "global_id").orderBy("global_id")

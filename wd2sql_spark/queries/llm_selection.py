@@ -700,7 +700,12 @@ def pairs_contrastive_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         pairs.select(F.col("positive_id").alias("a"), F.col("anchor_id").alias("b"))
     )
-    dense = assign_contiguous_ids(docs.select("doc_id"), ["doc_id"], id_col="idx")
+    dense = assign_contiguous_ids(
+        docs.select("doc_id"),
+        ["doc_id"],
+        id_col="idx",
+        cache_key=(sf_dir, "documents", "doc_id", 32),
+    )
     n_docs = F.broadcast(dense.agg(F.count(F.lit(1)).alias("n")))
     h = F.conv(
         F.substring(

@@ -135,21 +135,29 @@ def query(
 # + oracle + Python-eval-module ASTs) differs from the snapshot recorded
 # at its latest driver attestation (``tools/plan_fps.json``).
 # ``tests/test_priority.py`` fails if the flagged set isn't front-loaded
-# here. Round 9 layout: (a) the three r9 plan rewrites
-# (subq_min_cost_supplier window-argmin + part pushdown;
-# join_multiway/setop_except — see their docstrings) plus the 9
-# multimodal queries flagged by the BitReader accumulator-trim fix
-# (ADVICE r8 #2 — multimodal.py is a Python-eval module in their
-# fingerprint closure, so the AST hash correctly demands fresh rows),
-# then (b) stalest-attested padding (r4/r5 rows) to the ~50-slot cap.
-# plan_fps.json covers 188/188.
+# here. Round 9 layout: (a0) the new MJPEG-in-AVI demux query, then
+# (a) the r9 rewrites (subq_min_cost_supplier window-argmin + part
+# pushdown; join_multiway/setop_except), the 9 multimodal queries
+# flagged by the BitReader accumulator-trim fix (ADVICE r8 #2), and the
+# 10 plan-blind stream_* queries whose whole-closure AST hash moved
+# with the catalog.py table cache — coarse but correct: a plan-blind
+# fingerprint cannot localize the change, so the round that touches
+# catalog re-attests the streams; then (b) stalest-attested padding to
+# the ~50-slot cap. plan_fps.json covers the 188 pre-r9 queries; the
+# new demux query snapshots at its first attestation. See
+# tools/gen_priority.py --explain for the live flag set.
 _PRIORITY = (
-    # (a0) NEW in r9 — first driver row (MJPEG-in-AVI container demux)
-    "multimodal_video_demux_stats",
     # flagged (tools/gen_priority.py order)
+    "multimodal_video_demux_stats",  # never attested
     "subq_min_cost_supplier",  # plan fingerprint moved since r4 attestation
     "join_multiway_local_supplier_volume",  # plan fingerprint moved since r5 attestation
     "setop_except",  # plan fingerprint moved since r5 attestation
+    "stream_dedup_within_watermark",  # plan fingerprint moved since r7 attestation
+    "stream_interval_join",  # plan fingerprint moved since r7 attestation
+    "stream_session_windows",  # plan fingerprint moved since r7 attestation
+    "stream_sliding_counts",  # plan fingerprint moved since r7 attestation
+    "stream_stateful_streaks",  # plan fingerprint moved since r7 attestation
+    "stream_tumbling_counts",  # plan fingerprint moved since r7 attestation
     "multimodal_decode_stats",  # plan fingerprint moved since r8 attestation
     "multimodal_frame_sample",  # plan fingerprint moved since r8 attestation
     "multimodal_jpeg_codec_stats",  # plan fingerprint moved since r8 attestation
@@ -159,6 +167,10 @@ _PRIORITY = (
     "multimodal_phash_near_dup",  # plan fingerprint moved since r8 attestation
     "multimodal_resize_thumbs",  # plan fingerprint moved since r8 attestation
     "multimodal_truecolor_codec_stats",  # plan fingerprint moved since r8 attestation
+    "stream_incremental_neardup",  # plan fingerprint moved since r8 attestation
+    "stream_quality_filter",  # plan fingerprint moved since r8 attestation
+    "stream_static_enrich",  # plan fingerprint moved since r8 attestation
+    "stream_wd_etl_meta",  # plan fingerprint moved since r8 attestation
     # stalest-attested padding to the driver cap
     "sim_int8_serving_topk",  # r4
     "subq_excess_share_suppliers",  # r4
@@ -187,17 +199,6 @@ _PRIORITY = (
     "join_disjunctive_predicate",  # r5
     "join_full_outer",  # r5
     "join_inner_broadcast",  # r5
-    "join_left_outer",  # r5
-    "join_returned_item_ranking",  # r5
-    "join_semi_suppliers_with_bulk_lines",  # r5
-    "join_shipping_priority_topk",  # r5
-    "point_lookup_by_label",  # r5
-    "projection_compute",  # r5
-    "semdedup_cluster_prune",  # r5
-    "setop_distinct",  # r5
-    "setop_intersect",  # r5
-    "setop_union_all",  # r5
-    "setop_union_distinct",  # r5
 )
 
 

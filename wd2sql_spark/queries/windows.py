@@ -171,7 +171,12 @@ def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SinglePartition stage (pinned in tests/test_plan_audit.py)."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     ranked, n = global_order_rank(
-        o, ["o_totalprice", "o_orderkey"], id_col="_rank"
+        o,
+        ["o_totalprice", "o_orderkey"],
+        id_col="_rank",
+        # immutable fixture + fixed ordering ⇒ the layout/offsets are
+        # session-cacheable; the per-call cost drops to the final pass
+        cache_key=(sf_dir, "orders", "o_totalprice-o_orderkey", 32),
     )
     b = 4
     q, rem = divmod(n, b)
