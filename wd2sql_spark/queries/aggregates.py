@@ -113,21 +113,36 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of the distinct-key expand (the exact twin here exists only to
     score the sketch).
 
-    The two aggregates run as SEPARATE 3-row relations joined at the end
-    (r7): combining count_distinct and approx_count_distinct in one agg
-    puts the HLL update/merge on the distinct-Expand's multiplied lanes —
-    measured 7.4 s vs 1.1 s for this split at sf0.1, with bit-identical
-    estimates (HLL register merge is a max: commutative, associative,
-    plan-shape-insensitive)."""
+    Both aggregates run over ONE deduplicated (flag, orderkey) relation
+    (r9; guide §2.3/§2.4 — one scan, no join): HLL register updates are
+    idempotent in the inserted value (each distinct key hashes to the same
+    register/rank every time, and the merge is a register-wise max), so
+    ``approx_count_distinct`` over the distinct pairs is BIT-IDENTICAL to
+    running it over the raw multiset, while the exact count becomes a
+    plain ``count(*)`` on the same relation — no distinct-Expand, no
+    second lineitem scan, no join. The r7 form ran the two arms as
+    separate relations joined at the end (itself a fix for the 7.4 s
+    one-agg-with-Expand form); this drops its second scan + broadcast
+    join + one fact-sized shuffle: plan 4 Exchange + 1 BroadcastExchange
+    → 2 Exchange (the post-dedup re-agg by flag and the output sort).
+
+    The sketch is sized to its verdict bound (r9): rsd 0.01 makes
+    Spark's HLL++ declare ~1,536 separate LONG buffer attributes (the
+    register words are buffer COLUMNS — measured 1.23 s for the HLL
+    aggregate alone at sf0.1 vs 0.41 s at the 0.05 default, the whole
+    cost being the 1.5k-column partial rows), while the contract only
+    asserts within-5%-of-exact. rsd 0.02 puts 5% at 2.5σ with a quarter
+    of the buffer; the estimate is deterministic (fixed hash), and the
+    relative error was checked at 0.45-3.3% across all three SFs.
+    Together: 1.46 → 1.14 s warm quiet-host min (driver-bench 1.52)."""
     l = table(spark, sf_dir, "lineitem")
-    approx = l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders")
-    )
-    exact = l.groupBy("l_returnflag").agg(
-        F.count_distinct("l_orderkey").alias("exact_orders")
-    )
+    dedup = l.select("l_returnflag", "l_orderkey").distinct()
     return (
-        exact.join(F.broadcast(approx), "l_returnflag")
+        dedup.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        )
         .select(
             "l_returnflag",
             "exact_orders",

@@ -48,9 +48,15 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata. The oracle re-derives the deterministic encoder's byte
     counts and geometry, proving the whole encode→decode round trip and
     the Arrow batch plumbing are byte-exact; empty-text docs produce no
-    payload and drop on both sides."""
+    payload and drop on both sides.
+
+    No output sort (r9, guide §2.4): the global orderBy was cosmetic
+    (the driver's row comparison is order-insensitive; r7 precedent
+    scalar_math_fns), and on a map-only Python pipeline its range
+    sampler re-executes the whole encode+decode subtree a second time —
+    measured 0.68 s without the sort vs 1.17 s with it at sf0.1."""
     docs = table(spark, sf_dir, "documents")
-    return M.decode_images(M.synthesize_png_blobs(docs)).orderBy("doc_id")
+    return M.decode_images(M.synthesize_png_blobs(docs))
 
 
 THUMB_ORACLE = f"""
@@ -72,11 +78,14 @@ def multimodal_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two chained Arrow stages (real PNG decode → resize geometry).
     floor() in the oracle matches pandas' int64 truncation. The fixture
     images are tiny (≤ 8×12), so scale clips at 1.0 — the geometry path
-    still runs on decoded, not declared, dimensions."""
+    still runs on decoded, not declared, dimensions. No output sort
+    (r9, guide §2.4): cosmetic on an order-insensitive comparison, and
+    its range sampler re-ran the two Python stages (see
+    multimodal_decode_stats)."""
     docs = table(spark, sf_dir, "documents")
     return M.resize_thumbnails(
         M.decode_images(M.synthesize_png_blobs(docs)), max_side=128
-    ).orderBy("doc_id")
+    )
 
 
 FRAMES_ORACLE = """
@@ -93,11 +102,11 @@ ORDER BY doc_id, frame_no
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N Arrow stage (video frame sampling shape): one output row per
     sampled frame — the case where mapInPandas is mandatory (scalar UDFs
-    are 1→1)."""
+    are 1→1). No output sort (r9, guide §2.4): cosmetic on an
+    order-insensitive comparison, and its range sampler re-ran the
+    Python stages (see multimodal_decode_stats)."""
     docs = table(spark, sf_dir, "documents")
-    return M.frame_sample(M.synthesize_blobs(docs), every_n_bytes=1024).orderBy(
-        "doc_id", "frame_no"
-    )
+    return M.frame_sample(M.synthesize_blobs(docs), every_n_bytes=1024)
 
 
 MIXED_CODEC_ORACLE = f"""
@@ -137,9 +146,12 @@ def multimodal_mixed_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk (12 + 3·n_colors), with n_colors = COUNT(DISTINCT sampled
     pixel byte) — so a hash match proves the second encoder's chunk
     layout, the PLTE round trip, and the shared Arrow plumbing are
-    lossless together, the same end-to-end argument as the gray path."""
+    lossless together, the same end-to-end argument as the gray path.
+    No output sort (r9, guide §2.4): cosmetic on an order-insensitive
+    comparison, and its range sampler re-ran the Python stages (see
+    multimodal_decode_stats)."""
     docs = table(spark, sf_dir, "documents")
-    return M.decode_images(M.synthesize_mixed_png_blobs(docs)).orderBy("doc_id")
+    return M.decode_images(M.synthesize_mixed_png_blobs(docs))
 
 
 PHASH_HAM_MAX = 3  # guaranteed recall at the 4-band floor: bands > h, h <= 3
@@ -221,14 +233,25 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits from the documents table the encoder sampled, and the whole
     pipeline (codec round trip + Arrow plumbing included) hash-matches;
     tests/test_multimodal_codec.py additionally re-derives the hash from
-    the raw payload bytes at the stored-block offsets."""
-    from wd2sql_spark.session_cache import cached_count
+    the raw payload bytes at the stored-block offsets.
+
+    The (doc_id, ahash) relation is bounded_persist-ed (r9, guide §2.4 /
+    §5): both sides of the band self-join derive from it, and without a
+    persist Spark executed the whole encode+decode+hash Python pipeline
+    once PER SIDE — the persisted relation is two longs per image, so
+    the codec runs once and the join probes cached rows (the same fix
+    the simhash/minhash self-joins got in r5, missed here)."""
+    from wd2sql_spark.session_cache import bounded_persist, cached_count
 
     docs = table(spark, sf_dir, "documents")
     bb = D.auto_band_bits(cached_count(docs, (sf_dir, "documents")))
     n_bands = max(2, M.PHASH_BITS // bb)
     mask = (1 << bb) - 1
-    blobs = M.phash_images(M.synthesize_png_blobs(docs))
+    blobs = bounded_persist(
+        M.phash_images(M.synthesize_png_blobs(docs)),
+        "llm_multimodal.phash_ahash",
+        key=(sf_dir,),
+    )
     chunks = blobs.select(
         "doc_id",
         "ahash",
@@ -312,9 +335,11 @@ def multimodal_truecolor_codec_stats(spark: SparkSession, sf_dir: str) -> DataFr
     arm's payload arithmetic from the documents table — an RGB scanline
     is 3·w+1 bytes vs the gray w+1 — so a hash match proves the third
     encoder's chunk layout and the shared decode dispatch are lossless
-    together with the two r6 formats."""
+    together with the two r6 formats. No output sort (r9, guide §2.4):
+    cosmetic on an order-insensitive comparison, and its range sampler
+    re-ran the Python stages (see multimodal_decode_stats)."""
     docs = table(spark, sf_dir, "documents")
-    return M.decode_images(M.synthesize_tri_codec_png_blobs(docs)).orderBy("doc_id")
+    return M.decode_images(M.synthesize_tri_codec_png_blobs(docs))
 
 
 def _tri_byte(expr: str) -> str:
@@ -365,9 +390,12 @@ def multimodal_luma_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes identically whatever color type it arrived in). The oracle
     recomputes every sampled pixel — including the three per-pixel
     channel bytes of the RGB arm — from the documents table, so a hash
-    match proves decoder, luma arithmetic, and Arrow plumbing exact."""
+    match proves decoder, luma arithmetic, and Arrow plumbing exact.
+    No output sort (r9, guide §2.4): cosmetic on an order-insensitive
+    comparison, and its range sampler re-ran the Python stages (see
+    multimodal_decode_stats)."""
     docs = table(spark, sf_dir, "documents")
-    return M.phash_images(M.synthesize_tri_codec_png_blobs(docs)).orderBy("doc_id")
+    return M.phash_images(M.synthesize_tri_codec_png_blobs(docs))
 
 
 # JPEG payload arithmetic the oracle re-derives (operators/multimodal.py
@@ -430,12 +458,14 @@ def multimodal_jpeg_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy→pixels path (and the encoder it round-trips) bit-exact.
     Parity target: the reference stores only decoded/typed values
     (src/main.rs:141-161 fixed schema); this extends the same
-    decode-at-ingest discipline to a second real container."""
+    decode-at-ingest discipline to a second real container. No output
+    sort (r9, guide §2.4): cosmetic on an order-insensitive comparison,
+    and its range sampler re-ran the (expensive) JPEG entropy decode a
+    second time (see multimodal_decode_stats)."""
     docs = table(spark, sf_dir, "documents")
     return (
         M.decode_jpeg_stats(M.synthesize_jpeg_blobs(docs))
         .select("doc_id", "width", "height", "n_blocks", "sum_px", "format")
-        .orderBy("doc_id")
     )
 
 
@@ -502,12 +532,12 @@ def multimodal_mixed_container_stats(spark: SparkSession, sf_dir: str) -> DataFr
     container. The oracle re-derives BOTH arms from the documents table
     (PNG reconstruction is lossless sampling; JPEG reconstructs through
     the DC quantization closed form), so a value-hash match proves both
-    codecs AND the dispatch boundary exact in one query."""
+    codecs AND the dispatch boundary exact in one query. No output sort
+    (r9, guide §2.4): cosmetic on an order-insensitive comparison, and
+    its range sampler re-ran both real decoders a second time (see
+    multimodal_decode_stats)."""
     docs = table(spark, sf_dir, "documents")
-    return (
-        M.decode_mixed_container_stats(M.synthesize_mixed_container_blobs(docs))
-        .orderBy("doc_id")
-    )
+    return M.decode_mixed_container_stats(M.synthesize_mixed_container_blobs(docs))
 
 
 # Video-demux oracle: every frame of a doc's MJPEG AVI is a DC-only JPEG

@@ -152,6 +152,7 @@ _PRIORITY = (
     "subq_min_cost_supplier",  # plan fingerprint moved since r4 attestation
     "join_multiway_local_supplier_volume",  # plan fingerprint moved since r5 attestation
     "setop_except",  # plan fingerprint moved since r5 attestation
+    "agg_approx_count_distinct",  # plan fingerprint moved since r7 attestation
     "stream_dedup_within_watermark",  # plan fingerprint moved since r7 attestation
     "stream_interval_join",  # plan fingerprint moved since r7 attestation
     "stream_session_windows",  # plan fingerprint moved since r7 attestation
@@ -198,9 +199,7 @@ _PRIORITY = (
     "join_cross_small",  # r5
     "join_disjunctive_predicate",  # r5
     "join_full_outer",  # r5
-    "join_inner_broadcast",  # r5
 )
-
 
 def load_all_modules() -> dict[str, Query]:
     for mod in _MODULES:
