@@ -218,9 +218,21 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cid"), F.col("iv").alias("c"))
     )
     assigned = _assign(samp, seeds).drop("dist")
-    norms = assigned.withColumn(
-        "n2",
-        F.aggregate(F.col("iv"), F.lit(0).cast("long"), lambda a, v: a + v * v),
+    # The assignment relation feeds THREE consumers — both sides of the
+    # within-cluster self-join and the members aggregate — and each side
+    # additionally embeds its own copy of the seed subtree, so the
+    # unpersisted plan re-ran the scan → quantize → k·dim argmin pipeline
+    # per consumer (12 parquet scans in the physical plan; the phash
+    # near-dup defect class, r9 guide §5). One persisted generation per
+    # session: (vec_id, iv, cid, n2) is the cluster-block artifact a
+    # production SemDeDup pass would hold between clustering and pruning.
+    norms = bounded_persist(
+        assigned.withColumn(
+            "n2",
+            F.aggregate(F.col("iv"), F.lit(0).cast("long"), lambda a, v: a + v * v),
+        ),
+        "llm_cluster.semdedup_norms",
+        key=(sf_dir,),
     )
     a, b = norms.alias("a"), norms.alias("b")
     dot = F.aggregate(
@@ -246,7 +258,7 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("d2")).cast("bigint").alias("n_dropped"),
         F.sum("dot").cast("bigint").alias("sum_dot"),
     )
-    members = assigned.groupBy("cid").agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    members = norms.groupBy("cid").agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
     return (
         members.join(per, "cid", "left")
         .select(
