@@ -135,7 +135,10 @@ def query(
 # + oracle + Python-eval-module ASTs) differs from the snapshot recorded
 # at its latest driver attestation (``tools/plan_fps.json``).
 # ``tests/test_priority.py`` fails if the flagged set isn't front-loaded
-# here. Round 9 layout: (a0) the new MJPEG-in-AVI demux query, then
+# here. The r9 OPTIMIZATION rewrites (semdedup persist, Q21 codegen
+# aggregate, the multimodal sort removals, the HLL one-scan form) all
+# sit in the flagged front so the next driver run re-attests them
+# first. Round 9 layout: (a0) the new MJPEG-in-AVI demux query, then
 # (a) the r9 rewrites (subq_min_cost_supplier window-argmin + part
 # pushdown; join_multiway/setop_except), the 9 multimodal queries
 # flagged by the BitReader accumulator-trim fix (ADVICE r8 #2), and the
@@ -151,6 +154,7 @@ _PRIORITY = (
     "multimodal_video_demux_stats",  # never attested
     "subq_min_cost_supplier",  # plan fingerprint moved since r4 attestation
     "join_multiway_local_supplier_volume",  # plan fingerprint moved since r5 attestation
+    "semdedup_cluster_prune",  # plan fingerprint moved since r5 attestation
     "setop_except",  # plan fingerprint moved since r5 attestation
     "agg_approx_count_distinct",  # plan fingerprint moved since r7 attestation
     "stream_dedup_within_watermark",  # plan fingerprint moved since r7 attestation
@@ -172,6 +176,7 @@ _PRIORITY = (
     "stream_quality_filter",  # plan fingerprint moved since r8 attestation
     "stream_static_enrich",  # plan fingerprint moved since r8 attestation
     "stream_wd_etl_meta",  # plan fingerprint moved since r8 attestation
+    "subq_sole_fault_suppliers",  # plan fingerprint moved since r8 attestation
     # stalest-attested padding to the driver cap
     "sim_int8_serving_topk",  # r4
     "subq_excess_share_suppliers",  # r4
@@ -197,8 +202,6 @@ _PRIORITY = (
     "join_anti_customers_without_orders",  # r5
     "join_bloom_prefilter_semi",  # r5
     "join_cross_small",  # r5
-    "join_disjunctive_predicate",  # r5
-    "join_full_outer",  # r5
 )
 
 def load_all_modules() -> dict[str, Query]:

@@ -240,26 +240,43 @@ def subq_sole_fault_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The two correlated subqueries — EXISTS (another supplier in the
     order) and NOT EXISTS (another supplier ALSO at fault) — decorrelate
-    into ONE grouped aggregate over ONE lineitem scan: per order,
-    ``size(collect_set(suppkey))`` and ``size(collect_set(at-fault
-    suppkey))`` — supplier sets per order are tiny (≤7 lines) and merge
-    associatively, so the map side partial-merges and the fact shuffles
-    ONCE, already order-collapsed. No ``count_distinct`` anywhere, so no
-    distinct-Expand doubling the shuffle (the r7 form's pair of
-    count_distincts was both the bench-worst 2.1 s and — via the
-    RewriteDistinctAggregates gid lanes — a source of run-to-run plan
-    nondeterminism). When ``n_fault_supp = 1`` the sole fault supplier is
-    recoverable as ``max(at-fault suppkey)`` in the SAME aggregate, which
-    deletes the old faults-side self-join entirely: each surviving row IS
-    one waiting order, so the final per-supplier count needs no distinct
-    either. At 100 TB: one fact pass, one fact-sized shuffle, one
-    broadcast, one ~|suppliers|-row rollup."""
+    into grouped aggregation over ONE lineitem scan. Since r9 the
+    aggregate is TWO stacked codegen HashAggregates instead of one
+    ObjectHashAggregate pair of ``collect_set``s: shuffle the narrow
+    (orderkey, suppkey, is-R) projection once by ``l_orderkey``, then
+    collapse partition-locally to per-(order, supplier) ``max(is-R)``
+    and roll that up per order — ``hashpartitioning(l_orderkey)``
+    satisfies BOTH groupings, so the plan holds exactly one fact
+    Exchange and zero object-based aggregates (the collect_set form's
+    ObjectHashAggregate runs interpreted on both sides of the shuffle
+    and was the whole residual cost: quiet A/B min 1.40 → 0.74 s at
+    sf0.1). No ``count_distinct`` anywhere, so no distinct-Expand
+    doubling the shuffle (the r7 form's pair of count_distincts was both
+    the bench-worst 2.1 s and a source of run-to-run plan
+    nondeterminism). When ``n_fault_supp = 1`` the sole fault supplier
+    is recoverable as ``max(fault suppkey)`` in the SAME rollup, so
+    there is still no faults-side self-join and no distinct in the final
+    per-supplier count. At 100 TB: one fact pass, one fact-sized shuffle
+    of three narrow columns, one broadcast, one ~|suppliers|-row
+    rollup; the shuffle ships raw lines instead of set buffers —
+    comparable bytes (≤7 lines/order vs one ~8·|set|-byte buffer), paid
+    back many times over by keeping both aggregates in whole-stage
+    codegen."""
     l = table(spark, sf_dir, "lineitem")
-    fault_sk = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-    ord_stats = l.groupBy("l_orderkey").agg(
-        F.size(F.collect_set("l_suppkey")).alias("n_supp"),
-        F.size(F.collect_set(fault_sk)).alias("n_fault_supp"),
-        F.max(fault_sk).alias("fault_suppkey"),
+    per_supp = (
+        l.select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_returnflag") == "R").alias("is_fault"),
+        )
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_fault").alias("fault"))
+    )
+    ord_stats = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("fault").cast("int")).alias("n_fault_supp"),
+        F.max(F.when(F.col("fault"), F.col("l_suppkey"))).alias("fault_suppkey"),
     )
     s = table(spark, sf_dir, "supplier")
     return (
