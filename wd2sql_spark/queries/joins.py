@@ -437,24 +437,32 @@ def join_basket_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, top-20 by support — the recommendation/co-view shape.
 
     ONE scan, ONE shuffle (r6): collect each order's basket as a sorted
-    array (map-side-combinable aggregate on l_orderkey), then generate
-    the C(k,2) pairs ROW-LOCALLY from the array — bounded because basket
-    size k is bounded (TPC-H ≤ 7 lines/order; at 100 TB a real pipeline
-    caps k with a per-order limit before pairing, same plan). The r5
-    self-join form scanned lineitem twice and shuffled both sides into a
-    join; the array form emits the identical pair multiset (sorted array
-    + strictly-later slice ≡ the join's p1 < p2 on line pairs, duplicate
-    parts included) for half the scan and exchange volume — 1.97 → 1.58 s
-    warm at sf0.1 quiet-host min-of-3 (the r6 DRIVER bench recorded
-    1.83 s for the same plan under the documented co-tenant load — both
-    numbers are real, conditions differ). The residual is the C(k,2)
-    explode + the (p1, p2)
-    pair aggregate, both inherent to the answer. Pair counting is
-    partial+final agg; top-20 is TakeOrderedAndProject with (p1, p2)
-    tiebreaks for a deterministic set."""
+    array, then generate the C(k,2) pairs ROW-LOCALLY from the array —
+    bounded because basket size k is bounded (TPC-H ≤ 7 lines/order; at
+    100 TB a real pipeline caps k with a per-order limit before pairing,
+    same plan). The r5 self-join form scanned lineitem twice and
+    shuffled both sides into a join; the array form emits the identical
+    pair multiset (sorted array + strictly-later slice ≡ the join's
+    p1 < p2 on line pairs, duplicate parts included) for half the scan
+    and exchange volume — 1.97 → 1.58 s warm at sf0.1 (r6); the r5 form
+    re-measured 2.25-2.82 s this round, so the array form still wins.
+    Since r9 the basket build is repartition-FIRST: `collect_list` plans
+    as ObjectHashAggregate (object-based, no codegen), and the r6 form
+    paid it TWICE — partial buffers built map-side, serialized through
+    the exchange, merged on the reduce side. Shuffling the raw narrow
+    (orderkey, partkey) rows by `l_orderkey` first makes the basket
+    aggregate a single partition-local pass with no list-buffer
+    serialization at all: interleaved A/B min 1.66 → 1.24 s at sf0.1
+    (guide §1.2 per-task work / §2.3 what the exchange carries — same
+    class as the Q21 collect_set fix). The residual is the C(k,2)
+    explode + the (p1, p2) pair aggregate, both inherent to the answer.
+    Pair counting is partial+final agg; top-20 is TakeOrderedAndProject
+    with (p1, p2) tiebreaks for a deterministic set."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list("l_partkey")).alias("arr")
+    baskets = (
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_partkey")).alias("arr"))
     )
     arr = F.col("arr")
     pair_structs = F.flatten(

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from wd2sql_spark.catalog import table
 from wd2sql_spark.queries._determinism import _int_div
 from wd2sql_spark.queries.registry import query
-from wd2sql_spark.session_cache import SessionCache
+from wd2sql_spark.session_cache import SessionCache, bounded_persist
 
 REPETITION_ORACLE = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
@@ -542,12 +542,20 @@ def quality_segment_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.idx").alias("idx"), F.col("s.seg").alias("seg"))
-    freq = (
-        segs.select("doc_id", F.md5("seg").alias("seg_hash"))
-        .groupBy("seg_hash")
-        .agg(F.count_distinct("doc_id").alias("df"))
+    # The segment relation feeds BOTH the digest-frequency aggregate and
+    # the rebuild join side, so unpersisted it re-ran the whole
+    # split → explode → md5 string pipeline twice per execution (r9,
+    # guide §5 — the semdedup/phash duplicated-subtree class). One
+    # persisted generation per session: quiet A/B min 0.72 → 0.57 s at
+    # sf0.1, and at 100 TB the segmentation pass over the corpus text
+    # runs once instead of twice.
+    segs = bounded_persist(
+        segs.withColumn("seg_hash", F.md5("seg")),
+        "llm_quality.segment_rebuild_segs",
+        key=(sf_dir,),
     )
-    joined = segs.withColumn("seg_hash", F.md5("seg")).join(freq, "seg_hash")
+    freq = segs.groupBy("seg_hash").agg(F.count_distinct("doc_id").alias("df"))
+    joined = segs.join(freq, "seg_hash")
     kept_sorted = F.filter(
         F.array_sort(F.collect_list(F.struct("idx", "seg", "df"))),
         lambda s: s["df"] == 1,
