@@ -157,6 +157,8 @@ _PRIORITY = (
     "semdedup_cluster_prune",  # plan fingerprint moved since r5 attestation
     "setop_except",  # plan fingerprint moved since r5 attestation
     "agg_approx_count_distinct",  # plan fingerprint moved since r7 attestation
+    "join_basket_cooccurrence",  # plan fingerprint moved since r7 attestation
+    "quality_segment_dedup_rebuild",  # plan fingerprint moved since r7 attestation
     "stream_dedup_within_watermark",  # plan fingerprint moved since r7 attestation
     "stream_interval_join",  # plan fingerprint moved since r7 attestation
     "stream_session_windows",  # plan fingerprint moved since r7 attestation
@@ -200,8 +202,6 @@ _PRIORITY = (
     "dedup_jaccard_prefix_filter",  # r5
     "filter_predicates",  # r5
     "join_anti_customers_without_orders",  # r5
-    "join_bloom_prefilter_semi",  # r5
-    "join_cross_small",  # r5
 )
 
 def load_all_modules() -> dict[str, Query]:
