@@ -302,17 +302,21 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric runs only inside blocks. Both engines' levenshtein is an exact
     integer — no float tolerance needed. The prefix caps (16 block / 64
     compare) bound worst-case cell count per pair regardless of document
-    length."""
+    length.
+
+    Only the 64-char compare prefix is projected below the self-join
+    (``substring(substring(x,1,64),1,16) ≡ substring(x,1,16)``), so the
+    join's build/exchange side carries 64 chars per row instead of the
+    full document text — at 100 TB the candidate join moves a fixed 64
+    bytes per row, not the corpus."""
     d = table(spark, sf_dir, "documents")
     blocked = d.select(
         "doc_id",
-        F.lower(F.col("text")).alias("t"),
+        F.substring(F.lower(F.col("text")), 1, 64).alias("t"),
         F.substring(F.lower(F.col("text")), 1, 16).alias("blk"),
     )
     a, b = blocked.alias("a"), blocked.alias("b")
-    dist = F.levenshtein(
-        F.substring(F.col("a.t"), 1, 64), F.substring(F.col("b.t"), 1, 64)
-    )
+    dist = F.levenshtein(F.col("a.t"), F.col("b.t"))
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(

@@ -242,8 +242,12 @@ def subq_important_supply_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     The threshold compare happens in integer units (units·20 >
     total_units), so the 5% boundary can never be a float coin-flip.
     Plan: one shuffle for the nation agg (the supplier dim broadcasts);
-    the global total re-aggregates the TINY per-nation relation and
-    broadcasts one row back — no second pass over the fact."""
+    the global total is a window-sum OVER the per-nation aggregate — a
+    single-partition exchange of ≤ |nation| rows (25, dim-bounded at any
+    scale), NOT a second pass over the fact. The earlier
+    re-aggregate-and-broadcast form planned the whole fact join+aggregate
+    subtree twice (once under the broadcast build), doubling the lineitem
+    work."""
     l = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
@@ -258,9 +262,9 @@ def subq_important_supply_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(units.alias("units"))
     )
-    total = per_nation.agg(F.sum("units").alias("total_units"))
+    total_units = F.sum("units").over(Window.partitionBy())
     return (
-        per_nation.join(F.broadcast(total))
+        per_nation.withColumn("total_units", total_units)
         .filter(F.col("units") * 20 > F.col("total_units"))
         .select("n_name", (F.col("units") / F.lit(10000.0)).alias("supply_value"))
         .orderBy(F.col("supply_value").desc(), "n_name")
