@@ -661,12 +661,12 @@ def test_priority_check_quarter_pushed_to_orders(reports):
 
 def test_supply_value_single_fact_pass(reports):
     """Q11 shape: ONE pass over lineitem (nation agg); the global total
-    re-aggregates the tiny per-nation relation — the lazy plan shows the
-    branch twice but ReusedExchange collapses it at runtime. Budget:
-    nation agg ×2 branches + 1-row agg + output sort."""
+    is a window-sum OVER the per-nation aggregate, so the only exchanges
+    are the nation agg and the ≤25-row single-partition window — no
+    duplicated fact subtree, no 1-row broadcast build."""
     r = reports["subq_important_supply_value"]
-    assert r.broadcasts >= 3  # supplier, nation, 1-row total
-    assert r.shuffles <= 4, r.shuffles
+    assert r.broadcasts == 2, r.broadcasts  # supplier, nation — nothing else
+    assert r.shuffles <= 2, r.shuffles
 
 
 def test_ship_priority_modes_single_join_shuffle(reports):

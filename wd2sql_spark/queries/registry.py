@@ -152,10 +152,12 @@ def query(
 _PRIORITY = (
     # flagged (tools/gen_priority.py order)
     "multimodal_video_demux_stats",  # never attested
+    "subq_important_supply_value",  # plan fingerprint moved since r4 attestation
     "subq_min_cost_supplier",  # plan fingerprint moved since r4 attestation
     "join_multiway_local_supplier_volume",  # plan fingerprint moved since r5 attestation
     "semdedup_cluster_prune",  # plan fingerprint moved since r5 attestation
     "setop_except",  # plan fingerprint moved since r5 attestation
+    "dedup_edit_distance_blocked",  # plan fingerprint moved since r6 attestation
     "agg_approx_count_distinct",  # plan fingerprint moved since r7 attestation
     "join_basket_cooccurrence",  # plan fingerprint moved since r7 attestation
     "quality_segment_dedup_rebuild",  # plan fingerprint moved since r7 attestation
@@ -183,7 +185,6 @@ _PRIORITY = (
     "sim_int8_serving_topk",  # r4
     "subq_excess_share_suppliers",  # r4
     "subq_exists_late_ship",  # r4
-    "subq_important_supply_value",  # r4
     "subq_order_priority_check",  # r4
     "subq_sales_opportunity_antijoin",  # r4
     "subq_small_quantity_revenue",  # r4
@@ -201,7 +202,6 @@ _PRIORITY = (
     "cluster_kmeans_embeddings",  # r5
     "dedup_jaccard_prefix_filter",  # r5
     "filter_predicates",  # r5
-    "join_anti_customers_without_orders",  # r5
 )
 
 def load_all_modules() -> dict[str, Query]:
