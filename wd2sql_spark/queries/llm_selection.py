@@ -743,7 +743,14 @@ def pairs_contrastive_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("negative_id") != F.col("positive_id"))
         )
         .join(
-            sym.withColumnRenamed("a", "anchor_id").withColumnRenamed("b", "negative_id"),
+            # Explicit hint: sym is 2·|pairs| rows of two longs (the
+            # near-dup pair set — broadcast-sized by design), but it
+            # hides behind a persist+union so the planner's estimate
+            # picked a SortMergeJoin that shuffled and sorted the whole
+            # exploded candidate set on (anchor, negative).
+            F.broadcast(
+                sym.withColumnRenamed("a", "anchor_id").withColumnRenamed("b", "negative_id")
+            ),
             ["anchor_id", "negative_id"],
             "left_anti",
         )
