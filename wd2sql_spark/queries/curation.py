@@ -208,7 +208,13 @@ def curation_pipeline_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg((F.count("_hit").cast("double") / F.count(F.lit(1))).alias("ratio"))
     )
-    clean = kept.join(contam, "doc_id", "left").filter(
-        F.coalesce(F.col("ratio"), F.lit(0.0)) < _CONTAM_DROP
-    )
+    # Anti-join on the DROP set instead of left-joining every per-doc
+    # ratio back: a doc is dropped iff its contam row reaches the
+    # threshold (docs too short to shingle have no row ⇒ COALESCE(0) ⇒
+    # kept — exactly the anti-join semantics), so only the contaminated
+    # ids — bounded by the contamination incidence, not the corpus —
+    # travel, broadcast, and the kept relation is never shuffled by
+    # doc_id at all.
+    drops = contam.filter(F.col("ratio") >= _CONTAM_DROP).select("doc_id")
+    clean = kept.join(F.broadcast(drops), "doc_id", "left_anti")
     return _dedup_split_accounting(clean)

@@ -623,7 +623,11 @@ def sim_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         brute.join(
-            approx,
+            # Both arms are |probes|*k rows (<= 15 here; a sampled audit
+            # set at any scale) - without the hint the planner's
+            # post-window estimate exchanged and sorted both tiny arms
+            # through a SortMergeJoin.
+            F.broadcast(approx),
             (F.col("query_id") == F.col("a_qid"))
             & (F.col("neighbor_id") == F.col("a_nid")),
             "left",
@@ -965,7 +969,11 @@ def sim_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         brute.join(
-            approx,
+            # Both arms are |probes|*k rows (<= 15 here; a sampled audit
+            # set at any scale) - without the hint the planner's
+            # post-window estimate exchanged and sorted both tiny arms
+            # through a SortMergeJoin.
+            F.broadcast(approx),
             (F.col("query_id") == F.col("a_qid"))
             & (F.col("neighbor_id") == F.col("a_nid")),
             "left",
@@ -1044,7 +1052,11 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid"))
     return (
         brute.join(
-            approx,
+            # Both arms are |probes|*k rows (<= 15 here; a sampled audit
+            # set at any scale) - without the hint the planner's
+            # post-window estimate exchanged and sorted both tiny arms
+            # through a SortMergeJoin.
+            F.broadcast(approx),
             (F.col("query_id") == F.col("a_qid"))
             & (F.col("neighbor_id") == F.col("a_nid")),
             "left",
