@@ -191,7 +191,23 @@ def bounded_checkpoint(df, slot: str, key: tuple | None = None):
         if same:
             return ckpt
         _BOUNDED.pop(slot, None)
-    ckpt = df.localCheckpoint(eager=True)
+    # Materialize with AQE OFF: a checkpoint created under AQE wraps an
+    # AdaptiveSparkPlan whose output partitioning is still unknown, so
+    # the LogicalRDD leaf reports UnknownPartitioning and every consumer
+    # join re-exchanges and re-sorts the relation — exactly the layout
+    # the repartition+sortWithinPartitions build paid to establish.
+    # Created non-adaptively, the leaf carries HashPartitioning + the
+    # per-partition ordering, and consumers (still planned WITH AQE)
+    # reuse it with no edge-side Exchange or Sort. Verified empirically
+    # on Spark 4.1: AQE-on ckpt → Exchange+Sort above Scan ExistingRDD;
+    # AQE-off ckpt → bare Scan ExistingRDD under the join.
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        ckpt = df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
     _BOUNDED[slot] = [df, key, ckpt]
     return ckpt
 
