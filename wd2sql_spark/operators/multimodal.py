@@ -1315,6 +1315,35 @@ def _make_avi_container():
     return encode_avi, demux_avi
 
 
+def _make_avi_builder():
+    """Row-level text→MJPEG-AVI builder shared by the standalone synth
+    operator and the fused synth+demux path: build(doc_id, tb, source) →
+    container bytes (b"" for empty text)."""
+    encode_jpeg, _ = _make_jpeg_codec()
+    encode_avi, _ = _make_avi_container()
+
+    def build(doc_id: int, tb: bytes, source: str) -> bytes:
+        n = len(tb)
+        if n == 0:
+            return b""
+        hb = 1 + doc_id % JPEG_BH_MOD
+        nblk = JPEG_BLOCKS_W * hb
+        stride = max(n // nblk, 1)
+        n_frames = 1 + doc_id % AVI_FRAMES_MOD
+        frames = [
+            encode_jpeg(
+                [tb[(f + k * stride) % n] for k in range(nblk)],
+                JPEG_BLOCKS_W,
+                hb,
+                source.encode("utf-8"),
+            )
+            for f in range(n_frames)
+        ]
+        return encode_avi(frames, 8 * JPEG_BLOCKS_W, 8 * hb)
+
+    return build
+
+
 def synthesize_avi_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """REAL video payloads: each doc becomes an MJPEG AVI of
     1 + doc_id % AVI_FRAMES_MOD frames; every frame is a genuine
@@ -1327,30 +1356,10 @@ def synthesize_avi_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     actual muxer and demuxer. Empty-text docs get an empty payload."""
     enc = F.encode(F.col(text_col), "utf-8")
     base = docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source"))
-    encode_jpeg, _ = _make_jpeg_codec()
-    encode_avi, _ = _make_avi_container()
+    build = _make_avi_builder()
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
-
-        def build(doc_id: int, tb: bytes, source: str) -> bytes:
-            n = len(tb)
-            if n == 0:
-                return b""
-            hb = 1 + doc_id % JPEG_BH_MOD
-            nblk = JPEG_BLOCKS_W * hb
-            stride = max(n // nblk, 1)
-            n_frames = 1 + doc_id % AVI_FRAMES_MOD
-            frames = [
-                encode_jpeg(
-                    [tb[(f + k * stride) % n] for k in range(nblk)],
-                    JPEG_BLOCKS_W,
-                    hb,
-                    source.encode("utf-8"),
-                )
-                for f in range(n_frames)
-            ]
-            return encode_avi(frames, 8 * JPEG_BLOCKS_W, 8 * hb)
 
         for pdf in it:
             yield pd.DataFrame(
@@ -1383,35 +1392,78 @@ def demux_video_frames(blobs: DataFrame) -> DataFrame:
     tolerance, same rule as the ETL). Frame decode happens INSIDE the
     demux stage so raw frame bytes never cross a shuffle — at 100 TB
     the downstream aggregate sees only the typed stats columns."""
-    _, demux_avi = _make_avi_container()
-    _, decode_jpeg = _make_jpeg_codec()
+    extract = _make_frame_extractor()
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        cols = (
-            "doc_id", "frame_no", "frame_offset", "frame_bytes",
-            "width", "height", "sum_px",
-        )
         for pdf in it:
-            rows: dict[str, list] = {k: [] for k in cols}
+            rows: dict[str, list] = {k: [] for k in _FRAME_COLS}
             for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
-                try:
-                    frames = demux_avi(bytes(payload))
-                except Exception:
-                    continue
-                for frame_no, offset, fr in frames:
-                    try:
-                        w, h, px = decode_jpeg(fr)
-                    except Exception:
-                        continue
-                    rows["doc_id"].append(int(doc_id))
-                    rows["frame_no"].append(frame_no)
-                    rows["frame_offset"].append(offset)
-                    rows["frame_bytes"].append(len(fr))
-                    rows["width"].append(w)
-                    rows["height"].append(h)
-                    rows["sum_px"].append(sum(px))
-            yield pd.DataFrame({k: pd.Series(rows[k], dtype="int64") for k in cols})
+                extract(rows, int(doc_id), bytes(payload))
+            yield pd.DataFrame({k: pd.Series(rows[k], dtype="int64") for k in _FRAME_COLS})
 
     return blobs.mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)
+
+
+_FRAME_COLS = (
+    "doc_id", "frame_no", "frame_offset", "frame_bytes",
+    "width", "height", "sum_px",
+)
+
+
+def _make_frame_extractor():
+    """Per-payload demux+decode shared by the standalone demux operator
+    and the fused synth+demux path: extract(rows, doc_id, payload)
+    appends one entry per decodable frame to the ``_FRAME_COLS`` lists
+    (undecodable payloads/frames drop — the ETL's per-record rule)."""
+    _, demux_avi = _make_avi_container()
+    _, decode_jpeg = _make_jpeg_codec()
+
+    def extract(rows: dict, doc_id: int, payload: bytes) -> None:
+        try:
+            frames = demux_avi(payload)
+        except Exception:
+            return
+        for frame_no, offset, fr in frames:
+            try:
+                w, h, px = decode_jpeg(fr)
+            except Exception:
+                continue
+            rows["doc_id"].append(doc_id)
+            rows["frame_no"].append(frame_no)
+            rows["frame_offset"].append(offset)
+            rows["frame_bytes"].append(len(fr))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["sum_px"].append(sum(px))
+
+    return extract
+
+
+def synthesize_and_demux_video(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fused synth→demux→decode in ONE Arrow stage: the container bytes
+    are built and consumed inside the same Python worker, so the payload
+    column never crosses the JVM boundary at all (guide §4: two adjacent
+    mapInPandas stages each pay a full Arrow serialize/deserialize of
+    every column — for a payload-producing stage feeding a
+    payload-consuming one, fusing removes the whole round trip). Same
+    muxer, per-frame codec, and per-record tolerance as the standalone
+    operators (shared row-level helpers), so the frame rows are
+    bit-identical to ``demux_video_frames(synthesize_avi_blobs(docs))``."""
+    enc = F.encode(F.col(text_col), "utf-8")
+    base = docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source"))
+    build = _make_avi_builder()
+    extract = _make_frame_extractor()
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in _FRAME_COLS}
+            for d, t, s in zip(pdf["doc_id"], pdf["tb"], pdf["source"]):
+                doc_id = int(d)
+                extract(rows, doc_id, build(doc_id, bytes(t), s))
+            yield pd.DataFrame({k: pd.Series(rows[k], dtype="int64") for k in _FRAME_COLS})
+
+    return base.mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)

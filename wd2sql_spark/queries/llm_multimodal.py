@@ -598,7 +598,11 @@ def multimodal_video_demux_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     values (src/main.rs:141-161); this is that discipline applied to a
     container-of-containers."""
     docs = table(spark, sf_dir, "documents")
-    frames = M.demux_video_frames(M.synthesize_avi_blobs(docs))
+    # Fused synth+demux (one Arrow stage): the container bytes never
+    # cross the JVM boundary; bit-identical rows to the standalone
+    # demux_video_frames(synthesize_avi_blobs(docs)) composition, which
+    # tests/test_video_demux.py pins.
+    frames = M.synthesize_and_demux_video(docs)
     return (
         frames.groupBy("doc_id")
         .agg(
