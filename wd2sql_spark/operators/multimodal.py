@@ -235,6 +235,62 @@ def _make_png_codec():
     return encode_png, decode_png, encode_png_palette, encode_png_rgb
 
 
+def _synth_batches(build):
+    """Shared Arrow-stage body for every payload synthesizer: map each
+    (doc_id, tb, source) row through the family's row-level ``build``
+    function. Factored out so the fused pipelines can run the SAME body
+    in-worker, composed with the consumer stage."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "content": [
+                        build(int(d), bytes(t), s)
+                        for d, t, s in zip(pdf["doc_id"], pdf["tb"], pdf["source"])
+                    ],
+                    "source": pdf["source"],
+                }
+            )
+
+    return batches
+
+
+def fused_codec_pipeline(
+    docs: DataFrame, build, *stages, schema: str, text_col: str = "text"
+) -> DataFrame:
+    """Synth + consumer stage bodies composed inside ONE mapInPandas.
+
+    Every stage body here is ``Iterator[pd.DataFrame] →
+    Iterator[pd.DataFrame]``, so chaining them in Python is function
+    composition — the intermediate payload column never crosses the
+    JVM↔Python boundary at all, where the unfused plan paid a full
+    Arrow serialize + deserialize of every payload between ADJACENT
+    MapInPandas nodes (guide §4: you control how many columns cross).
+    ``build`` is a row-level payload builder (``*_builder()``); each of
+    ``stages`` is an already-parameterized stage body
+    (``decode_images_stage()``, ``resize_stage(128)``, …). Stage-by-
+    stage results are bit-identical to the standalone operator chain —
+    the same bodies run, in the same order, on the same batches —
+    pinned by tests/test_multimodal_fused.py."""
+    base = docs.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("tb"),
+        F.col("source").alias("source"),
+    )
+    fns = [_synth_batches(build), *stages]
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for fn in fns:
+            it = fn(it)
+        return it
+
+    return base.mapInPandas(batches, schema=schema)
+
+
 def synthesize_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stand-in OPAQUE media (the video/audio shape): utf-8 bytes of the
     text as the BINARY payload plus typed metadata — the exact column
@@ -247,6 +303,25 @@ def synthesize_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit("application/octet-stream").alias("media_type"),
         F.create_map(F.lit("source"), F.col("source")).alias("meta"),
     )
+
+
+def png_builder():
+    """Row-level text→grayscale-PNG payload builder (the
+    :func:`synthesize_png_blobs` arithmetic), shared with the fused
+    pipelines."""
+    encode_png, _, _, _ = _make_png_codec()
+
+    def build(doc_id: int, tb: bytes, source: str) -> bytes:
+        n = len(tb)
+        if n == 0:
+            return b""
+        h = PNG_H_BASE + doc_id % PNG_H_MOD
+        npx = PNG_W * h
+        stride = max(n // npx, 1)
+        pixels = bytes(tb[(i * stride) % n] for i in range(npx))
+        return encode_png(pixels, PNG_W, h, source.encode("utf-8"))
+
+    return build
 
 
 def synthesize_png_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -264,41 +339,33 @@ def synthesize_png_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     base = docs.select(
         "doc_id", enc.alias("tb"), F.col("source").alias("source")
     )
-    encode_png, _, _, _ = _make_png_codec()
-
-    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
-        def build(doc_id: int, tb: bytes, source: str) -> bytes:
-            n = len(tb)
-            if n == 0:
-                return b""
-            h = PNG_H_BASE + doc_id % PNG_H_MOD
-            npx = PNG_W * h
-            stride = max(n // npx, 1)
-            pixels = bytes(tb[(i * stride) % n] for i in range(npx))
-            return encode_png(pixels, PNG_W, h, source.encode("utf-8"))
-
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "content": [
-                        build(int(d), bytes(t), s)
-                        for d, t, s in zip(pdf["doc_id"], pdf["tb"], pdf["source"])
-                    ],
-                    "source": pdf["source"],
-                }
-            )
-
     return base.mapInPandas(
-        batches, schema="doc_id bigint, content binary, source string"
+        _synth_batches(png_builder()), schema="doc_id bigint, content binary, source string"
     ).select(
         "doc_id",
         "content",
         F.lit("image/png").alias("media_type"),
         F.create_map(F.lit("source"), F.col("source")).alias("meta"),
     )
+
+
+def mixed_png_builder():
+    """Row-level builder for the gray/palette two-encoder PNG mix (the
+    :func:`synthesize_mixed_png_blobs` arithmetic)."""
+    encode_png, _, encode_png_palette, _ = _make_png_codec()
+
+    def build(doc_id: int, tb: bytes, source: str) -> bytes:
+        n = len(tb)
+        if n == 0:
+            return b""
+        h = PNG_H_BASE + doc_id % PNG_H_MOD
+        npx = PNG_W * h
+        stride = max(n // npx, 1)
+        pixels = bytes(tb[(i * stride) % n] for i in range(npx))
+        enc_fn = encode_png if doc_id % 2 == 0 else encode_png_palette
+        return enc_fn(pixels, PNG_W, h, source.encode("utf-8"))
+
+    return build
 
 
 def synthesize_mixed_png_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -312,42 +379,40 @@ def synthesize_mixed_png_blobs(docs: DataFrame, text_col: str = "text") -> DataF
     (n_bytes grows by 12 + 3·n_colors on the palette rows)."""
     enc = F.encode(F.col(text_col), "utf-8")
     base = docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source"))
-    encode_png, _, encode_png_palette, _ = _make_png_codec()
-
-    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
-        def build(doc_id: int, tb: bytes, source: str) -> bytes:
-            n = len(tb)
-            if n == 0:
-                return b""
-            h = PNG_H_BASE + doc_id % PNG_H_MOD
-            npx = PNG_W * h
-            stride = max(n // npx, 1)
-            pixels = bytes(tb[(i * stride) % n] for i in range(npx))
-            enc_fn = encode_png if doc_id % 2 == 0 else encode_png_palette
-            return enc_fn(pixels, PNG_W, h, source.encode("utf-8"))
-
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "content": [
-                        build(int(d), bytes(t), s)
-                        for d, t, s in zip(pdf["doc_id"], pdf["tb"], pdf["source"])
-                    ],
-                    "source": pdf["source"],
-                }
-            )
-
     return base.mapInPandas(
-        batches, schema="doc_id bigint, content binary, source string"
+        _synth_batches(mixed_png_builder()),
+        schema="doc_id bigint, content binary, source string",
     ).select(
         "doc_id",
         "content",
         F.lit("image/png").alias("media_type"),
         F.create_map(F.lit("source"), F.col("source")).alias("meta"),
     )
+
+
+def tri_codec_png_builder():
+    """Row-level builder for the gray/palette/truecolor three-encoder
+    PNG mix (the :func:`synthesize_tri_codec_png_blobs` arithmetic)."""
+    encode_png, _, encode_png_palette, encode_png_rgb = _make_png_codec()
+
+    def build(doc_id: int, tb: bytes, source: str) -> bytes:
+        n = len(tb)
+        if n == 0:
+            return b""
+        h = PNG_H_BASE + doc_id % PNG_H_MOD
+        npx = PNG_W * h
+        stride = max(n // npx, 1)
+        arm = doc_id % 3
+        if arm == 2:
+            rgb = bytes(
+                tb[(i * stride + j) % n] for i in range(npx) for j in range(3)
+            )
+            return encode_png_rgb(rgb, PNG_W, h, source.encode("utf-8"))
+        pixels = bytes(tb[(i * stride) % n] for i in range(npx))
+        enc_fn = encode_png if arm == 0 else encode_png_palette
+        return enc_fn(pixels, PNG_W, h, source.encode("utf-8"))
+
+    return build
 
 
 def synthesize_tri_codec_png_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -363,42 +428,9 @@ def synthesize_tri_codec_png_blobs(docs: DataFrame, text_col: str = "text") -> D
     bytes from the documents table."""
     enc = F.encode(F.col(text_col), "utf-8")
     base = docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source"))
-    encode_png, _, encode_png_palette, encode_png_rgb = _make_png_codec()
-
-    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
-        def build(doc_id: int, tb: bytes, source: str) -> bytes:
-            n = len(tb)
-            if n == 0:
-                return b""
-            h = PNG_H_BASE + doc_id % PNG_H_MOD
-            npx = PNG_W * h
-            stride = max(n // npx, 1)
-            arm = doc_id % 3
-            if arm == 2:
-                rgb = bytes(
-                    tb[(i * stride + j) % n] for i in range(npx) for j in range(3)
-                )
-                return encode_png_rgb(rgb, PNG_W, h, source.encode("utf-8"))
-            pixels = bytes(tb[(i * stride) % n] for i in range(npx))
-            enc_fn = encode_png if arm == 0 else encode_png_palette
-            return enc_fn(pixels, PNG_W, h, source.encode("utf-8"))
-
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "content": [
-                        build(int(d), bytes(t), s)
-                        for d, t, s in zip(pdf["doc_id"], pdf["tb"], pdf["source"])
-                    ],
-                    "source": pdf["source"],
-                }
-            )
-
     return base.mapInPandas(
-        batches, schema="doc_id bigint, content binary, source string"
+        _synth_batches(tri_codec_png_builder()),
+        schema="doc_id bigint, content binary, source string",
     ).select(
         "doc_id",
         "content",
@@ -416,6 +448,12 @@ def decode_images(blobs: DataFrame) -> DataFrame:
     amortization and the freedom to drop undecodable rows (a scalar UDF
     must return exactly one value per row) — empty or corrupt payloads
     drop, per-record tolerance."""
+    return blobs.mapInPandas(decode_images_stage(), schema=DECODED_SCHEMA)
+
+
+def decode_images_stage():
+    """The :func:`decode_images` stage body, reusable in fused
+    pipelines."""
     _, decode_png, _, _ = _make_png_codec()
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -432,7 +470,7 @@ def decode_images(blobs: DataFrame) -> DataFrame:
                 except Exception:
                     continue  # undecodable row: drop, don't kill the job
                 rows["doc_id"].append(int(doc_id))
-                rows["n_bytes"].append(len(payload))
+                rows["n_bytes"].append(len(bytes(payload)))
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["channels"].append(ch)
@@ -450,13 +488,19 @@ def decode_images(blobs: DataFrame) -> DataFrame:
                 }
             )
 
-    return blobs.mapInPandas(batches, schema=DECODED_SCHEMA)
+    return batches
 
 
 def resize_thumbnails(decoded: DataFrame, max_side: int = 128) -> DataFrame:
     """STUB resize stage: computes target geometry (the real pixel work
     would live in the same mapInPandas body). Kept as a separate Arrow
     stage to mirror a real decode→transform pipeline."""
+    return decoded.mapInPandas(resize_stage(max_side), schema=THUMB_SCHEMA)
+
+
+def resize_stage(max_side: int = 128):
+    """The :func:`resize_thumbnails` stage body, reusable in fused
+    pipelines."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -472,7 +516,7 @@ def resize_thumbnails(decoded: DataFrame, max_side: int = 128) -> DataFrame:
                 }
             )
 
-    return decoded.mapInPandas(batches, schema=THUMB_SCHEMA)
+    return batches
 
 
 def frame_sample(blobs: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
@@ -514,6 +558,12 @@ def phash_images(blobs: DataFrame) -> DataFrame:
     empty payloads drop (per-record tolerance); the oracle filters
     empty-text docs the same way. Like decode_images, the codec functions
     are factory-local so cloudpickle ships them by value."""
+    return blobs.mapInPandas(phash_stage(), schema=PHASH_SCHEMA)
+
+
+def phash_stage():
+    """The :func:`phash_images` stage body, reusable in fused
+    pipelines."""
     _, decode_png, _, _ = _make_png_codec()
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -556,7 +606,7 @@ def phash_images(blobs: DataFrame) -> DataFrame:
                 }
             )
 
-    return blobs.mapInPandas(batches, schema=PHASH_SCHEMA)
+    return batches
 
 
 # ---------------------------------------------------------------------------
@@ -960,6 +1010,24 @@ def _make_jpeg_codec():
     return encode_jpeg, decode_jpeg
 
 
+def jpeg_builder():
+    """Row-level text→baseline-JPEG payload builder (the
+    :func:`synthesize_jpeg_blobs` arithmetic)."""
+    encode_jpeg, _ = _make_jpeg_codec()
+
+    def build(doc_id: int, tb: bytes, source: str) -> bytes:
+        n = len(tb)
+        if n == 0:
+            return b""
+        hb = 1 + doc_id % JPEG_BH_MOD
+        nblk = JPEG_BLOCKS_W * hb
+        stride = max(n // nblk, 1)
+        vals = [tb[(k * stride) % n] for k in range(nblk)]
+        return encode_jpeg(vals, JPEG_BLOCKS_W, hb, source.encode("utf-8"))
+
+    return build
+
+
 def synthesize_jpeg_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """REAL JPEG payloads: each doc becomes a 16×(8·(1 + doc_id % 3))
     grayscale baseline JPEG whose per-BLOCK values are a fixed-stride
@@ -971,35 +1039,9 @@ def synthesize_jpeg_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     from the documents table while Spark round-trips the actual codec."""
     enc = F.encode(F.col(text_col), "utf-8")
     base = docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source"))
-    encode_jpeg, _ = _make_jpeg_codec()
-
-    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
-        def build(doc_id: int, tb: bytes, source: str) -> bytes:
-            n = len(tb)
-            if n == 0:
-                return b""
-            hb = 1 + doc_id % JPEG_BH_MOD
-            nblk = JPEG_BLOCKS_W * hb
-            stride = max(n // nblk, 1)
-            vals = [tb[(k * stride) % n] for k in range(nblk)]
-            return encode_jpeg(vals, JPEG_BLOCKS_W, hb, source.encode("utf-8"))
-
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "content": [
-                        build(int(d), bytes(t), s)
-                        for d, t, s in zip(pdf["doc_id"], pdf["tb"], pdf["source"])
-                    ],
-                    "source": pdf["source"],
-                }
-            )
-
     return base.mapInPandas(
-        batches, schema="doc_id bigint, content binary, source string"
+        _synth_batches(jpeg_builder()),
+        schema="doc_id bigint, content binary, source string",
     ).select(
         "doc_id",
         "content",
@@ -1017,6 +1059,12 @@ def decode_jpeg_stats(blobs: DataFrame) -> DataFrame:
     clamp(2·Fq + 128) — a match means the whole entropy→pixels path is
     bit-exact. Undecodable or empty payloads drop (per-record
     tolerance)."""
+    return blobs.mapInPandas(jpeg_stats_stage(), schema=JPEG_STATS_SCHEMA)
+
+
+def jpeg_stats_stage():
+    """The :func:`decode_jpeg_stats` stage body, reusable in fused
+    pipelines."""
     _, decode_jpeg = _make_jpeg_codec()
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -1040,12 +1088,37 @@ def decode_jpeg_stats(blobs: DataFrame) -> DataFrame:
             out["format"] = pd.Series(["jpeg"] * len(rows["doc_id"]), dtype="object")
             yield pd.DataFrame(out)
 
-    return blobs.mapInPandas(batches, schema=JPEG_STATS_SCHEMA)
+    return batches
 
 
 MIXED_CONTAINER_SCHEMA = (
     "doc_id bigint, width bigint, height bigint, sum_px bigint, format string"
 )
+
+
+def mixed_container_builder():
+    """Row-level builder for the PNG/JPEG two-FORMAT mix (the
+    :func:`synthesize_mixed_container_blobs` arithmetic)."""
+    encode_png, _, _, _ = _make_png_codec()
+    encode_jpeg, _ = _make_jpeg_codec()
+
+    def build(doc_id: int, tb: bytes, source: str) -> bytes:
+        n = len(tb)
+        if n == 0:
+            return b""
+        if doc_id % 2 == 0:
+            h = PNG_H_BASE + doc_id % PNG_H_MOD
+            npx = PNG_W * h
+            stride = max(n // npx, 1)
+            pixels = bytes(tb[(i * stride) % n] for i in range(npx))
+            return encode_png(pixels, PNG_W, h, source.encode("utf-8"))
+        hb = 1 + doc_id % JPEG_BH_MOD
+        nblk = JPEG_BLOCKS_W * hb
+        stride = max(n // nblk, 1)
+        vals = [tb[(k * stride) % n] for k in range(nblk)]
+        return encode_jpeg(vals, JPEG_BLOCKS_W, hb, source.encode("utf-8"))
+
+    return build
 
 
 def synthesize_mixed_container_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1058,42 +1131,9 @@ def synthesize_mixed_container_blobs(docs: DataFrame, text_col: str = "text") ->
     the DuckDB twin re-derives both arms from the documents table."""
     enc = F.encode(F.col(text_col), "utf-8")
     base = docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source"))
-    encode_png, _, _, _ = _make_png_codec()
-    encode_jpeg, _ = _make_jpeg_codec()
-
-    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
-        def build(doc_id: int, tb: bytes, source: str) -> bytes:
-            n = len(tb)
-            if n == 0:
-                return b""
-            if doc_id % 2 == 0:
-                h = PNG_H_BASE + doc_id % PNG_H_MOD
-                npx = PNG_W * h
-                stride = max(n // npx, 1)
-                pixels = bytes(tb[(i * stride) % n] for i in range(npx))
-                return encode_png(pixels, PNG_W, h, source.encode("utf-8"))
-            hb = 1 + doc_id % JPEG_BH_MOD
-            nblk = JPEG_BLOCKS_W * hb
-            stride = max(n // nblk, 1)
-            vals = [tb[(k * stride) % n] for k in range(nblk)]
-            return encode_jpeg(vals, JPEG_BLOCKS_W, hb, source.encode("utf-8"))
-
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "content": [
-                        build(int(d), bytes(t), s)
-                        for d, t, s in zip(pdf["doc_id"], pdf["tb"], pdf["source"])
-                    ],
-                    "source": pdf["source"],
-                }
-            )
-
     return base.mapInPandas(
-        batches, schema="doc_id bigint, content binary, source string"
+        _synth_batches(mixed_container_builder()),
+        schema="doc_id bigint, content binary, source string",
     ).select(
         "doc_id",
         "content",
@@ -1113,6 +1153,14 @@ def decode_mixed_container_stats(blobs: DataFrame) -> DataFrame:
     near-dup, thumbnails) never see the container, only decoded pixels.
     Unknown signatures and undecodable payloads drop (per-record
     tolerance, same rule as the ETL)."""
+    return blobs.mapInPandas(
+        mixed_container_stats_stage(), schema=MIXED_CONTAINER_SCHEMA
+    )
+
+
+def mixed_container_stats_stage():
+    """The :func:`decode_mixed_container_stats` stage body, reusable in
+    fused pipelines."""
     _, decode_png, _, _ = _make_png_codec()
     _, decode_jpeg = _make_jpeg_codec()
 
@@ -1145,7 +1193,7 @@ def decode_mixed_container_stats(blobs: DataFrame) -> DataFrame:
             out["format"] = pd.Series(fmts, dtype="object")
             yield pd.DataFrame(out)
 
-    return blobs.mapInPandas(batches, schema=MIXED_CONTAINER_SCHEMA)
+    return batches
 
 
 # ---------------------------------------------------------------------------

@@ -56,7 +56,12 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampler re-executes the whole encode+decode subtree a second time —
     measured 0.68 s without the sort vs 1.17 s with it at sf0.1."""
     docs = table(spark, sf_dir, "documents")
-    return M.decode_images(M.synthesize_png_blobs(docs))
+    # Fused single-stage pipeline (r9): the PNG payload never crosses
+    # the JVM boundary — same stage bodies as the standalone chain,
+    # pinned by tests/test_multimodal_fused.py.
+    return M.fused_codec_pipeline(
+        docs, M.png_builder(), M.decode_images_stage(), schema=M.DECODED_SCHEMA
+    )
 
 
 THUMB_ORACLE = f"""
@@ -83,8 +88,14 @@ def multimodal_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     its range sampler re-ran the two Python stages (see
     multimodal_decode_stats)."""
     docs = table(spark, sf_dir, "documents")
-    return M.resize_thumbnails(
-        M.decode_images(M.synthesize_png_blobs(docs)), max_side=128
+    # Fused single-stage pipeline (r9): synth→decode→resize bodies
+    # composed in ONE mapInPandas (was THREE adjacent Python stages).
+    return M.fused_codec_pipeline(
+        docs,
+        M.png_builder(),
+        M.decode_images_stage(),
+        M.resize_stage(128),
+        schema=M.THUMB_SCHEMA,
     )
 
 
@@ -151,7 +162,10 @@ def multimodal_mixed_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison, and its range sampler re-ran the Python stages (see
     multimodal_decode_stats)."""
     docs = table(spark, sf_dir, "documents")
-    return M.decode_images(M.synthesize_mixed_png_blobs(docs))
+    # Fused single-stage pipeline (r9) — see multimodal_decode_stats.
+    return M.fused_codec_pipeline(
+        docs, M.mixed_png_builder(), M.decode_images_stage(), schema=M.DECODED_SCHEMA
+    )
 
 
 PHASH_HAM_MAX = 3  # guaranteed recall at the 4-band floor: bands > h, h <= 3
@@ -248,7 +262,10 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bands = max(2, M.PHASH_BITS // bb)
     mask = (1 << bb) - 1
     blobs = bounded_persist(
-        M.phash_images(M.synthesize_png_blobs(docs)),
+        # Fused single-stage synth+hash (r9) — see multimodal_decode_stats.
+        M.fused_codec_pipeline(
+            docs, M.png_builder(), M.phash_stage(), schema=M.PHASH_SCHEMA
+        ),
         "llm_multimodal.phash_ahash",
         key=(sf_dir,),
     )
@@ -339,7 +356,13 @@ def multimodal_truecolor_codec_stats(spark: SparkSession, sf_dir: str) -> DataFr
     cosmetic on an order-insensitive comparison, and its range sampler
     re-ran the Python stages (see multimodal_decode_stats)."""
     docs = table(spark, sf_dir, "documents")
-    return M.decode_images(M.synthesize_tri_codec_png_blobs(docs))
+    # Fused single-stage pipeline (r9) — see multimodal_decode_stats.
+    return M.fused_codec_pipeline(
+        docs,
+        M.tri_codec_png_builder(),
+        M.decode_images_stage(),
+        schema=M.DECODED_SCHEMA,
+    )
 
 
 def _tri_byte(expr: str) -> str:
@@ -395,7 +418,10 @@ def multimodal_luma_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison, and its range sampler re-ran the Python stages (see
     multimodal_decode_stats)."""
     docs = table(spark, sf_dir, "documents")
-    return M.phash_images(M.synthesize_tri_codec_png_blobs(docs))
+    # Fused single-stage pipeline (r9) — see multimodal_decode_stats.
+    return M.fused_codec_pipeline(
+        docs, M.tri_codec_png_builder(), M.phash_stage(), schema=M.PHASH_SCHEMA
+    )
 
 
 # JPEG payload arithmetic the oracle re-derives (operators/multimodal.py
@@ -464,7 +490,10 @@ def multimodal_jpeg_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     second time (see multimodal_decode_stats)."""
     docs = table(spark, sf_dir, "documents")
     return (
-        M.decode_jpeg_stats(M.synthesize_jpeg_blobs(docs))
+        # Fused single-stage pipeline (r9) — see multimodal_decode_stats.
+        M.fused_codec_pipeline(
+            docs, M.jpeg_builder(), M.jpeg_stats_stage(), schema=M.JPEG_STATS_SCHEMA
+        )
         .select("doc_id", "width", "height", "n_blocks", "sum_px", "format")
     )
 
@@ -537,7 +566,13 @@ def multimodal_mixed_container_stats(spark: SparkSession, sf_dir: str) -> DataFr
     its range sampler re-ran both real decoders a second time (see
     multimodal_decode_stats)."""
     docs = table(spark, sf_dir, "documents")
-    return M.decode_mixed_container_stats(M.synthesize_mixed_container_blobs(docs))
+    # Fused single-stage pipeline (r9) — see multimodal_decode_stats.
+    return M.fused_codec_pipeline(
+        docs,
+        M.mixed_container_builder(),
+        M.mixed_container_stats_stage(),
+        schema=M.MIXED_CONTAINER_SCHEMA,
+    )
 
 
 # Video-demux oracle: every frame of a doc's MJPEG AVI is a DC-only JPEG
