@@ -506,11 +506,13 @@ def subq_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     adapted (no partsupp) to "shipped > 30% of the part's yearly total".
     The share test 10·supp_qty > 3·total_qty is integer-exact.
 
-    Plan: ONE aggregation per (suppkey, partkey) — a single shuffle —
-    then the per-part total is a re-aggregation of that same small
-    relation (no second pass over lineitem, unlike the naive twin the
-    oracle spells out), a broadcast join back, and a distinct over the
-    surviving supplier set."""
+    Plan: ONE aggregation per (suppkey, partkey) — a single fact
+    shuffle — then the per-part total is a WINDOW-SUM over that same
+    small relation partitioned by l_partkey (one |supp_part|-row
+    exchange). The earlier re-aggregate-and-broadcast form planned the
+    whole lineitem join+aggregate subtree twice (once under the
+    broadcast build) — the same defect class fixed on Q11
+    (subq_important_supply_value) this round."""
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("blue%"))
     s = table(spark, sf_dir, "supplier")
@@ -524,11 +526,9 @@ def subq_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("supp_qty"))
     )
-    part_total = supp_part.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        F.sum("supp_qty").alias("total_qty")
-    )
+    total_qty = F.sum("supp_qty").over(Window.partitionBy("l_partkey"))
     return (
-        supp_part.join(F.broadcast(part_total), F.col("l_partkey") == F.col("t_partkey"))
+        supp_part.withColumn("total_qty", total_qty)
         .filter(F.lit(10) * F.col("supp_qty") > F.lit(3) * F.col("total_qty"))
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
         .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
