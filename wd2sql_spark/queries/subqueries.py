@@ -17,12 +17,13 @@ exact in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wd2sql_spark.catalog import table
 from wd2sql_spark.queries._determinism import exact_sum_at
 from wd2sql_spark.queries.registry import query
+from wd2sql_spark.session_cache import bounded_persist
 
 IN_AGG_ORACLE = """
 SELECT c.c_name, o.o_orderkey, round(o.o_totalprice, 2) AS totalprice, SUM(l.l_quantity) AS sum_qty
@@ -38,25 +39,25 @@ ORDER BY totalprice DESC, o_orderkey
 
 @query("subq_in_agg_large_orders", oracle=IN_AGG_ORACLE, category="subqueries")
 def subq_in_agg_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: IN over a grouped-HAVING subquery. The subquery is
-    an aggregate on the fact's own key — at scale this is a shuffle on
-    l_orderkey that AQE can reuse for the orders⋈lineitem join; the
-    surviving key set is tiny and broadcast into the semi-join."""
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery. The subquery
+    aggregate IS the output aggregate: the final per-order sum_qty equals
+    the HAVING sum the subquery already computed (orderkey is the group
+    key in both), so the qualifying (orderkey, sum_qty) rows join
+    straight onto orders⋈customer — ONE lineitem pass, where the naive
+    decorrelation (spelled out in the oracle) re-scans and re-aggregates
+    lineitem a second time for the output sum. The surviving order set
+    is tiny (HAVING > 300) and broadcasts."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sq"))
-        .filter(F.col("sq") > 300)
-        .select("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
     )
     return (
-        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"], "left_semi")
+        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
         .join(c, F.col("o_custkey") == c["c_custkey"])
-        .join(l, F.col("o_orderkey") == l["l_orderkey"])
-        .groupBy("c_name", "o_orderkey", "o_totalprice")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
         .select(
             "c_name",
             "o_orderkey",
@@ -110,18 +111,21 @@ WHERE p.p_brand = 'Brand#11'
 
 @query("subq_scalar_avg_part", oracle=SCALAR_AVG_ORACLE, category="subqueries")
 def subq_scalar_avg_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: correlated scalar AVG per part. Decorrelated into a
-    per-partkey pre-aggregate joined back to the fact — the aggregate input
-    is the filtered fact itself, so at scale the partkey shuffle is shared
-    by agg and join. AVG(l_quantity) is exact (integer-valued doubles)."""
+    """TPC-H Q17 shape: correlated scalar AVG per part. Decorrelated into
+    a per-partkey WINDOW average over the brand-filtered fact: partkey
+    determines brand, so every lineitem row of a qualifying part survives
+    the broadcast semi-filter and the window partition holds exactly the
+    subquery's row set — the per-part avg is identical. One lineitem
+    scan + one partkey exchange of the brand-filtered rows, where the
+    join-back form aggregated the FULL fact (every part, filter above
+    the aggregate) and scanned lineitem twice. AVG(l_quantity) is exact
+    (integer-valued doubles)."""
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11").select("p_partkey")
-    per_part = l.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
-    )
+    qty_cut = F.lit(0.2) * F.avg("l_quantity").over(Window.partitionBy("l_partkey"))
     return (
         l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
-        .join(per_part, l["l_partkey"] == F.col("ap_partkey"))
+        .withColumn("qty_cut", qty_cut)
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(exact_sum_at(F.col("l_extendedprice"), 6, 2, div=7).alias("avg_yearly"))
     )
@@ -183,20 +187,28 @@ ORDER BY s.s_suppkey
 @query("subq_max_revenue_supplier", oracle=MAX_REV_ORACLE, category="subqueries")
 def subq_max_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: scalar MAX over a derived aggregate, reused twice.
-    The revenue aggregate is computed once; its global MAX is a 1-row
-    aggregate broadcast back over it (no single-partition window — at scale
-    the per-supplier aggregate is still millions of rows). Equality against
-    MAX keeps ties, exactly like the SQL form, and compares exact integer
-    units so the tie set matches the oracle bit-for-bit."""
+    The revenue aggregate is computed once — PERSISTED for the session
+    (r9: without the persist, the plan embedded the fact scan+aggregate
+    subtree under BOTH consumers and AQE did NOT reuse the exchange —
+    two lineitem passes per run, measured) — and its global MAX is a
+    1-row aggregate broadcast back over it (no single-partition window —
+    at scale the per-supplier aggregate is still millions of rows).
+    Equality against MAX keeps ties, exactly like the SQL form, and
+    compares exact integer units so the tie set matches the oracle
+    bit-for-bit."""
     l = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     s = table(spark, sf_dir, "supplier")
-    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000, 0).cast("long")
-        ).alias("rev_units")
+    revenue = bounded_persist(
+        l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000, 0).cast("long")
+            ).alias("rev_units")
+        ),
+        "subqueries.q15_revenue",
+        key=(sf_dir,),
     )
     max_units = revenue.agg(F.max("rev_units").alias("max_units"))
     top = revenue.crossJoin(F.broadcast(max_units)).filter(
