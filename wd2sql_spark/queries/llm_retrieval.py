@@ -256,6 +256,11 @@ def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.col("phrase"), " ").getItem(2).alias("t2"),
         )
     )
+    # 1-row argmax consumed twice (the leg filter AND the final phrase
+    # attach); unpersisted, each consumer embedded its own corpus-wide
+    # trigram aggregate — a third documents scan per run (r9
+    # executed-plan probe).
+    top = bounded_persist(top, "llm_retrieval.phrase_top", key=(sf_dir,))
     # ONE corpus pass extracts the phrase-term positions (tiny: three
     # terms' worth of rows), PERSISTED so the three adjacency legs and
     # the final phrase attach read the cached KB-sized relation instead

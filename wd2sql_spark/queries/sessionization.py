@@ -572,13 +572,28 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sensor/series id — thousands of independent partitions)."""
     from wd2sql_spark.queries._determinism import _int_div
 
+    from wd2sql_spark.session_cache import bounded_persist
+
     e = events(spark, sf_dir)
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    n = F.count(F.lit(1))
+    s = F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long"))
+    # ONE events pass: the hourly aggregate is persisted and the spine's
+    # inputs DERIVE from it — min/max bucket ≡ date_trunc(hour, min/max ts)
+    # (truncation is monotone) and every series key appears in some
+    # bucket, so the distinct over the tiny aggregate equals the distinct
+    # over the fact. The old form scanned events three times (bounds,
+    # keys, aggregate — r9 executed-plan probe, no exchange reuse).
+    hourly = bounded_persist(
+        e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
+            n.alias("n"),
+            _int_div(F.lit(2) * s + F.lit(100) * n, F.lit(200) * n).alias("units"),
+        ),
+        "sessionization.gapfill_hourly",
+        key=(sf_dir,),
     )
+    bounds = hourly.agg(F.min("bucket").alias("h0"), F.max("bucket").alias("h1"))
     spine = (
-        e.select("event_type")
+        hourly.select("event_type")
         .distinct()
         .crossJoin(F.broadcast(bounds))
         .select(
@@ -587,12 +602,6 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
             ).alias("bucket"),
         )
-    )
-    n = F.count(F.lit(1))
-    s = F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long"))
-    hourly = e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
-        n.alias("n"),
-        _int_div(F.lit(2) * s + F.lit(100) * n, F.lit(200) * n).alias("units"),
     )
     joined = spine.join(hourly, ["event_type", "bucket"], "left").withColumn(
         "hr", F.expr("unix_micros(bucket) div 3600000000")

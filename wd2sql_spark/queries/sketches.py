@@ -244,6 +244,13 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("cell"))
     )
+    # The sketch table feeds TWO consumers (the probe join and the
+    # total-mass bound); unpersisted, each embedded its own copy of the
+    # build subtree — a third events scan per run (r9 executed-plan
+    # probe). d·w cells is a small constant, the canonical persist case.
+    from wd2sql_spark.session_cache import bounded_persist
+
+    cells = bounded_persist(cells, "sketches.cms_cells", key=(sf_dir,))
     top = (
         e.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("c"))
