@@ -271,7 +271,22 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
     ).filter(F.length("token") >= 3)
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    from wd2sql_spark.session_cache import bounded_persist
+
+    # tf feeds BOTH the df aggregate and the scored join; unpersisted,
+    # the tokenize+tf subtree planned under each consumer — two
+    # documents scans per run (r9 executed-plan probe, no AQE exchange
+    # reuse). Persisting the (doc, token, tf) relation — the inverted-
+    # index build artifact a real pipeline materializes — makes it one
+    # pass. (A window-count df over partitionBy(token) was tried and
+    # REJECTED: it shuffles the full tf relation onto hot-token
+    # partitions (guide §2.5 skew), measured slower than the map-side-
+    # combined df aggregate + broadcast join, which is skew-immune.)
+    tf = bounded_persist(
+        tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")),
+        "llm_text.tfidf_tf",
+        key=(sf_dir,),
+    )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df), "token").withColumn(
         "score", F.col("tf").cast("double") / F.col("df")

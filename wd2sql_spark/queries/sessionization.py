@@ -483,17 +483,25 @@ def gapfill_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts; the only fact-sized work is the day-keyed partial+final
     count. Time-series charts and training-cadence dashboards need this
     shape because missing days must read as 0, not NULL/absent."""
+    from wd2sql_spark.session_cache import bounded_persist
+
     e = events(spark, sf_dir)
-    bounds = e.agg(
-        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    # ONE events pass (r9): aggregate ALL events per day with a
+    # conditional purchase count — the spine bounds derive from the
+    # per-day relation (to_date is monotone, so min/max day ≡
+    # to_date(min/max ts)), and purchase-free days that HAVE events
+    # carry n=0 straight through the join. The old form scanned events
+    # twice (bounds + purchase-filtered aggregate).
+    daily = bounded_persist(
+        e.groupBy(F.to_date(F.col("ts")).alias("day")).agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n")
+        ),
+        "sessionization.gapfill_daily",
+        key=(sf_dir,),
     )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     spine = bounds.select(
         F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
-    )
-    daily = (
-        e.filter(F.col("event_type") == "purchase")
-        .groupBy(F.to_date(F.col("ts")).alias("day"))
-        .agg(F.count(F.lit(1)).alias("n"))
     )
     return (
         spine.join(F.broadcast(daily), "day", "left")
