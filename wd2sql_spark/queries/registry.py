@@ -152,21 +152,33 @@ def query(
 _PRIORITY = (
     # flagged (tools/gen_priority.py order)
     "multimodal_video_demux_stats",  # never attested
+    "subq_excess_share_suppliers",  # plan fingerprint moved since r4 attestation
     "subq_important_supply_value",  # plan fingerprint moved since r4 attestation
     "subq_min_cost_supplier",  # plan fingerprint moved since r4 attestation
+    "subq_top_supplier_revenue",  # plan fingerprint moved since r4 attestation
+    "ts_gapfill_interpolate",  # plan fingerprint moved since r4 attestation
     "join_multiway_local_supplier_volume",  # plan fingerprint moved since r5 attestation
     "semdedup_cluster_prune",  # plan fingerprint moved since r5 attestation
     "setop_except",  # plan fingerprint moved since r5 attestation
+    "sim_ivf_recall_audit",  # plan fingerprint moved since r5 attestation
+    "sim_pq_recall_audit",  # plan fingerprint moved since r5 attestation
+    "subq_in_agg_large_orders",  # plan fingerprint moved since r5 attestation
+    "subq_max_revenue_supplier",  # plan fingerprint moved since r5 attestation
+    "subq_scalar_avg_part",  # plan fingerprint moved since r5 attestation
     "dedup_edit_distance_blocked",  # plan fingerprint moved since r6 attestation
+    "text_keywords_tfidf",  # plan fingerprint moved since r6 attestation
     "agg_approx_count_distinct",  # plan fingerprint moved since r7 attestation
+    "gapfill_daily_purchases",  # plan fingerprint moved since r7 attestation
     "join_basket_cooccurrence",  # plan fingerprint moved since r7 attestation
     "quality_segment_dedup_rebuild",  # plan fingerprint moved since r7 attestation
+    "sim_lsh_recall_audit",  # plan fingerprint moved since r7 attestation
     "stream_dedup_within_watermark",  # plan fingerprint moved since r7 attestation
     "stream_interval_join",  # plan fingerprint moved since r7 attestation
     "stream_session_windows",  # plan fingerprint moved since r7 attestation
     "stream_sliding_counts",  # plan fingerprint moved since r7 attestation
     "stream_stateful_streaks",  # plan fingerprint moved since r7 attestation
     "stream_tumbling_counts",  # plan fingerprint moved since r7 attestation
+    "curation_pipeline_decontam",  # plan fingerprint moved since r8 attestation
     "multimodal_decode_stats",  # plan fingerprint moved since r8 attestation
     "multimodal_frame_sample",  # plan fingerprint moved since r8 attestation
     "multimodal_jpeg_codec_stats",  # plan fingerprint moved since r8 attestation
@@ -176,6 +188,9 @@ _PRIORITY = (
     "multimodal_phash_near_dup",  # plan fingerprint moved since r8 attestation
     "multimodal_resize_thumbs",  # plan fingerprint moved since r8 attestation
     "multimodal_truecolor_codec_stats",  # plan fingerprint moved since r8 attestation
+    "pairs_contrastive_build",  # plan fingerprint moved since r8 attestation
+    "retrieval_phrase_match",  # plan fingerprint moved since r8 attestation
+    "sketch_countmin_heavy_hitters",  # plan fingerprint moved since r8 attestation
     "stream_incremental_neardup",  # plan fingerprint moved since r8 attestation
     "stream_quality_filter",  # plan fingerprint moved since r8 attestation
     "stream_static_enrich",  # plan fingerprint moved since r8 attestation
@@ -183,25 +198,10 @@ _PRIORITY = (
     "subq_sole_fault_suppliers",  # plan fingerprint moved since r8 attestation
     # stalest-attested padding to the driver cap
     "sim_int8_serving_topk",  # r4
-    "subq_excess_share_suppliers",  # r4
     "subq_exists_late_ship",  # r4
     "subq_order_priority_check",  # r4
     "subq_sales_opportunity_antijoin",  # r4
     "subq_small_quantity_revenue",  # r4
-    "subq_top_supplier_revenue",  # r4
-    "ts_gapfill_interpolate",  # r4
-    "window_revenue_share",  # r4
-    "agg_count_distinct",  # r5
-    "agg_cube",  # r5
-    "agg_grouping_sets",  # r5
-    "agg_having",  # r5
-    "agg_histogram_totalprice",  # r5
-    "agg_min_max_by",  # r5
-    "agg_rollup",  # r5
-    "agg_stats_moments",  # r5
-    "cluster_kmeans_embeddings",  # r5
-    "dedup_jaccard_prefix_filter",  # r5
-    "filter_predicates",  # r5
 )
 
 def load_all_modules() -> dict[str, Query]:
