@@ -88,6 +88,9 @@ TARGETS = {
     "stream_incremental_neardup": replicate_documents,
     "stream_interval_join": replicate_events,
     "stream_stateful_streaks": replicate_events,
+    # r9: the two lifecycles the r8 split did not cover
+    "stream_dedup_within_watermark": replicate_events,
+    "stream_session_windows": replicate_events,
 }
 
 
