@@ -434,6 +434,20 @@ def main() -> None:
                         "steady-state estimator, and five samples roughly halve the "
                         "chance a query's whole window lands inside one load wave"
                     ),
+                    "amortized_warm_slots": (
+                        "warm numbers for a few queries amortize a once-per-"
+                        "session build that a production long-lived cluster "
+                        "would also hold (VERDICT r9 'hold the persist line'): "
+                        "retrieval_phrase_match probes its session-persisted "
+                        "1-row trigram argmax after sample 1; window_ntile_"
+                        "distribution / layout_* reuse the session-scoped "
+                        "global-rank offsets (ids_assign); the dedup/simhash/"
+                        "phash families probe session-persisted band indexes. "
+                        "All are rebuilt from parquet on every fresh session "
+                        "(the driver's cold JVM pays them in cold_queries), "
+                        "justified by >=2 consumers within one execution, and "
+                        "none is keyed on results - no cross-run caching"
+                    ),
                     "forcing": (
                         "r3 change: queries are forced with a full-materialization "
                         "noop write instead of count(). count() let Catalyst prune "

@@ -104,9 +104,14 @@ def test_pandas_eval_only_where_declared(reports):
     whole point is an Arrow-batched scoring map); everything else stays
     JVM-side."""
     allowed_prefixes = ("multimodal_", "inference_")
+    # r10: the repetition fold is a DECLARED Arrow stage — all three
+    # Gopher metrics are row-local, so one mapInPandas replaces two
+    # corpus-sized shuffles + a window + a join (guide §4.2; the SQL-HOF
+    # one-pass form measured 5× slower in r9).
+    allowed_names = {"quality_repetition_metrics"}
     for n, r in reports.items():
         if r.pandas_eval:
-            assert n.startswith(allowed_prefixes), n
+            assert n.startswith(allowed_prefixes) or n in allowed_names, n
 
 
 def test_subq_exists_prunes_lineitem(reports):
@@ -479,13 +484,19 @@ def test_quality_family_plans(reports):
     JVM-side, and stays within its shuffle budget (per-doc stats pay one
     corpus-sized exchange per independent statistic, never a pair join)."""
     for n, budget in (
-        ("quality_repetition_metrics", 6),  # gram agg + doc agg + run window + run aggs + join sort
+        # r10: the repetition fold is ONE declared Arrow stage (all three
+        # metrics are row-local); its only exchange is the scale-adaptive
+        # input spread (spread_rows — a no-op on multi-split input).
+        ("quality_repetition_metrics", 1),
         ("quality_oov_vocab", 4),           # token tf + vocab rank + doc agg (+ sort)
         ("quality_boilerplate_windows", 4), # window df + per-doc agg (+ sort)
     ):
         r = reports[n]
         assert r.read_columns == {"doc_id", "text"}, n
-        assert not r.python_eval and not r.pandas_eval, n
+        if n == "quality_repetition_metrics":
+            assert r.pandas_eval and not r.python_eval, n
+        else:
+            assert not r.python_eval and not r.pandas_eval, n
         assert r.shuffles <= budget, (n, r.shuffles)
 
 

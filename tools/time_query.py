@@ -42,8 +42,20 @@ def main() -> None:
     from wd2sql_spark.queries import load_all_modules
     from wd2sql_spark.session import get_spark
 
-    spark = get_spark("time-query")
     registry = load_all_modules()
+    # Validate names BEFORE starting Spark (ADVICE r9 #5): a typo'd name
+    # used to raise a bare KeyError after paying the session startup.
+    unknown = [n for n in args.names if n not in registry]
+    if unknown:
+        import difflib
+
+        for n in unknown:
+            close = difflib.get_close_matches(n, registry, n=3)
+            hint = f" (did you mean: {', '.join(close)}?)" if close else ""
+            print(f"unknown query name: {n}{hint}", file=sys.stderr)
+        sys.exit(2)
+
+    spark = get_spark("time-query")
 
     def force(df):
         df.write.format("noop").mode("overwrite").save()
@@ -67,8 +79,13 @@ def main() -> None:
             t0 = time.perf_counter()
             force(q.fn(spark, args.sf))
             samples.append((time.perf_counter() - t0, loadavg1()))
+        import statistics
+
         times = sorted(s[0] for s in samples)
-        med = times[len(times) // 2]
+        # statistics.median interpolates for even N (ADVICE r9 #5: the
+        # upper-element pick biased even-N medians high); MIN remains the
+        # primary steady-state estimator, as in bench.py.
+        med = statistics.median(times)
         line = f"{name}: min={times[0]:.3f} med={med:.3f}"
         if args.cold:
             line += f" cold={cold:.3f}"

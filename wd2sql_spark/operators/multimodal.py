@@ -28,6 +28,8 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from wd2sql_spark.operators.skew import spread_rows
+
 if TYPE_CHECKING:
     import pandas as pd
 
@@ -275,11 +277,20 @@ def fused_codec_pipeline(
     (``decode_images_stage()``, ``resize_stage(128)``, …). Stage-by-
     stage results are bit-identical to the standalone operator chain —
     the same bodies run, in the same order, on the same batches —
-    pinned by tests/test_multimodal_fused.py."""
-    base = docs.select(
-        "doc_id",
-        F.encode(F.col(text_col), "utf-8").alias("tb"),
-        F.col("source").alias("source"),
+    pinned by tests/test_multimodal_fused.py.
+
+    The input is spread across the session's cores first (r10, guide
+    §2.5): the fixture scan is ONE task (single-file single-row-group
+    parquet), so without the repartition the whole fused Python codec
+    pipeline ran serially on one core; ``spread_rows`` is a no-op when
+    the scan already provides parallelism (production scale)."""
+    base = spread_rows(
+        docs.select(
+            "doc_id",
+            F.encode(F.col(text_col), "utf-8").alias("tb"),
+            F.col("source").alias("source"),
+        ),
+        probe=docs,
     )
     fns = [_synth_batches(build), *stages]
 
@@ -336,8 +347,9 @@ def synthesize_png_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     stages drop them — the same per-record tolerance rule as the ETL.
     """
     enc = F.encode(F.col(text_col), "utf-8")
-    base = docs.select(
-        "doc_id", enc.alias("tb"), F.col("source").alias("source")
+    base = spread_rows(
+        docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source")),
+        probe=docs,
     )
     return base.mapInPandas(
         _synth_batches(png_builder()), schema="doc_id bigint, content binary, source string"
@@ -378,7 +390,10 @@ def synthesize_mixed_png_blobs(docs: DataFrame, text_col: str = "text") -> DataF
     per doc; the deterministic split keeps the DuckDB twin exact
     (n_bytes grows by 12 + 3·n_colors on the palette rows)."""
     enc = F.encode(F.col(text_col), "utf-8")
-    base = docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source"))
+    base = spread_rows(
+        docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source")),
+        probe=docs,
+    )
     return base.mapInPandas(
         _synth_batches(mixed_png_builder()),
         schema="doc_id bigint, content binary, source string",
@@ -427,7 +442,10 @@ def synthesize_tri_codec_png_blobs(docs: DataFrame, text_col: str = "text") -> D
     scanline is 3·w+1 bytes vs the gray w+1) and the sampled channel
     bytes from the documents table."""
     enc = F.encode(F.col(text_col), "utf-8")
-    base = docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source"))
+    base = spread_rows(
+        docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source")),
+        probe=docs,
+    )
     return base.mapInPandas(
         _synth_batches(tri_codec_png_builder()),
         schema="doc_id bigint, content binary, source string",
@@ -1038,7 +1056,10 @@ def synthesize_jpeg_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     the DuckDB twin re-derives geometry and reconstructed pixel sums
     from the documents table while Spark round-trips the actual codec."""
     enc = F.encode(F.col(text_col), "utf-8")
-    base = docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source"))
+    base = spread_rows(
+        docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source")),
+        probe=docs,
+    )
     return base.mapInPandas(
         _synth_batches(jpeg_builder()),
         schema="doc_id bigint, content binary, source string",
@@ -1130,7 +1151,10 @@ def synthesize_mixed_container_blobs(docs: DataFrame, text_col: str = "text") ->
     pixel; JPEG: 16×(8·(1+doc_id%3)) with one value per 8×8 block), so
     the DuckDB twin re-derives both arms from the documents table."""
     enc = F.encode(F.col(text_col), "utf-8")
-    base = docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source"))
+    base = spread_rows(
+        docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source")),
+        probe=docs,
+    )
     return base.mapInPandas(
         _synth_batches(mixed_container_builder()),
         schema="doc_id bigint, content binary, source string",
@@ -1403,7 +1427,10 @@ def synthesize_avi_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     per-frame pixel sums from the documents table while Spark runs the
     actual muxer and demuxer. Empty-text docs get an empty payload."""
     enc = F.encode(F.col(text_col), "utf-8")
-    base = docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source"))
+    base = spread_rows(
+        docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source")),
+        probe=docs,
+    )
     build = _make_avi_builder()
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -1498,9 +1525,14 @@ def synthesize_and_demux_video(docs: DataFrame, text_col: str = "text") -> DataF
     payload-consuming one, fusing removes the whole round trip). Same
     muxer, per-frame codec, and per-record tolerance as the standalone
     operators (shared row-level helpers), so the frame rows are
-    bit-identical to ``demux_video_frames(synthesize_avi_blobs(docs))``."""
+    bit-identical to ``demux_video_frames(synthesize_avi_blobs(docs))``.
+    Input spread across cores first (r10, guide §2.5 — the single-file
+    fixture scan is one task; see ``fused_codec_pipeline``)."""
     enc = F.encode(F.col(text_col), "utf-8")
-    base = docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source"))
+    base = spread_rows(
+        docs.select("doc_id", enc.alias("tb"), F.col("source").alias("source")),
+        probe=docs,
+    )
     build = _make_avi_builder()
     extract = _make_frame_extractor()
 

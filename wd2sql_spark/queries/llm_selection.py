@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from wd2sql_spark.catalog import table
 from wd2sql_spark.queries._determinism import _int_div
 from wd2sql_spark.queries.registry import query
-from wd2sql_spark.session_cache import SessionCache, bounded_persist
+from wd2sql_spark.session_cache import SessionCache, bounded_persist, cached_count
 
 # ---------------------------------------------------------------------------
 # DSIR importance resampling
@@ -657,6 +657,16 @@ ORDER BY anchor_id, positive_id, neg_rank
 """
 
 
+BROADCAST_ROW_CAP = 10_000_000  # two-long rows ~ 160 MB framed
+
+
+def _maybe_broadcast(df, n_rows: int):
+    """Broadcast-hint ``df`` only when its row count is under the cap —
+    the guarded form of "broadcast-sized by design" (ADVICE r9 #4):
+    above the cap the planner keeps its graceful shuffle strategy."""
+    return F.broadcast(df) if n_rows <= BROADCAST_ROW_CAP else df
+
+
 PAIRS_ORACLE = _pairs_oracle()
 
 
@@ -744,12 +754,20 @@ def pairs_contrastive_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(
             # Explicit hint: sym is 2·|pairs| rows of two longs (the
-            # near-dup pair set — broadcast-sized by design), but it
-            # hides behind a persist+union so the planner's estimate
-            # picked a SortMergeJoin that shuffled and sorted the whole
-            # exploded candidate set on (anchor, negative).
-            F.broadcast(
-                sym.withColumnRenamed("a", "anchor_id").withColumnRenamed("b", "negative_id")
+            # near-dup pair set), but it hides behind a persist+union so
+            # the planner's estimate picked a SortMergeJoin that shuffled
+            # and sorted the whole exploded candidate set on
+            # (anchor, negative). GUARDED, not unconditional (ADVICE r9
+            # #4): the pair count scales with corpus near-dup incidence,
+            # so past a hard bound (5M pairs → 10M sym rows of two longs
+            # ≈ 160 MB framed, far under the 8 GB/512M-row broadcast cap
+            # but already the sensible executor-memory ceiling) the hint
+            # is withheld and the planner degrades gracefully to SMJ.
+            # The count is memoized per session (cached_count) and only
+            # materializes the persist the query pays anyway.
+            _maybe_broadcast(
+                sym.withColumnRenamed("a", "anchor_id").withColumnRenamed("b", "negative_id"),
+                n_rows=2 * cached_count(pairs, (sf_dir, "contrastive_pairs")),
             ),
             ["anchor_id", "negative_id"],
             "left_anti",

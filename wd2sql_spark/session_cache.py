@@ -191,6 +191,16 @@ def bounded_checkpoint(df, slot: str, key: tuple | None = None):
         if same:
             return ckpt
         _BOUNDED.pop(slot, None)
+    # NOT REENTRANT / single-threaded-driver assumption (ADVICE r9 #3):
+    # the toggle below briefly mutates the session-global AQE conf, so a
+    # query planned CONCURRENTLY on another driver thread during this
+    # materialization would silently plan without AQE. Query construction
+    # in this codebase is driver-single-threaded by design (the
+    # SessionCache class docstring states the same contract; the
+    # concurrent ETL writes submit already-constructed plans and never
+    # construct queries while a checkpoint materializes), so no lock is
+    # taken — if that ever changes, scope this with a lock around
+    # conf-set + localCheckpoint + restore.
     # Materialize with AQE OFF: a checkpoint created under AQE wraps an
     # AdaptiveSparkPlan whose output partitioning is still unknown, so
     # the LogicalRDD leaf reports UnknownPartitioning and every consumer
