@@ -315,6 +315,7 @@ def main() -> None:
     # same day); more repeats would cost minutes for lifecycle-bound
     # numbers.
     stream_suite: dict[str, float] = {}
+    stream_samples: dict[str, list] = {}
     for _pass in range(2):  # interleaved passes, min per query
         for name, q in sorted(registry.items()):
             if not name.startswith("stream_"):
@@ -322,6 +323,10 @@ def main() -> None:
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
+            # per-sample loadavg (r10, VERDICT r9 task #5): the suite
+            # drifted +40% on untouched code in r9 with no per-sample
+            # attribution data — these rows make the load case checkable
+            stream_samples.setdefault(name, []).append([round(dt, 4), loadavg1()])
             if dt < stream_suite.get(name, float("inf")):
                 stream_suite[name] = dt
     stream_suite = {k: round(v, 4) for k, v in stream_suite.items()}
@@ -349,6 +354,7 @@ def main() -> None:
                 "tpch22": tpch,
                 "streaming_suite_wall_time": round(sum(stream_suite.values()), 4),
                 "streaming_suite": stream_suite,
+                "streaming_suite_samples": stream_samples,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "notes": {
                     "slim_line_budget": (
@@ -487,6 +493,8 @@ def main() -> None:
         ),
         "streaming_suite_wall_time": full["streaming_suite_wall_time"],
         "etl_mb_per_s": etl["etl_mb_per_s"],
+        # the fixed-cost-amortized rung (r10): the steady-state ETL figure
+        "etl_1g_mb_per_s": etl["etl_1g_mb_per_s"],
         "flagged_rerun": len(flagged_rerun),
         "sf": full["sf"],
         "detail": "BENCH_LOCAL.json",
@@ -793,7 +801,27 @@ def _bench_etl(spark) -> dict:
         wd2spark(spark, dump, os.path.join(root, "out-tables"), staged=True)
         elapsed_tables = time.perf_counter() - t0
 
+        # LARGE rung (r10, VERDICT r9 task #6): the 293 MB rung has a
+        # measured 3× same-code spread under host load (warm 13-53 MB/s
+        # across rounds on unchanged ETL code) because its ~6 s wall sits
+        # at the scale of this host's load waves and per-job fixed costs.
+        # A ~1 GB rung amortizes both — its warm number is the
+        # steady-state throughput figure; the 293 MB metrics above are
+        # kept unchanged for round-over-round comparison.
+        dump_1g = os.path.join(root, "dump-1g")
+        nbytes_1g = _write_dump(dump_1g, n=56 * N, shards=64)
+        t0 = time.perf_counter()
+        wd2spark(spark, dump_1g, os.path.join(root, "out-1g"), staged=True, layout="store")
+        elapsed_1g_cold = time.perf_counter() - t0
+        elapsed_1g = float("inf")
+        for i in range(2):
+            t0 = time.perf_counter()
+            wd2spark(spark, dump_1g, f"{out}-1g-warm{i}", staged=True, layout="store")
+            elapsed_1g = min(elapsed_1g, time.perf_counter() - t0)
+            shutil.rmtree(f"{out}-1g-warm{i}", ignore_errors=True)
+
         mb = nbytes / 1e6
+        mb_1g = nbytes_1g / 1e6
         return {
             "etl_wall_time": round(elapsed, 4),
             "etl_cold_wall_time": round(elapsed_cold, 4),
@@ -803,6 +831,10 @@ def _bench_etl(spark) -> dict:
             "etl_tables_wall_time": round(elapsed_tables, 4),
             "etl_tables_mb_per_s": round(mb / elapsed_tables, 2),
             "etl_staged_plan_shuffles": rep.shuffles,
+            "etl_1g_input_mb": round(mb_1g, 1),
+            "etl_1g_wall_time": round(elapsed_1g, 4),
+            "etl_1g_mb_per_s": round(mb_1g / elapsed_1g, 2),
+            "etl_1g_cold_mb_per_s": round(mb_1g / elapsed_1g_cold, 2),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
