@@ -150,58 +150,67 @@ def query(
 # new demux query snapshots at its first attestation. See
 # tools/gen_priority.py --explain for the live flag set.
 _PRIORITY = (
-    # flagged (tools/gen_priority.py order)
-    "multimodal_video_demux_stats",  # never attested
-    "subq_excess_share_suppliers",  # plan fingerprint moved since r4 attestation
-    "subq_important_supply_value",  # plan fingerprint moved since r4 attestation
-    "subq_min_cost_supplier",  # plan fingerprint moved since r4 attestation
-    "subq_top_supplier_revenue",  # plan fingerprint moved since r4 attestation
-    "ts_gapfill_interpolate",  # plan fingerprint moved since r4 attestation
-    "join_multiway_local_supplier_volume",  # plan fingerprint moved since r5 attestation
-    "semdedup_cluster_prune",  # plan fingerprint moved since r5 attestation
-    "setop_except",  # plan fingerprint moved since r5 attestation
-    "sim_ivf_recall_audit",  # plan fingerprint moved since r5 attestation
-    "sim_pq_recall_audit",  # plan fingerprint moved since r5 attestation
-    "subq_in_agg_large_orders",  # plan fingerprint moved since r5 attestation
-    "subq_max_revenue_supplier",  # plan fingerprint moved since r5 attestation
-    "subq_scalar_avg_part",  # plan fingerprint moved since r5 attestation
-    "dedup_edit_distance_blocked",  # plan fingerprint moved since r6 attestation
-    "text_keywords_tfidf",  # plan fingerprint moved since r6 attestation
-    "agg_approx_count_distinct",  # plan fingerprint moved since r7 attestation
-    "gapfill_daily_purchases",  # plan fingerprint moved since r7 attestation
-    "join_basket_cooccurrence",  # plan fingerprint moved since r7 attestation
-    "quality_segment_dedup_rebuild",  # plan fingerprint moved since r7 attestation
-    "sim_lsh_recall_audit",  # plan fingerprint moved since r7 attestation
-    "stream_dedup_within_watermark",  # plan fingerprint moved since r7 attestation
-    "stream_interval_join",  # plan fingerprint moved since r7 attestation
-    "stream_session_windows",  # plan fingerprint moved since r7 attestation
-    "stream_sliding_counts",  # plan fingerprint moved since r7 attestation
-    "stream_stateful_streaks",  # plan fingerprint moved since r7 attestation
-    "stream_tumbling_counts",  # plan fingerprint moved since r7 attestation
-    "curation_pipeline_decontam",  # plan fingerprint moved since r8 attestation
-    "multimodal_decode_stats",  # plan fingerprint moved since r8 attestation
-    "multimodal_frame_sample",  # plan fingerprint moved since r8 attestation
-    "multimodal_jpeg_codec_stats",  # plan fingerprint moved since r8 attestation
-    "multimodal_luma_phash",  # plan fingerprint moved since r8 attestation
-    "multimodal_mixed_codec_stats",  # plan fingerprint moved since r8 attestation
-    "multimodal_mixed_container_stats",  # plan fingerprint moved since r8 attestation
-    "multimodal_phash_near_dup",  # plan fingerprint moved since r8 attestation
-    "multimodal_resize_thumbs",  # plan fingerprint moved since r8 attestation
-    "multimodal_truecolor_codec_stats",  # plan fingerprint moved since r8 attestation
-    "pairs_contrastive_build",  # plan fingerprint moved since r8 attestation
-    "retrieval_phrase_match",  # plan fingerprint moved since r8 attestation
-    "sketch_countmin_heavy_hitters",  # plan fingerprint moved since r8 attestation
-    "stream_incremental_neardup",  # plan fingerprint moved since r8 attestation
-    "stream_quality_filter",  # plan fingerprint moved since r8 attestation
-    "stream_static_enrich",  # plan fingerprint moved since r8 attestation
-    "stream_wd_etl_meta",  # plan fingerprint moved since r8 attestation
-    "subq_sole_fault_suppliers",  # plan fingerprint moved since r8 attestation
+    # flagged (tools/gen_priority.py order) — the r10 optimization
+    # rewrites: the Arrow repetition fold + the llm_quality/llm_selection
+    # module-AST movers, the spread_rows input repartition on the whole
+    # multimodal family, the guarded contrastive broadcast, and the
+    # streaming-side driver-cost amortizations (schema memo + cached
+    # static scans; stream fingerprints are plan-blind whole-closure AST
+    # hashes, so the module edit re-attests the family — coarse but
+    # correct, as in r9)
+    "quality_boilerplate_windows",  # plan fingerprint moved since r6 attestation
+    "quality_oov_vocab",  # plan fingerprint moved since r6 attestation
+    "quality_repetition_metrics",  # plan fingerprint moved since r6 attestation
+    "mix_token_budget_waterfill",  # plan fingerprint moved since r8 attestation
+    "quality_charlm_score",  # plan fingerprint moved since r8 attestation
+    "sample_dsir_importance",  # plan fingerprint moved since r8 attestation
+    "split_leakage_safe",  # plan fingerprint moved since r8 attestation
+    "multimodal_decode_stats",  # plan fingerprint moved since r9 attestation
+    "multimodal_frame_sample",  # plan fingerprint moved since r9 attestation
+    "multimodal_jpeg_codec_stats",  # plan fingerprint moved since r9 attestation
+    "multimodal_luma_phash",  # plan fingerprint moved since r9 attestation
+    "multimodal_mixed_codec_stats",  # plan fingerprint moved since r9 attestation
+    "multimodal_mixed_container_stats",  # plan fingerprint moved since r9 attestation
+    "multimodal_phash_near_dup",  # plan fingerprint moved since r9 attestation
+    "multimodal_resize_thumbs",  # plan fingerprint moved since r9 attestation
+    "multimodal_truecolor_codec_stats",  # plan fingerprint moved since r9 attestation
+    "multimodal_video_demux_stats",  # plan fingerprint moved since r9 attestation
+    "pairs_contrastive_build",  # plan fingerprint moved since r9 attestation
+    "quality_segment_dedup_rebuild",  # plan fingerprint moved since r9 attestation
+    "stream_dedup_within_watermark",  # plan fingerprint moved since r9 attestation
+    "stream_incremental_neardup",  # plan fingerprint moved since r9 attestation
+    "stream_interval_join",  # plan fingerprint moved since r9 attestation
+    "stream_quality_filter",  # plan fingerprint moved since r9 attestation
+    "stream_session_windows",  # plan fingerprint moved since r9 attestation
+    "stream_sliding_counts",  # plan fingerprint moved since r9 attestation
+    "stream_stateful_streaks",  # plan fingerprint moved since r9 attestation
+    "stream_static_enrich",  # plan fingerprint moved since r9 attestation
+    "stream_tumbling_counts",  # plan fingerprint moved since r9 attestation
+    "stream_wd_etl_meta",  # plan fingerprint moved since r9 attestation
+    # hand-pinned (VERDICT r9 task #4): the three driver-regression
+    # suspects must come back improved/flat with fresh rows this round
+    "dedup_minhash_lsh",
+    "sessionize_gap30m_skewsafe",
+    "curation_pipeline_decontam",
     # stalest-attested padding to the driver cap
-    "sim_int8_serving_topk",  # r4
-    "subq_exists_late_ship",  # r4
-    "subq_order_priority_check",  # r4
-    "subq_sales_opportunity_antijoin",  # r4
-    "subq_small_quantity_revenue",  # r4
+    "window_revenue_share",  # r4
+    "agg_count_distinct",  # r5
+    "agg_cube",  # r5
+    "agg_grouping_sets",  # r5
+    "agg_having",  # r5
+    "agg_histogram_totalprice",  # r5
+    "agg_min_max_by",  # r5
+    "agg_rollup",  # r5
+    "agg_stats_moments",  # r5
+    "cluster_kmeans_embeddings",  # r5
+    "dedup_jaccard_prefix_filter",  # r5
+    "filter_predicates",  # r5
+    "join_anti_customers_without_orders",  # r5
+    "join_bloom_prefilter_semi",  # r5
+    "join_cross_small",  # r5
+    "join_disjunctive_predicate",  # r5
+    "join_full_outer",  # r5
+    "join_inner_broadcast",  # r5
 )
 
 def load_all_modules() -> dict[str, Query]:
