@@ -119,6 +119,9 @@ HEADLINE = (
     "setop_except",
     # r9-new: the MJPEG-in-AVI container demux (third container family)
     "multimodal_video_demux_stats",
+    # r10 rewrite (ADDED, never removed anything): the one-pass Arrow
+    # repetition fold needs a driver bench row — it had none before
+    "quality_repetition_metrics",
     # subq_min_cost_supplier's rewrite is measured in its tpch22 slot (Q2).
     # stream_* live in the streaming_suite section: each pays ~1-5 s of
     # Structured Streaming lifecycle (checkpoint dir, micro-batch
